@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  *    and dynamic broadcast conversion replace hand-tuned partition counts.
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count here;
+  *    on a real cluster this is overridden to ~2-3x total executor cores and
+  *    AQE coalesces down from there.
+  *  - Nanosecond parquet timestamps (the `events` fixture) are read as raw
+  *    nanos longs (`nanosAsLong`) and converted to microsecond timestamps by
+  *    the source layer ([[graft.sources.Tables.events]]) — Spark's
+  *    TimestampType is microsecond-precision.
+  *  - UTC session timezone so timestamp semantics match the DuckDB oracle.
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session; core count from SPARK_GRAFT_CPUS (driver contract). */
+  def local(): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

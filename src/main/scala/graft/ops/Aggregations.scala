@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Aggregation helpers (SURVEY §2.4 A1-A8).
+  *
+  * Exactness policy: double-typed SUM/AVG results depend on accumulation
+  * order, which differs between partitioned Spark execution and any oracle.
+  * [[exactSum]]/[[exactAvg]] accumulate in Decimal(30,8) — exact, order-
+  * independent — and cast the final value back to double, making results
+  * bit-identical across engines and across partition counts. The oracle SQL
+  * mirrors the same cast chain. This also means results are stable when the
+  * cluster size (and thus partitioning) changes — a reproducibility property
+  * worth having at 100 TB, for ~no extra cost (decimal partial aggregation
+  * is still map-side combined and codegen'd).
+  */
+object Aggregations {
+
+  private val Acc = DecimalType(30, 8)
+
+  /** Order-independent double sum (exact decimal accumulation). */
+  def exactSum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)
+
+  /** Order-independent double average; SQL-standard null-skipping
+    * (sum over non-null / count of non-null).
+    */
+  def exactAvg(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType) / count(c)
+
+  /** A1/A3: conditional count — `sum(when(cond,1).otherwise(0))`
+    * (reference: silver/processor.py:336-347,588-602).
+    */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** DuckDB-side SQL mirror of [[exactSum]] (for oracle authors). */
+  def exactSumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  /** DuckDB-side SQL mirror of [[exactAvg]]. */
+  def exactAvgSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE) / COUNT($expr)"
+}

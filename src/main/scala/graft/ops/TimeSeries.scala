@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series operators over event tables (SURVEY §2.9 extension —
+  * the reference models time only as relative-day ints; the `events`
+  * fixture adds real timestamps).
+  */
+object TimeSeries {
+
+  /** Tumbling-window aggregation: truncate `tsCol` to the bucket start and
+    * hash-aggregate. Uses `date_trunc` (codegen'd) rather than the struct-
+    * producing `window()` so the output is flat and oracle-comparable;
+    * semantically identical for tumbling windows aligned to unit boundaries.
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, unit: String,
+                  groupCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.withColumn("window_start", date_trunc(unit, col(tsCol)))
+      .groupBy((col("window_start") +: groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sessionization by inactivity gap: a new session starts when the gap to
+    * the previous event of the same `userCol` exceeds `gapSeconds`.
+    * session_id is 1-based per user. Gap arithmetic is done on integral
+    * epoch-microseconds — exact, so engine-independent.
+    *
+    * Scale: one shuffle on `userCol` + per-user sort; the running sum reuses
+    * the same window ordering (single exchange, single sort).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long,
+                 tieBreak: Seq[Column] = Nil): DataFrame = {
+    val order = col(tsCol) +: tieBreak
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(w)
+    val isNew = when(prevUs.isNull || (us - prevUs) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup on top of [[sessionize]]. Duration stays in exact
+    * integral microseconds (a fractional-seconds double would round
+    * differently across engines).
+    */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long,
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    val s = sessionize(df, userCol, tsCol, gapSeconds, tieBreak)
+    s.groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        min(col(tsCol)).alias("session_start"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))).alias("duration_us"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based row validation (SURVEY §2.2 P8-P9; reference:
+  * spark/silver/processor.py:127-168).
+  *
+  * A row PASSES a rule iff the rule's predicate evaluates to true; a null
+  * predicate (from null inputs) counts as a FAILURE — matching the
+  * reference's keep-filter, where `df.filter(conj)` drops null-predicate
+  * rows.
+  *
+  * Scale note: the reference runs one full `count()` job per negated rule
+  * (7 re-scans of Bronze). [[failureCounts]] computes all rule metrics in a
+  * SINGLE pass with conditional sums — same numbers, one scan; at 100 TB
+  * this is the difference between 1 and 8 table reads.
+  */
+object Validation {
+
+  final case class Rule(name: String, predicate: Column)
+
+  private def passes(r: Rule): Column = coalesce(r.predicate, lit(false))
+
+  /** Conjunction of all rules, null-safe (null predicate = fail). */
+  def conjunction(rules: Seq[Rule]): Column =
+    rules.map(passes).reduce(_ && _)
+
+  /** Keep rows passing every rule (the reference's Silver keep-filter). */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.filter(conjunction(rules))
+
+  /** Rows failing at least one rule (the reference's rejected set). */
+  def rejects(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.filter(!conjunction(rules))
+
+  /** One-row metrics frame: per-rule failure counts + total/passed rows.
+    * Single scan (vs the reference's one job per rule).
+    */
+  def failureCounts(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val perRule = rules.map(r => sum(when(!passes(r), 1L).otherwise(0L)).alias(s"fail_${r.name}"))
+    val totals = Seq(
+      count(lit(1)).alias("total_rows"),
+      sum(when(conjunction(rules), 1L).otherwise(0L)).alias("passed_rows"))
+    df.agg((perRule ++ totals).head, (perRule ++ totals).tail: _*)
+  }
+}

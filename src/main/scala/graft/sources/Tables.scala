@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Fixture-table loaders (SURVEY §2.1 S3: parquet scans).
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst retains full
+  * pushdown/pruning freedom — callers `.select`/`.filter` and the parquet
+  * scan shows `PushedFilters`/narrowed `ReadSchema`.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** `events` is written with nanosecond timestamps; the session reads them
+    * as nanos longs (`spark.sql.legacy.parquet.nanosAsLong=true`) and we
+    * truncate to microseconds here (floor division — matches DuckDB's
+    * `CAST(ts_ns AS TIMESTAMP)` truncation, which the oracle SQL applies on
+    * its side).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — double division on int64 nanos loses precision
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already a timestamp (micro/milli precision)
+    }
+  }
+
+  /** CSV source with header + schema inference (SURVEY §2.1 S1 —
+    * reference: spark/bronze/feeder_csv.py:95-100). Explicit schema
+    * overload for production paths: inference costs an extra scan and is
+    * sample-dependent — at 100 TB always pass the schema.
+    */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** JDBC source (SURVEY §2.1 S2 — reference: spark/bronze/feeder_postgres.py:68-77).
+    * `partitionColumn`/bounds enable parallel reads; a single-connection JDBC
+    * scan is a driver-side bottleneck at scale.
+    */
+  def jdbc(spark: SparkSession, url: String, dbtable: String,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** Register all fixture tables as temp views for `spark.sql` use. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+}
