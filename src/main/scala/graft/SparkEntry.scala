@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all
+    RelationalQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the dedup / text-analysis operators (SURVEY §7
+  * step 7). Everything except [[simHash64]] is built-in higher-order
+  * expressions (codegen'd, no serialization boundary); simhash needs a
+  * per-row 64-bin reduction that is clearer and faster as a Scala UDF.
+  */
+object TextFunctions {
+
+  /** Normalized form used for exact dedup: lowercase, strip non-alnum,
+    * collapse whitespace. (Spark `regexp_replace` is replace-all; the
+    * DuckDB mirror needs the explicit 'g' flag.)
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(regexp_replace(trim(lower(c)), "[^a-z0-9 ]", ""), " +", " ")
+
+  val normalizeTextSql: String =
+    "regexp_replace(regexp_replace(trim(lower(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+
+  /** Whitespace tokenization (lowercased). */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  val tokensSql: String = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Word k-gram shingles (distinct), built with sequence+transform —
+    * no UDF, no explode.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    // guard: sequence(0, negative) DESCENDS in Spark — short docs must map
+    // to an empty shingle set, not a bogus one
+    array_distinct(when(size(toks) >= k, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * xxhash64; signature element i = min over shingles of xxhash64(i, s).
+    * One pass per hash over the shingle array, all inside codegen.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** LSH band keys: hash of each band's slice of the signature. Banding
+    * theory: with b bands of r rows, pairs with Jaccard ~ (1/b)^(1/r) or
+    * higher collide in ≥1 band w.h.p.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
+
+  /** Min-k sketch fingerprint of a document's shingle set (winnowing-style
+    * content fingerprint): the k smallest shingle hashes, re-hashed to one
+    * 64-bit value.
+    */
+  def fingerprint(shingleCol: Column, k: Int): Column =
+    xxhash64(concat_ws(",",
+      transform(slice(array_sort(transform(shingleCol, s => xxhash64(s))), 1, k),
+        x => x.cast("string"))))
+
+  /** 64-bit SimHash over a token array. FNV-1a per token (deterministic,
+    * dependency-free), then the classic per-bit +/- vote.
+    */
+  val simHash64 = udf { toks: Seq[String] =>
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+      var i = 0
+      while (i < t.length) {
+        h ^= t.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}

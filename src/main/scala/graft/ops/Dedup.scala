@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for LLM-training-data pipelines (builder brief).
+  *
+  * Scale design:
+  *  - Exact dedup is a hash groupBy on the normalized text — one shuffle,
+  *    map-side combined. At 100 TB, group on a 64-bit content hash instead
+  *    of the full text to keep shuffle rows narrow ([[exactDedupByHash]]).
+  *  - Near-dup avoids the O(n²) pairwise wall via MinHash-LSH banding: only
+  *    documents sharing a band bucket are candidate pairs; candidates are
+  *    then verified with exact Jaccard. Skewed buckets (boilerplate shingle
+  *    sets) are handled by AQE skew-join splitting.
+  *  - SimHash near-dup uses 16-bit band keys over the 64-bit signature —
+  *    hamming distance ≤ 3 guarantees ≥1 of 4 bands collide exactly
+  *    (pigeonhole), so banding loses no true pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on normalized text: one row per distinct
+    * content, keeper = min id, dup_count = group size.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.normalizeText(col(textCol)).alias("norm_text"))
+      .agg(min(col(idCol)).alias("keeper_id"), count(lit(1)).alias("dup_count"))
+      .select(col("keeper_id"), col("dup_count"))
+
+  /** Scale variant: group on xxhash64 of the normalized text (narrow
+    * shuffle rows; a 64-bit collision at 100 TB doc counts is ~birthday
+    * bound 1e-4 for 1e8 docs — acceptable for dedup, or re-verify within
+    * groups when it isn't).
+    */
+  def exactDedupByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(TextFunctions.normalizeText(col(textCol))).alias("content_hash"))
+      .agg(min(col(idCol)).alias("keeper_id"), count(lit(1)).alias("dup_count"))
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
+    * word-`shingleK`-gram shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * numHashes = bands * rowsPerBand; the LSH S-curve threshold is
+    * (1/bands)^(1/rowsPerBand) — defaults target ~0.6.
+    */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.5, shingleK: Int = 3,
+                     bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val base = df.select(
+      col(idCol).alias("__id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleK).alias("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+    val sig = base.withColumn("__sig",
+      TextFunctions.minHashSignature(col("__sh"), bands * rowsPerBand))
+
+    val banded = sig.select(col("__id"),
+        posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__key")))
+
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, base, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle-set
+    * frame (`__id`, `__sh`).
+    */
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sa = shingleSets.select(col("__id").alias("id_a"), col("__sh").alias("__sha"))
+    val sb = shingleSets.select(col("__id").alias("id_b"), col("__sh").alias("__shb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Brute-force token-set Jaccard pairs (the small-n oracle-checkable
+    * path; `minHashNearDup` is the scale path). O(n²) — cap n upstream.
+    */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).alias("__id"),
+      array_distinct(TextFunctions.tokens(col(textCol))).alias("__toks"))
+    val a = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
+    val b = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
+          size(array_distinct(concat(col("__ta"), col("__tb")))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, 4×16-bit LSH bands,
+    * hamming distance ≤ maxHamming (pigeonhole-complete for maxHamming ≤ 3).
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).alias("__id"),
+      TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).alias("__sim"))
+
+    val banded = sig.select(col("__id"), col("__sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("__sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__band", "__key")))
+
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"),
+        bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))).alias("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs over a threshold, within random-hyperplane
+    * LSH buckets (sign-bit sketch). `planes` deterministic pseudo-random
+    * hyperplanes are derived from a seeded LCG — no RNG at plan time.
+    * Exact cosine verifies candidates. Recall rises with fewer plane bits
+    * per band / more bands.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dim: Int,
+                       planes: Int = 8, bands: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions
+    val hp = Hyperplanes.generate(seed = 42L, nPlanes = planes * bands, dim = dim)
+    val sketchBits = hp.zipWithIndex.map { case (plane, i) =>
+      val d = VectorFunctions.dot(col("__v"), array(plane.map(lit): _*))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) // OR of disjoint bits via sum
+
+    val base = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+      .withColumn("__sketch", sketchBits)
+    val banded = base.select(col("__id"), col("__v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("__sketch"), b * planes)
+          .bitwiseAND(lit((1L << planes) - 1))): _*))
+        .as(Seq("__band", "__key")))
+
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"),
+        col("a.__v").alias("__va"), col("b.__v").alias("__vb"))
+      .distinct()
+      .withColumn("cosine", round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
+
+/** Deterministic hyperplane generation (seeded 64-bit LCG → uniform in
+  * [-1, 1]); same constants as java.util.Random's LCG — public domain
+  * parameters, reproducible across runs and engines.
+  */
+object Hyperplanes {
+  def generate(seed: Long, nPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder brief: brute-force cosine top-k baseline + bucketed scale
+  * path).
+  *
+  * Scale design: the query set is broadcast (it is small by construction);
+  * the corpus never shuffles — score+rank is computed per corpus partition
+  * and only k rows per query survive the final top-k, so the reduce side
+  * is tiny. For corpus-vs-corpus similarity use [[Dedup.embeddingNearDup]]
+  * (bucketed self-join) instead of a cross product.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: for each row of `queries`, the k
+    * nearest `corpus` rows by cosine (desc), ties broken by corpus id asc.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
+        col("rank"))
+  }
+
+  /** LSH-bucketed ANN: hyperplane sign-sketch buckets restrict scoring to
+    * corpus rows sharing ≥1 band with the query — approximate (recall < 1)
+    * but turns the n×m cross product into bucket-local joins. Same output
+    * shape as [[bruteForceTopK]].
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              planes: Int = 6, bands: Int = 6): DataFrame = {
+    val hp = Hyperplanes.generate(seed = 7L, nPlanes = planes * bands, dim = dim)
+    def sketch(v: String) = hp.zipWithIndex.map { case (plane, i) =>
+      when(VectorFunctions.dot(col(v), array(plane.map(lit): _*)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).alias(id), col(vecCol).alias(v))
+        .withColumn("__sketch", sketch(v))
+        .select(col(id), col(v),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col("__sketch"), b * planes)
+              .bitwiseAND(lit((1L << planes) - 1))): _*))
+            .as(Seq("__band", "__key")))
+
+    val qb = banded(queries, "query_id", "__qv")
+    val cb = banded(corpus, "neighbor_id", "__cv")
+    val cand = cb.join(broadcast(qb), Seq("__band", "__key"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for LLM-training-data pipelines (builder brief):
+  * token stats, quality scoring, language ID, fingerprinting. All pure
+  * column expressions → fully distributed, codegen'd, oracle-comparable
+  * (integer counts + deterministic double arithmetic).
+  */
+object TextAnalysis {
+
+  /** Small public stopword lexicons (top function words per language). The
+    * scorer counts DISTINCT stopwords present — robust to doc length.
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有", "他", "这"))
+
+  /** Per-document token statistics. `textCol` must be the raw text. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val charLen = length(col(textCol)).cast("long")
+    val punct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.,;:!?]", ""))).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_uniq_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("char_len", charLen)
+      .withColumn("avg_token_len",
+        when(nTok > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+          .otherwise(lit(null)))
+      .withColumn("punct_count", punct)
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + lexical
+    * diversity + punctuation sanity. Deterministic double arithmetic over
+    * integer stats → exactly reproducible in the oracle.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val s = tokenStats(df, textCol)
+    val lenScore = least(col("n_tokens").cast("double") / 50.0, lit(1.0))
+    val diversity = when(col("n_tokens") > 0,
+      col("n_uniq_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0))
+    val punctPenalty = when(col("char_len") > 0,
+      least(col("punct_count").cast("double") * 10.0 / col("char_len"), lit(1.0)))
+      .otherwise(lit(0.0))
+    s.withColumn("quality_score",
+      round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - punctPenalty), 6))
+  }
+
+  /** Stopword-lexicon language ID: score = |distinct tokens ∩ lexicon| per
+    * language; argmax with fixed priority order on ties. Emits
+    * `lang_pred` + per-language scores.
+    */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val scored = lexicons.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"score_$lang",
+        size(array_intersect(toks, array(words.map(lit): _*))).cast("long"))
+    }
+    // argmax by priority: lang i wins iff its score >= all later langs'
+    // scores and > all earlier ones (strictly-later priority = first max).
+    val langs = lexicons.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit("und"): Column) { case ((lang, i), rest) =>
+      val beatsAll = langs.zipWithIndex.collect {
+        case (other, j) if j != i =>
+          if (j < i) col(s"score_$lang") > col(s"score_$other")
+          else col(s"score_$lang") >= col(s"score_$other")
+      }.reduce(_ && _)
+      when(col(s"score_$lang") > 0 && beatsAll, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Content fingerprint: min-k sketch over word 3-gram shingles. */
+  def fingerprints(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 3)
+    df.withColumn("fingerprint", TextFunctions.fingerprint(sh, k))
+  }
+
+  // ---- oracle SQL fragments ---------------------------------------------
+
+  def langScoreSql(lang: String): String = {
+    val words = lexicons.toMap.apply(lang).map(w => s"'$w'").mkString(",")
+    s"CAST(len(list_intersect(${TextFunctions.tokensSql}, [$words])) AS BIGINT)"
+  }
+}

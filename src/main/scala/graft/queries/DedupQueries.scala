@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.Dedup
+import graft.functions.TextFunctions.normalizeTextSql
+
+/** Deduplication queries over `documents` / `embeddings`. The exact and
+  * brute-force variants carry DuckDB oracles; the LSH variants (MinHash,
+  * SimHash, hyperplane buckets) use engine-internal hashing and are
+  * covered by ScalaTest (pair-correctness + recall vs the brute-force
+  * path) plus the driver's rows-only check.
+  */
+object DedupQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q40_dedup_exact",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+              |FROM (SELECT doc_id, $normalizeTextSql AS t FROM documents)
+              |GROUP BY t""".stripMargin)),
+
+    // Brute-force token-set Jaccard (oracle-checkable exact path; the
+    // LSH query below is the scale path for the same semantics).
+    QueryDef("q41_token_jaccard_pairs",
+      (s, d) => Dedup.tokenJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.5),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.5""".stripMargin)),
+
+    QueryDef("q42_minhash_neardup",
+      (s, d) => Dedup.minHashNearDup(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5),
+      None),
+
+    QueryDef("q43_simhash_neardup",
+      (s, d) => Dedup.simHashNearDup(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3),
+      None),
+
+    // Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
+    // so the threshold sits at 0.4 with a wide-recall band layout to
+    // produce a non-trivial result set.
+    QueryDef("q44_embedding_neardup",
+      (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 4, bands = 8),
+      None)
+  )
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.{Multimodal, Similarity}
+import graft.functions.VectorFunctions
+
+/** Similarity-search + multimodal queries over `embeddings`/`documents`.
+  * Brute-force top-k carries a DuckDB oracle (cosine computed with the
+  * identical left-fold, see VectorFunctions); LSH ANN and the multimodal
+  * stub pipeline are rows-only + ScalaTest.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NQ = 5 // query vectors: vec_id < NQ; corpus: the rest
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q50_ann_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", K)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= $NQ),
+              |scored AS (
+              |  SELECT q.query_id, c.neighbor_id,
+              |         ${VectorFunctions.cosineSql("qv", "cv")} AS cos_raw
+              |  FROM c CROSS JOIN q)
+              |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              |                          ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank
+              |FROM scored
+              |QUALIFY rank <= $K""".stripMargin)),
+
+    QueryDef("q51_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", K, dim = 64)
+      },
+      None),
+
+    // Multimodal plumbing: binary content column → size-balanced
+    // partitions → batched decode (STUB features) — real schema/iteration,
+    // fake codec (see Multimodal.decodeStub).
+    QueryDef("q52_multimodal_features",
+      (s, d) => {
+        val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        Multimodal.decodeStub(media)
+          .select(col("media_id"), col("n_bytes"),
+            round(element_at(col("feature"), 1), 6).alias("f0"),
+            round(element_at(col("feature"), 8), 6).alias("f7"))
+      },
+      None),
+
+    // The metadata side IS oracle-checkable: byte length of UTF-8 content.
+    QueryDef("q53_multimodal_meta",
+      (s, d) => Multimodal.fromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("media_type"), col("n_bytes")),
+      Some("""SELECT doc_id AS media_id,
+             |  'application/octet-stream' AS media_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin))
+  )
+}

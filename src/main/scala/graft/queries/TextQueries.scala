@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.TextAnalysis
+import graft.functions.TextFunctions.tokensSql
+
+/** Text-analysis queries over the `documents` fixture. Oracles reproduce
+  * the exact integer token statistics and the deterministic double
+  * arithmetic (DuckDB list functions mirror Spark HOFs).
+  */
+object TextQueries {
+
+  private val toks = tokensSql
+  private val nTok = s"CAST(len($toks) AS BIGINT)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q30_token_stats",
+      (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "n_uniq_tokens", "char_len", "avg_token_len", "punct_count"),
+      Some(s"""SELECT doc_id,
+              |  $nTok AS n_tokens,
+              |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_uniq_tokens,
+              |  CAST(length(text) AS BIGINT) AS char_len,
+              |  CASE WHEN len($toks) > 0 THEN
+              |    CAST(list_reduce(list_transform($toks, t -> CAST(len(t) AS BIGINT)),
+              |                     (a, b) -> a + b) AS DOUBLE) / $nTok
+              |  ELSE NULL END AS avg_token_len,
+              |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+              |    AS punct_count
+              |FROM documents""".stripMargin)),
+
+    QueryDef("q31_quality_score",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "quality_score"),
+      Some(s"""WITH stats AS (
+              |  SELECT doc_id,
+              |    $nTok AS n_tokens,
+              |    CAST(len(list_distinct($toks)) AS BIGINT) AS n_uniq_tokens,
+              |    CAST(length(text) AS BIGINT) AS char_len,
+              |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+              |      AS punct_count
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (CASE WHEN n_tokens > 0
+              |               THEN CAST(n_uniq_tokens AS DOUBLE) / n_tokens ELSE 0.0 END)
+              |      + 0.2 * (1.0 - (CASE WHEN char_len > 0
+              |               THEN least(CAST(punct_count AS DOUBLE) * 10.0 / char_len, 1.0)
+              |               ELSE 0.0 END)), 6) AS quality_score
+              |FROM stats""".stripMargin)),
+
+    QueryDef("q32_language_id",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d), "text")
+        .select(Seq(col("doc_id")) ++
+          TextAnalysis.lexicons.map { case (l, _) => col(s"score_$l") } :+
+          col("lang_pred"): _*),
+      Some(languageIdSql)),
+
+    // Fingerprint uses engine-internal xxhash64 — not oracle-expressible;
+    // determinism + collision behavior pinned in ScalaTest. The driver
+    // records a rows-only check.
+    QueryDef("q33_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d), "text")
+        .select("doc_id", "fingerprint"),
+      None)
+  )
+
+  /** Argmax-with-priority CASE chain, mirroring
+    * [[TextAnalysis.languageId]]'s first-maximum semantics exactly.
+    */
+  private lazy val languageIdSql: String = {
+    val langs = TextAnalysis.lexicons.map(_._1)
+    val scoreCols = langs.map(l => s"${TextAnalysis.langScoreSql(l)} AS score_$l")
+    val whenChain = langs.zipWithIndex.map { case (lang, i) =>
+      val beats = langs.zipWithIndex.collect {
+        case (other, j) if j != i =>
+          if (j < i) s"score_$lang > score_$other" else s"score_$lang >= score_$other"
+      }.mkString(" AND ")
+      s"WHEN score_$lang > 0 AND $beats THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${scoreCols.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE
+       |    $whenChain
+       |    ELSE 'und' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactDedup groups case/punctuation/whitespace variants") {
+    val df = docs(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO WORLD.",
+      4L -> "something else")
+    val out = Dedup.exactDedup(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val byKeeper = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKeeper(1L) == 3L) // the three variants collapse, keeper = min id
+    assert(byKeeper(4L) == 1L)
+  }
+
+  test("exactDedupByHash matches exactDedup group sizes") {
+    val df = graft.sources.Tables.documents(spark, sf001)
+    val a = Dedup.exactDedup(df, "doc_id", "text")
+      .agg(sum("dup_count"), count(lit(1))).collect()(0)
+    val b = Dedup.exactDedupByHash(df, "doc_id", "text")
+      .agg(sum("dup_count"), count(lit(1))).collect()(0)
+    assert(a == b)
+  }
+
+  test("minHashNearDup finds a constructed near-duplicate and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm mat near the door of the old house by the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val unrelated = "completely different content about databases indexes columns " +
+      "partitions shuffles joins aggregates windows and vectorized execution plans"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minHashNearDup(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("minHashNearDup pairs are a subset of true high-jaccard pairs (no false positives)") {
+    val df = graft.sources.Tables.documents(spark, sf001)
+    val reported = Dedup.minHashNearDup(df, "doc_id", "text", threshold = 0.5)
+    // verification step computes exact jaccard, so every reported pair must
+    // genuinely satisfy the threshold — re-derive independently
+    val sh = df.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).alias("sh"))
+    val truth = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = reported.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    // banding (8 bands × 4 rows ⇒ s-curve midpoint ~0.59) should recover
+    // most pairs at jaccard ≥ 0.7
+    val strong = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.7)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.subsetOf(got), s"missed strong pairs: ${strong.diff(got)}")
+  }
+
+  test("simHashNearDup: identical token streams collide at hamming 0") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten")
+    val out = Dedup.simHashNearDup(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == Set((1L, 2L, 0)))
+  }
+
+  test("embeddingNearDup finds the noisy copy, not the orthogonal vector") {
+    val dim = 8
+    val v = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else 0.5f)
+    val noisy = v.map(x => x * 1.001f)
+    val ortho = Array.tabulate(dim)(i => if (i % 2 == 0) 0.5f else -1.0f)
+    val df = Seq((1L, v.toSeq), (2L, noisy.toSeq), (3L, ortho.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.99, dim = dim, planes = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("tokenStats computes counts on a known sentence") {
+    val df = docs(1L -> "The cat sat, the cat ran!")
+    val r = TextAnalysis.tokenStats(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_uniq_tokens") == 4L) // {the, cat, "sat,", "ran!"}
+    assert(r.getAs[Long]("punct_count") == 2L)
+  }
+
+  test("languageId picks the right lexicon on crafted sentences") {
+    val df = docs(
+      1L -> "the cat and the dog sat in a corner of the house",
+      2L -> "der hund und die katze ist nicht mit der maus",
+      3L -> "el perro y la casa de que los gatos es una",
+      4L -> "le chien et les chats est une grande maison pour",
+      5L -> "qqq www eee rrr")
+    val out = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "fr")
+    assert(out(5L) == "und")
+  }
+
+  test("qualityScore stays in [0,1] over the fixture corpus") {
+    val scores = TextAnalysis.qualityScore(
+      graft.sources.Tables.documents(spark, sf001), "text")
+      .select("quality_score").as[Double].collect()
+    assert(scores.nonEmpty)
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprints are deterministic and content-sensitive") {
+    val df = graft.sources.Tables.documents(spark, sf001).limit(100)
+    val a = TextAnalysis.fingerprints(df, "text").select("doc_id", "fingerprint")
+      .as[(Long, Long)].collect().toMap
+    val b = TextAnalysis.fingerprints(df, "text").select("doc_id", "fingerprint")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b) // deterministic across runs
+    val two = docs(1L -> "alpha beta gamma delta epsilon", 2L -> "totally different words here now")
+    val fp = TextAnalysis.fingerprints(two, "text").select("fingerprint").as[Long].collect()
+    assert(fp(0) != fp(1))
+  }
+}
