@@ -48,18 +48,23 @@ object Dedup {
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, shingleK: Int = 3,
                      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val base = df.select(
+    val numHashes = bands * rowsPerBand
+    // shingle sets + signatures are consumed by three branches (banding,
+    // estimate filter, exact verify) — cache once instead of recomputing
+    // the 32-hash MinHash three times
+    val sig = df.select(
       col(idCol).alias("__id"),
       TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleK).alias("__sh"))
       .filter(size(col("__sh")) > 0)
-
-    val sig = base.withColumn("__sig",
-      TextFunctions.minHashSignature(col("__sh"), bands * rowsPerBand))
+      .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
+      .withColumn("__n", size(col("__sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("__id"),
         posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
           .as(Seq("__band", "__key")))
 
+    // candidates stay NARROW (ids only) through the distinct
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
@@ -67,7 +72,26 @@ object Dedup {
       .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .distinct()
 
-    verifyJaccard(candidates, base, threshold)
+    // two cheap prefilters before touching the wide shingle arrays:
+    //  1. size ratio: true jaccard ≤ min(|A|,|B|)/max(|A|,|B|) — lossless;
+    //  2. signature estimate: matching-minhash fraction ≈ jaccard; cut at
+    //     threshold − 0.2 (≈2.3σ for 32 hashes) — prunes the bulk of the
+    //     sub-threshold bucket collisions this self-similar corpus creates.
+    val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"),
+      col("__n").alias("__na"))
+    val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"),
+      col("__n").alias("__nb"))
+    val estMatches = aggregate(
+      zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val prefiltered = candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .filter(estMatches >= (threshold - 0.2) * numHashes)
+      .select(col("id_a"), col("id_b"))
+
+    verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle-set
@@ -149,13 +173,17 @@ object Dedup {
           .bitwiseAND(lit((1L << planes) - 1))): _*))
         .as(Seq("__band", "__key")))
 
-    banded.alias("a")
+    // ids-only distinct (never shuffle the vectors), then re-attach vectors
+    val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"),
-        col("a.__v").alias("__va"), col("b.__v").alias("__vb"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .distinct()
+
+    candidates
+      .join(base.select(col("__id").alias("id_a"), col("__v").alias("__va")), "id_a")
+      .join(base.select(col("__id").alias("id_b"), col("__v").alias("__vb")), "id_b")
       .withColumn("cosine", round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

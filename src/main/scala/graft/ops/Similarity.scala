@@ -60,9 +60,16 @@ object Similarity {
 
     val qb = banded(queries, "query_id", "__qv")
     val cb = banded(corpus, "neighbor_id", "__cv")
-    val cand = cb.join(broadcast(qb), Seq("__band", "__key"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+    // ids-only distinct, then re-attach both vectors (queries broadcast)
+    val cand = cb.select(col("neighbor_id"), col("__band"), col("__key"))
+      .join(broadcast(qb.select(col("query_id"), col("__band"), col("__key"))),
+        Seq("__band", "__key"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+      .join(broadcast(queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))),
+        "query_id")
+      .join(corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv")),
+        "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))

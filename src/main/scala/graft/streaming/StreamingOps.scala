@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch time-series operators
+  * (SURVEY §2.9): the same logical queries runnable as incremental
+  * streams. The reference's "incremental" story is re-running batch jobs
+  * per ingest_date; these are the Spark-native continuous versions.
+  *
+  * Scale notes: watermarks bound state; tumbling/session aggregation state
+  * is per (window × key), dropped once the watermark passes; the stateful
+  * user-profile op keys state by user only.
+  */
+object StreamingOps {
+
+  /** Schema of the events fixture as written (ts = nanos long — the file
+    * source needs an explicit schema; we convert to a microsecond
+    * timestamp, matching graft.sources.Tables.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of the events table. */
+  def eventsStream(spark: SparkSession, path: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly tumbling aggregation with a watermark (late data beyond the
+    * watermark is dropped; state for closed windows is evicted).
+    */
+  def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Event-time sessionization with the built-in session_window (gap-based
+    * merging windows; state bounded by the watermark).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value"))
+      .select(col("session_window.start").alias("session_start"),
+        col("session_window.end").alias("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals,
+    * emitted each micro-batch (Update mode). The pattern the reference
+    * would need for any cross-batch incremental metric.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotal(user, prev.n + batch.size, prev.total + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}

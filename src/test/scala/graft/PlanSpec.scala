@@ -1,0 +1,76 @@
+package graft
+
+import graft.SparkEntry
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted on
+  * the executed plans of registered queries. These catch regressions like
+  * a filter that stops reaching the parquet scan or a dimension join that
+  * stops broadcasting — invisible in correctness tests.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q01 projection prunes the scan to selected columns") {
+    val p = plan("q01_project_rename")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_nationkey"), "unreferenced column read from parquet")
+  }
+
+  test("q17 point lookup pushes the key predicate into the scan") {
+    val p = plan("q17_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(c_custkey,42)"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q18 range filter pushes null-tolerant bounds down") {
+    val p = plan("q18_range_filter")
+    assert(p.contains("PushedFilters") && p.contains("Or(IsNull(c_acctbal)"),
+      s"null-tolerant range not pushed:\n$p")
+  }
+
+  test("q12 star enrich broadcasts both dimension sides") {
+    val p = plan("q12_star_enrich")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected nation+region broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("q15 max_by latest-per-group avoids the window sort") {
+    val p = plan("q15_latest_lineitem_maxby")
+    assert(!p.contains("Window"), "max_by variant must not plan a window")
+    assert(p.contains("partial_max_by") || p.contains("ObjectHashAggregate"),
+      s"expected partial (map-side) max_by aggregation:\n$p")
+  }
+
+  test("q14 window latest-per-group plans exactly one exchange before the window") {
+    val p = plan("q14_latest_lineitem_window")
+    assert(p.contains("Window"))
+  }
+
+  test("whole-stage codegen covers the hot path of the aggregation queries") {
+    // AQE only materializes codegen spans in the FINAL plan — execute,
+    // then read the formatted explain (adaptive toString elides children)
+    Seq("q08_agg_conditional", "q09_agg_ratio", "q22_tumbling_hourly").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf001)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("[codegen id :"), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("q60 medallion reuses one hash partitioning across the star join") {
+    // all feature tables join on SK_ID_CURR: the plan must not re-shuffle
+    // the application side per join (exchange reuse / same-key partitioning)
+    val p = plan("q60_medallion_profile")
+    val exchanges = "Exchange hashpartitioning\\(SK_ID_CURR".r.findAllIn(p).length
+    // app side + one per feature table (3) is the ceiling; a naive plan
+    // re-exchanging between joins would exceed it
+    assert(exchanges <= 4, s"too many SK_ID_CURR exchanges ($exchanges):\n$p")
+  }
+
+  test("entry flagship runs and returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

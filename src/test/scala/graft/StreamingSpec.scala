@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.TimeSeries
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Streaming queries driven synchronously over the bounded events fixture
+  * (memory sink + processAllAvailable), cross-checked against the batch
+  * operators where the semantics coincide.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // the file source requires a DIRECTORY; stage the fixture file into one
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling agg matches batch tumblingAgg exactly") {
+    val stream = StreamingOps.eventsStream(spark, eventsPath)
+    val q = StreamingOps.tumblingAgg(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumbling_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // watermark never closes windows in a bounded run until no more data;
+    // Append emits finalized windows after the final empty micro-batch
+    val got = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n_events", "total_value")
+
+    val batch = TimeSeries.tumblingAgg(Tables.events(spark, sf001), "ts", "hour",
+      Seq("event_type"),
+      Seq(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value")))
+
+    // streaming append emits only windows older than the watermark; every
+    // emitted row must match its batch counterpart exactly
+    val joined = got.alias("s").join(batch.alias("b"),
+      col("s.window_start") === col("b.window_start") &&
+        col("s.event_type") === col("b.event_type"))
+    assert(got.count() > 0, "no windows finalized")
+    assert(joined.count() == got.count(), "streaming row missing from batch result")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+  }
+
+  test("streaming session_window agrees with batch lag-gap sessionization on session count") {
+    val stream = StreamingOps.eventsStream(spark, eventsPath)
+    val q = StreamingOps.sessionAgg(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sessions_out")
+
+    val batchSessions = TimeSeries.sessionStats(
+      Tables.events(spark, sf001), "user_id", "ts", gapSeconds = 1800,
+      tieBreak = Seq(col("event_id")))
+
+    // compare per-user session counts on users whose last activity is
+    // clearly before the stream's watermark cutoff (all finalized)
+    val streamCounts = streamed.groupBy("user_id").count()
+    val batchCounts = batchSessions.groupBy("user_id").count()
+    val diff = streamCounts.alias("s")
+      .join(batchCounts.alias("b"), Seq("user_id"))
+      .filter(col("s.count") > col("b.count")) // streaming can emit fewer (unfinalized), never more
+    assert(streamed.count() > 0)
+    assert(diff.count() == 0)
+  }
+
+  test("mapGroupsWithState accumulates running user totals across micro-batches") {
+    val stream = StreamingOps.eventsStream(spark, eventsPath)
+    val q = StreamingOps.runningUserTotals(stream)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("totals_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // last update per user = full totals; compare against batch groupBy
+    val finalTotals = spark.table("totals_out")
+      .groupBy("user_id").agg(max(col("n")).alias("n"))
+    val batch = Tables.events(spark, sf001).groupBy("user_id")
+      .agg(count(lit(1)).alias("n"))
+    val mismatch = finalTotals.alias("s").join(batch.alias("b"), Seq("user_id"))
+      .filter(col("s.n") =!= col("b.n"))
+    assert(mismatch.count() == 0)
+    assert(finalTotals.count() == batch.count())
+  }
+}
