@@ -36,6 +36,56 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: corpus rows are assigned to their nearest
+    * coarse centroid; a query scores only the rows in its `nProbe` closest
+    * cells. Centroids here are `nCentroids` deterministic corpus rows
+    * (lowest ids) collected to the driver — at real scale substitute a
+    * sampled k-means; the probe/assign machinery is unchanged. The
+    * centroid table is tiny and travels as literals inside codegen'd
+    * expressions; the corpus is scanned once and shuffled only on the
+    * cell key.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Column
+    val centroids: Seq[Seq[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
+    def centroidScores(v: String): Column =
+      array(centroids.map(c =>
+        VectorFunctions.cosine(col(v), array(c.map(lit): _*))): _*)
+
+    // corpus → its single best cell (1-based index into the centroid list)
+    val assigned = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+      .withColumn("__cell", array_position(centroidScores("__cv"),
+        array_max(centroidScores("__cv"))))
+
+    // query → its nProbe best cells, via comparator array_sort on
+    // (score, index) structs
+    val idxScores = transform(sequence(lit(1), lit(nCentroids)),
+      i => struct(element_at(centroidScores("__qv"), i).alias("s"), i.alias("i")))
+    val probeCells = slice(
+      array_sort(idxScores, (l, r) =>
+        when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(0)),
+      1, nProbe)
+    val probed = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+      .withColumn("__cell", explode(transform(probeCells, p => p.getField("i").cast("long"))))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probed), Seq("__cell"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
+        col("rank"))
+  }
+
   /** LSH-bucketed ANN: hyperplane sign-sketch buckets restrict scoring to
     * corpus rows sharing ≥1 band with the query — approximate (recall < 1)
     * but turns the n×m cross product into bucket-local joins. Same output

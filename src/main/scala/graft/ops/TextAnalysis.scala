@@ -79,6 +79,18 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** BPE-ish token counting (builder brief): whitespace tokens plus an
+    * approximate subword count — ceil(len/4) units per token, the classic
+    * ~4-chars-per-BPE-token heuristic. Pure integer arithmetic → oracle-
+    * exact.
+    */
+  def subwordCounts(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_subwords",
+        aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + lit(3)) / lit(4))))
+  }
+
   /** Content fingerprint: min-k sketch over word 3-gram shingles. */
   def fingerprints(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 3)

@@ -46,6 +46,15 @@ object SimilarityQueries {
       },
       None),
 
+    QueryDef("q54_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", K)
+      },
+      None),
+
     // Multimodal plumbing: binary content column → size-balanced
     // partitions → batched decode (STUB features) — real schema/iteration,
     // fake codec (see Multimodal.decodeStub).

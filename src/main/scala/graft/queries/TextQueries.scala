@@ -59,6 +59,17 @@ object TextQueries {
           col("lang_pred"): _*),
       Some(languageIdSql)),
 
+    QueryDef("q34_subword_counts",
+      (s, d) => TextAnalysis.subwordCounts(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "n_subwords"),
+      Some(s"""SELECT doc_id,
+              |  $nTok AS n_tokens,
+              |  CASE WHEN len($toks) = 0 THEN 0
+              |       ELSE CAST(list_reduce(list_transform($toks,
+              |              t -> CAST(floor((len(t) + 3) / 4) AS BIGINT)),
+              |            (a, b) -> a + b) AS BIGINT) END AS n_subwords
+              |FROM documents""".stripMargin)),
+
     // Fingerprint uses engine-internal xxhash64 — not oracle-expressible;
     // determinism + collision behavior pinned in ScalaTest. The driver
     // records a rows-only check.

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks (SURVEY §2.1 S6-S8). Partitioned parquet lives in
+  * graft.pipeline.Medallion.writePartitioned; these are the remaining
+  * writer shapes.
+  */
+object Sinks {
+
+  /** S6 without partitioning: plain overwrite parquet. */
+  def parquet(df: DataFrame, path: String, coalesceTo: Option[Int] = None): Unit = {
+    val out = coalesceTo.map(df.coalesce).getOrElse(df)
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** S7: overwrite into an explicit partition directory (the reference's
+    * Postgres feeder bakes `ingest_date=<d>` into the PATH instead of
+    * using partitionBy — feeder_postgres.py:94-105). Kept for layout
+    * parity; prefer partitionBy for catalog-visible partitions.
+    */
+  def parquetIntoPartitionDir(df: DataFrame, base: String, table: String,
+                              partition: (String, String)): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"${base.stripSuffix("/")}/$table/${partition._1}=${partition._2}")
+
+  /** S8: JDBC overwrite (drop+recreate semantics, reference:
+    * gold/processor.py:284-313). `numPartitions` bounds concurrent
+    * connections; `batchsize` amortizes round-trips — a single-connection
+    * unbatched JDBC write is the classic datamart bottleneck.
+    * Integration-gated: requires a reachable database (none in this
+    * container), so covered by wiring tests only.
+    */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String,
+                    user: String, password: String,
+                    numPartitions: Int = 8, batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .mode(SaveMode.Overwrite)
+      .save()
+
+  /** CSV export sink (header, overwrite). */
+  def csv(df: DataFrame, path: String, coalesceTo: Option[Int] = Some(1)): Unit = {
+    val out = coalesceTo.map(df.coalesce).getOrElse(df)
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, Similarity}
+import graft.pipeline.Medallion
+import graft.sources.{Sinks, Tables}
+
+/** Sampling/preview/export actions, sinks, catalog registration, IVF ANN. */
+class ActionsSpec extends SparkSpec {
+
+  test("bernoulliSample is seed-stable and fraction-plausible") {
+    val df = Tables.orders(spark, sf001)
+    val a = Sampling.bernoulliSample(df, 0.2).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulliSample(df, 0.2).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must give the same sample")
+    val n = df.count()
+    assert(a.size > n * 0.08 && a.size < n * 0.35, s"sample size ${a.size} of $n implausible")
+  }
+
+  test("preview and exportRows cap driver-side data") {
+    val p = Sampling.preview(Tables.customer(spark, sf001), n = 3)
+    assert(p.rowCount == 150 && p.rows.size == 3)
+    assert(p.schemaDdl.contains("c_custkey"))
+    val (header, it) = Sampling.exportRows(Tables.customer(spark, sf001), maxRows = 10)
+    assert(header.head == "c_custkey")
+    assert(it.size == 10)
+  }
+
+  test("csv sink round-trips with header") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_sink").toString + "/out"
+    Sinks.csv(Tables.region(spark, sf001), dir)
+    val back = Tables.csv(spark, dir)
+    assert(back.count() == 5)
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+  }
+
+  test("path-encoded partition sink (S7) lands in the partition directory") {
+    val base = java.nio.file.Files.createTempDirectory("s7").toString
+    Sinks.parquetIntoPartitionDir(Tables.region(spark, sf001), base, "region",
+      "ingest_date" -> "2026-08-12")
+    val back = spark.read.parquet(s"$base/region/ingest_date=2026-08-12")
+    assert(back.count() == 5)
+  }
+
+  test("catalog registration (S9) enables name-based SQL") {
+    val base = java.nio.file.Files.createTempDirectory("cat").toString
+    Sinks.parquet(Tables.nation(spark, sf001), s"$base/nation")
+    Medallion.registerTable(spark, "silver_db", "nation_ext", s"$base/nation")
+    val n = spark.sql("SELECT count(*) AS n FROM silver_db.nation_ext").head().getLong(0)
+    assert(n == 25)
+  }
+
+  test("ivfTopK finds identical-vector neighbors and stays a subset of correct cosines") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 3)
+    // corpus includes the query vectors → top-1 must be the identical row
+    val out = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 1,
+      nCentroids = 8, nProbe = 2).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "top-1 must be the identical vector")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+  }
+}
