@@ -63,31 +63,9 @@ object TextFunctions {
       transform(slice(array_sort(transform(shingleCol, s => xxhash64(s))), 1, k),
         x => x.cast("string"))))
 
-  /** 64-bit SimHash over a token array. FNV-1a per token (deterministic,
-    * dependency-free), then the classic per-bit +/- vote.
+  /** 64-bit SimHash over a token array — a native codegen'd Catalyst
+    * expression (see [[SimHash64]]; stays inside whole-stage codegen,
+    * unlike a Scala UDF).
     */
-  val simHash64 = udf { toks: Seq[String] =>
-    val votes = new Array[Int](64)
-    toks.foreach { t =>
-      var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
-      var i = 0
-      while (i < t.length) {
-        h ^= t.charAt(i).toLong
-        h *= 0x100000001b3L
-        i += 1
-      }
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) out |= (1L << j)
-      j += 1
-    }
-    out
-  }
+  def simHash64(c: Column): Column = SimHash64(c)
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextFunctions}
+import graft.ops.{Bucketing, Skew}
+import graft.sources.Tables
+
+/** Skew salting, bucketed co-located joins, and the native SimHash
+  * expression.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join result on a skewed key") {
+    val left = Tables.lineitem(spark, sf001) // l_orderkey repeats ~4x; good enough
+      .select("l_orderkey", "l_quantity", "l_partkey", "l_suppkey", "l_linenumber")
+    val right = Tables.orders(spark, sf001)
+      .select(col("o_orderkey").alias("l_orderkey"), col("o_totalprice"))
+    val plain = left.join(right, Seq("l_orderkey"))
+      .agg(sum("l_quantity"), sum("o_totalprice"), count(lit(1))).head()
+    val salted = Skew.saltedJoin(left, right, "l_orderkey",
+        saltBy = col("l_partkey") * 10000 + col("l_suppkey"), nSalts = 8)
+      .agg(sum("l_quantity"), sum("o_totalprice"), count(lit(1))).head()
+    assert(plain == salted)
+  }
+
+  test("saltedSumCount matches plain groupBy sums") {
+    val li = Tables.lineitem(spark, sf001)
+    val plain = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").alias("s"), count(lit(1)).alias("n"))
+      .orderBy("l_orderkey").collect()
+    val salted = Skew.saltedSumCount(li, "l_orderkey", "l_quantity",
+        saltBy = col("l_partkey"), nSalts = 4)
+      .orderBy("l_orderkey").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getLong(0) == s.getLong(0))
+      assert(p.getDouble(1) == s.getDouble(1))
+      assert(p.getLong(2) == s.getLong(2))
+    }
+  }
+
+  test("bucketed tables join without exchange or sort") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
+    Bucketing.writeBucketed(Tables.orders(spark, sf001), spark,
+      "orders_bkt", s"$wh/orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf001).withColumnRenamed("l_orderkey", "o_orderkey"),
+      spark, "lineitem_bkt", s"$wh/lineitem", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = Bucketing.coLocatedJoin(spark, "orders_bkt", "lineitem_bkt", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf001).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
+  test("SimHash64 expression matches a reference implementation and runs under codegen") {
+    def refSimhash(toks: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val bs = t.getBytes("UTF-8")
+        var h = 0xcbf29ce484222325L
+        bs.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+        (0 until 64).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    val docs = Tables.documents(spark, sf001).limit(50)
+    val got = docs.select(col("doc_id"),
+        SimHash64(TextFunctions.tokens(col("text"))).alias("sh"))
+      .as[(Long, Long)].collect().toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      assert(got(id) == refSimhash(toks), s"doc $id simhash mismatch")
+    }
+    // interpreted path (eval) must agree with codegen
+    val one = Seq(Seq("alpha", "beta", "gamma")).toDF("toks")
+    val viaExpr = one.select(SimHash64(col("toks"))).head().getLong(0)
+    assert(viaExpr == refSimhash(Seq("alpha", "beta", "gamma")))
+  }
+
+  test("SimHash64 registers as a SQL function") {
+    SimHash64.register(spark)
+    val r = spark.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0)
+    assert(r != 0L)
+  }
+}
