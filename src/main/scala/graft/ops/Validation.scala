@@ -44,4 +44,21 @@ object Validation {
       sum(when(conjunction(rules), 1L).otherwise(0L)).alias("passed_rows"))
     df.agg((perRule ++ totals).head, (perRule ++ totals).tail: _*)
   }
+
+  /** Zero-extra-scan variant: attach the same metrics as `observe`
+    * telemetry on the validated frame — they materialize as a side effect
+    * of whatever job consumes the result (the Spark-native form of the
+    * reference's per-stage logged counts). Returns (validated frame,
+    * observation); read `observation.get` AFTER an action on the frame.
+    */
+  def validateObserved(df: DataFrame, rules: Seq[Rule],
+                       name: String = "validation"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation(name)
+    val perRule = rules.map(r => sum(when(!passes(r), 1L).otherwise(0L)).alias(s"fail_${r.name}"))
+    val totals = Seq(
+      count(lit(1)).alias("total_rows"),
+      sum(when(conjunction(rules), 1L).otherwise(0L)).alias("passed_rows"))
+    val observed = df.observe(obs, (perRule ++ totals).head, (perRule ++ totals).tail: _*)
+    (observed.filter(conjunction(rules)), obs)
+  }
 }
