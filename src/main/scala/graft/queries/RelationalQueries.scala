@@ -85,6 +85,29 @@ object RelationalQueries {
              |SELECT o_orderkey, o_custkey, o_orderstatus
              |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
 
+    // Semi join: EXISTS shape (customers with at least one open order).
+    QueryDef("q06_semi_join",
+      (s, d) => Joins.semi(
+        Tables.customer(s, d),
+        Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").alias("c_custkey")),
+        Seq("c_custkey")),
+      Some("""SELECT * FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin)),
+
+    // Anti join: NOT EXISTS shape (customers with no PENDING orders —
+    // status filter keeps the result set non-vacuous on this fixture).
+    QueryDef("q07_anti_join",
+      (s, d) => Joins.anti(
+        Tables.customer(s, d),
+        Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").alias("c_custkey")),
+        Seq("c_custkey")),
+      Some("""SELECT * FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin)),
+
     // A1: grouped conditional aggregation.
     QueryDef("q08_agg_conditional",
       (s, d) => Tables.orders(s, d).groupBy(col("o_custkey").alias("customer_id"))
@@ -235,8 +258,32 @@ object RelationalQueries {
         Seq(("c_acctbal", Some(0.0), Some(5000.0)))),
       Some("""SELECT * FROM customer
              |WHERE (c_acctbal IS NULL OR c_acctbal >= 0.0)
-             |  AND (c_acctbal IS NULL OR c_acctbal <= 5000.0)""".stripMargin))
+             |  AND (c_acctbal IS NULL OR c_acctbal <= 5000.0)""".stripMargin)),
+
+    // O4: per-client ordered detail fetch (api/app/database.py:140,154).
+    QueryDef("q19_detail_fetch",
+      (s, d) => Serving.pointLookup(Tables.orders(s, d), "o_custkey", 7L)
+        .orderBy(col("o_orderkey")),
+      Some("SELECT * FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey")),
+
+    // The spark.sql surface over catalog-registered views (S9 companion):
+    // same text runs on both engines (exact-decimal revenue).
+    QueryDef("q25_sql_surface",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(revenuePerNationSql)
+      },
+      Some(revenuePerNationSql))
   )
+
+  /** Runs verbatim on Spark SQL and DuckDB (ANSI subset + decimal trick). */
+  private lazy val revenuePerNationSql =
+    """SELECT n.n_name AS nation, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
 
   // ---- shared bits -------------------------------------------------------
 
