@@ -4,9 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text primitives for the dedup / text-analysis operators (SURVEY §7
-  * step 7). Everything except [[simHash64]] is built-in higher-order
-  * expressions (codegen'd, no serialization boundary); simhash needs a
-  * per-row 64-bin reduction that is clearer and faster as a Scala UDF.
+  * step 7). Built-in higher-order expressions throughout (codegen'd, no
+  * serialization boundary); simhash is a native Catalyst expression
+  * ([[SimHash64]]).
   */
 object TextFunctions {
 
@@ -35,6 +35,31 @@ object TextFunctions {
     // guard: sequence(0, negative) DESCENDS in Spark — short docs must map
     // to an empty shingle set, not a bogus one
     array_distinct(when(size(toks) >= k, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-token 64-bit hashes. Bind this to a COLUMN before deriving
+    * shingles from it — expression-tree reuse via element_at re-evaluates
+    * the whole child array per element (O(n²) per row), which is why the
+    * shingle path works on bound columns with slice/zip_with (O(k·n)).
+    */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Hashed word k-gram shingles from a bound token-hash column: gram i is
+    * the chained hash of k consecutive token hashes. No string building,
+    * no element_at; each shifted slice is evaluated once and zip_with
+    * walks the arrays pairwise. Set semantics match string shingles up to
+    * 64-bit collisions (~1e-13 per pair), so Jaccard is unchanged.
+    */
+  def shingleHashesFromTokenHashes(th: Column, k: Int): Column = {
+    val n = size(th)
+    val combined = (1 until k).foldLeft(th) { (acc, j) =>
+      // zip_with pads the shorter side with null; the padded tail is
+      // sliced off below
+      zip_with(acc, slice(th, lit(j + 1), greatest(n - j, lit(0))), (x, y) => xxhash64(x, y))
+    }
+    array_distinct(
+      when(n >= k, slice(combined, lit(1), n - (k - 1)))
+        .otherwise(array().cast("array<bigint>")))
   }
 
   /** MinHash signature: `numHashes` permutations approximated by seeded

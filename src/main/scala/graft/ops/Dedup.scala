@@ -51,10 +51,14 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // shingle sets + signatures are consumed by three branches (banding,
     // estimate filter, exact verify) — cache once instead of recomputing
-    // the 32-hash MinHash three times
+    // the 32-hash MinHash three times. Shingles are HASHED k-grams built
+    // from a bound token-hash column (no string concat, no O(n²)
+    // element_at reuse — see TextFunctions.shingleHashesFromTokenHashes).
     val sig = df.select(
       col(idCol).alias("__id"),
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleK).alias("__sh"))
+      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
+      .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
+      .drop("__th")
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
       .withColumn("__n", size(col("__sh")))

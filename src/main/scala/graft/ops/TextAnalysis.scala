@@ -91,11 +91,17 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + lit(3)) / lit(4))))
   }
 
-  /** Content fingerprint: min-k sketch over word 3-gram shingles. */
-  def fingerprints(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 3)
-    df.withColumn("fingerprint", TextFunctions.fingerprint(sh, k))
-  }
+  /** Content fingerprint: min-k sketch over hashed word 3-gram shingles
+    * (hash-shingle path — no string building; see
+    * TextFunctions.shingleHashesFromTokenHashes).
+    */
+  def fingerprints(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    df.withColumn("__th", TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))))
+      .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), 3))
+      .withColumn("fingerprint",
+        xxhash64(concat_ws(",",
+          transform(slice(array_sort(col("__sh")), 1, k), x => x.cast("string")))))
+      .drop("__th", "__sh")
 
   // ---- oracle SQL fragments ---------------------------------------------
 
