@@ -164,14 +164,10 @@ object Dedup {
                        planes: Int = 8, bands: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions
     val hp = Hyperplanes.generate(seed = 42L, nPlanes = planes * bands, dim = dim)
-    val sketchBits = hp.zipWithIndex.map { case (plane, i) =>
-      val d = VectorFunctions.dot(col("__v"), array(plane.map(lit): _*))
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _) // OR of disjoint bits via sum
-
     val base = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .withColumn("__sketch", sketchBits)
-    val banded = base.select(col("__id"), col("__v"),
+      .withColumn("__sketch", VectorFunctions.hyperplaneSketch(col("__v"), hp))
+    // ids only through the explode/self-join — never replicate the vector
+    val banded = base.select(col("__id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("__sketch"), b * planes)
           .bitwiseAND(lit((1L << planes) - 1))): _*))

@@ -95,13 +95,9 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, dim: Int,
               planes: Int = 6, bands: Int = 6): DataFrame = {
     val hp = Hyperplanes.generate(seed = 7L, nPlanes = planes * bands, dim = dim)
-    def sketch(v: String) = hp.zipWithIndex.map { case (plane, i) =>
-      when(VectorFunctions.dot(col(v), array(plane.map(lit): _*)) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).alias(id), col(vecCol).alias(v))
-        .withColumn("__sketch", sketch(v))
+        .withColumn("__sketch", VectorFunctions.hyperplaneSketch(col(v), hp))
         .select(col(id), col(v),
           posexplode(array((0 until bands).map(b =>
             shiftrightunsigned(col("__sketch"), b * planes)
