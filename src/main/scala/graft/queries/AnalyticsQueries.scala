@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.sources.Tables
+import graft.ops.Aggregations.{exactSum, exactAvg, exactSumSql, exactAvgSql}
+
+/** Analytic query shapes beyond the reference's surface (SURVEY §2.4
+  * "extension surface"): TPC-H-style multi-way analytics, rollup/cube,
+  * frame-based window functions, as-of join, distinct counting. All
+  * oracle-exact except the approximate sketch (q37).
+  *
+  * Window running sums go through decimal accumulation on BOTH sides:
+  * DuckDB computes sliding aggregates with a segment tree (different
+  * addition order than Spark's incremental WindowExec), so raw double
+  * running sums would drift in the last ulp.
+  */
+object AnalyticsQueries {
+
+  private val ship = "TIMESTAMP '1998-09-02 00:00:00'"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary (scan→filter→wide agg).
+    QueryDef("q26_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).alias("sum_qty"),
+          exactSum(col("l_extendedprice")).alias("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("sum_disc_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).alias("sum_charge"),
+          exactAvg(col("l_quantity")).alias("avg_qty"),
+          exactAvg(col("l_discount")).alias("avg_disc"),
+          count(lit(1)).alias("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${exactSumSql("l_quantity")} AS sum_qty,
+              |  ${exactSumSql("l_extendedprice")} AS sum_base_price,
+              |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |  ${exactSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+              |  ${exactAvgSql("l_quantity")} AS avg_qty,
+              |  ${exactAvgSql("l_discount")} AS avg_disc,
+              |  COUNT(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= $ship
+              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-style shipping priority: 3-way join → agg → total-order top-10.
+    QueryDef("q27_shipping_priority",
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")) &&
+          col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some(s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+              |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+              |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5-style local supplier volume: 6-way join over every dim table.
+    QueryDef("q28_supplier_volume",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("revenue"),
+          count(lit(1)).alias("line_count")),
+      Some(s"""SELECT r_name, n_name,
+              |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+              |  COUNT(*) AS line_count
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name""".stripMargin)),
+
+    // ROLLUP: hierarchical subtotals (region → segment → grand total).
+    QueryDef("q29_rollup",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).alias("customers"), exactSum(col("c_acctbal")).alias("total_balance")),
+      Some(s"""SELECT n_name, c_mktsegment, COUNT(*) AS customers,
+              |  ${exactSumSql("c_acctbal")} AS total_balance
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin)),
+
+    // Frame-based window analytics: lag/lead/rank/running sum per customer
+    // timeline (decimal-accumulated running sum — see class scaladoc).
+    QueryDef("q35_window_analytics",
+      (s, d) => {
+        val order = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+        val w = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).alias("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).alias("next_price"),
+          rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).cast(LongType)
+            .alias("price_rank"),
+          sum(col("o_totalprice").cast(DecimalType(30, 8))).over(frame)
+            .cast(DoubleType).alias("running_spend"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER w AS next_price,
+             |  CAST(RANK() OVER (PARTITION BY o_custkey
+             |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER
+             |       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // Exact distinct counting.
+    QueryDef("q36_distinct_counts",
+      (s, d) => Tables.lineitem(s, d).agg(
+        countDistinct(col("l_orderkey")).alias("n_orders"),
+        countDistinct(col("l_partkey")).alias("n_parts"),
+        countDistinct(col("l_suppkey")).alias("n_suppliers")),
+      Some("""SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+             |  COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(DISTINCT l_suppkey) AS n_suppliers
+             |FROM lineitem""".stripMargin)),
+
+    // Approximate distinct (HLL++ sketch) — engine-specific estimate, so
+    // rows-only for the driver; accuracy bound pinned in AnalyticsSpec.
+    QueryDef("q37_approx_distinct",
+      (s, d) => Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).alias("approx_orders"),
+        approx_count_distinct(col("l_partkey")).alias("approx_parts")),
+      None),
+
+    // As-of join: each click paired with the user's most recent signup at
+    // or before it. Composed from built-ins (tagged union + running
+    // last-value window) — no custom operator needed; the oracle uses
+    // DuckDB's native ASOF LEFT JOIN, so two INDEPENDENT as-of
+    // implementations must agree exactly.
+    QueryDef("q24_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isSignup = col("event_type") === "signup"
+        ev.withColumn("signup_id",
+            last(when(isSignup, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("signup_ts",
+            last(when(isSignup, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id").alias("click_id"), col("user_id"),
+            col("signup_id"), col("signup_ts"))
+      },
+      Some("""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+             |            FROM events),
+             |clicks AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'click'),
+             |signups AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'signup')
+             |SELECT c.event_id AS click_id, c.user_id,
+             |       s.event_id AS signup_id, s.ts AS signup_ts
+             |FROM clicks c ASOF LEFT JOIN signups s
+             |  ON c.user_id = s.user_id AND c.ts >= s.ts""".stripMargin))
+  )
+}

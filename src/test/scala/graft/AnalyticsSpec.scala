@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("approx_count_distinct lands within the HLL++ default error bound") {
+    val exact = SparkEntry.queries("q36_distinct_counts")(spark, sf001).head()
+    val approx = SparkEntry.queries("q37_approx_distinct")(spark, sf001).head()
+    // default rsd = 0.05; allow 3x margin
+    Seq(("n_orders", "approx_orders"), ("n_parts", "approx_parts")).foreach {
+      case (e, a) =>
+        val ev = exact.getAs[Long](e).toDouble
+        val av = approx.getAs[Long](a).toDouble
+        assert(math.abs(av - ev) / ev < 0.15, s"$a=$av vs $e=$ev")
+    }
+  }
+
+  test("as-of join: every click maps to the latest signup at or before it") {
+    val out = SparkEntry.queries("q24_asof_join")(spark, sf001)
+    val ev = graft.sources.Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val signups = ev.filter(_._4 == "signup")
+    val expected = clicks.map { case (cid, cts, u, _) =>
+      val prior = signups.filter(s => s._3 == u && !s._2.after(cts))
+      cid -> (if (prior.isEmpty) None
+              else Some(prior.maxBy(s => (s._2.getTime, s._1))._1))
+    }.toMap
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (cid, exp) =>
+      assert(got(cid) == exp, s"click $cid: got ${got(cid)} expected $exp")
+    }
+  }
+
+  test("rollup emits leaf, subtotal, and grand-total rows") {
+    val out = SparkEntry.queries("q29_rollup")(spark, sf001)
+    val rows = out.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("customers") == 150L)
+    val perNation = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(perNation.map(_.getAs[Long]("customers")).sum == 150L)
+  }
+}
