@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+import graft.ops.Aggregations.exactSumSql
+
+/** Remaining surface: percentiles, JSON extraction (the `events.props`
+  * column), intersect/except set ops.
+  */
+object MiscQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact (sort-based) continuous percentiles. Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition;
+    // the final multiply-add rounding differs in the last ulp, hence
+    // round(6) on both sides.
+    QueryDef("q38_percentiles",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // JSON extraction from the props column: row-level typed value +
+    // per-type rollup of the extracted ints.
+    QueryDef("q39_json_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k_value", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).alias("n_events"),
+          sum(col("k_value")).alias("total_k"),
+          max(col("k_value")).alias("max_k")),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+             |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // INTERSECT: customers holding both finished and open orders.
+    QueryDef("q45_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey").alias("customer_id"))
+          .intersect(
+            o.filter(col("o_orderstatus") === "O").select(col("o_custkey").alias("customer_id")))
+      },
+      Some("""SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
+    // EXCEPT: customers with finished orders but no open ones.
+    QueryDef("q46_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey").alias("customer_id"))
+          .except(
+            o.filter(col("o_orderstatus") === "O").select(col("o_custkey").alias("customer_id")))
+      },
+      Some("""SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+             |EXCEPT
+             |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'""".stripMargin))
+  )
+}
