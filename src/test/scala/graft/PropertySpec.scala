@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Aggregations, Validation}
+import graft.functions.TextFunctions
+
+/** Property-based checks of the fragile semantics (SURVEY §5: null-
+  * skipping averages, decimal accumulation invariance, rule-conjunction
+  * null handling, shingle-set equivalences) over generated data.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // manual forAll: the scalatest<->scalacheck bridge artifact is not in the
+  // offline dependency set, so drive generators directly (fixed seeds =
+  // reproducible)
+  private def forAll[T](gen: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(sys.error("gen failed")))
+    }
+
+  private val amounts: Gen[List[Option[Double]]] =
+    Gen.listOfN(40, Gen.option(Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100)))
+
+  test("exactSum is invariant under repartitioning (order independence)") {
+    forAll(amounts) { xs =>
+      val df = xs.map(x => Tuple1(x.map(Double.box).orNull)).toDF("v")
+      def total(parts: Int): Option[Double] = {
+        val r = df.repartition(parts).agg(Aggregations.exactSum(col("v"))).head()
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+      assert(total(1) == total(7))
+      assert(total(7) == total(32))
+    }
+  }
+
+  test("exactAvg skips nulls exactly like the reference's avg semantics") {
+    forAll(amounts) { xs =>
+      val df = xs.map(x => Tuple1(x.map(Double.box).orNull)).toDF("v")
+      val r = df.agg(Aggregations.exactAvg(col("v"))).head()
+      val present = xs.flatten
+      if (present.isEmpty) assert(r.isNullAt(0))
+      else {
+        // independent exact reference via BigDecimal
+        val exp = (present.map(BigDecimal(_)).sum.toDouble) / present.size
+        assert(math.abs(r.getDouble(0) - exp) < 1e-9)
+      }
+    }
+  }
+
+  test("validate + rejects partition the input; null predicates count as failures") {
+    forAll(amounts) { xs =>
+      val df = xs.zipWithIndex
+        .map { case (x, i) => (i.toLong, x.map(Double.box).orNull) }.toDF("id", "v")
+      val rules = Seq(Validation.Rule("pos", col("v") > 0))
+      val kept = Validation.validate(df, rules).count()
+      val rejected = Validation.rejects(df, rules).count()
+      assert(kept + rejected == xs.size) // nulls fall in rejects, never dropped silently
+      assert(kept == xs.flatten.count(_ > 0))
+    }
+  }
+
+  private val sentences: Gen[List[String]] = Gen.listOfN(8,
+    Gen.listOf(Gen.oneOf("spark", "data", "join", "scan", "row", "fast", "query", "col"))
+      .map(_.mkString(" ")))
+
+  test("hashed shingle sets give the same Jaccard as string shingle sets") {
+    forAll(sentences) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df
+        .withColumn("__th", TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))))
+        .select(col("id"),
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).alias("ss"),
+          TextFunctions.shingleHashesFromTokenHashes(col("__th"), 3).alias("hs"))
+      // same cardinalities row-wise ⇒ same Jaccard for every pair
+      val bad = both.filter(size(col("ss")) =!= size(col("hs"))).count()
+      assert(bad == 0)
+      val pairs = both.alias("a").join(both.alias("b"), col("a.id") < col("b.id"))
+        .select(
+          size(array_intersect(col("a.ss"), col("b.ss"))).alias("si"),
+          size(array_intersect(col("a.hs"), col("b.hs"))).alias("hi"))
+        .filter(col("si") =!= col("hi")).count()
+      assert(pairs == 0)
+    }
+  }
+}
