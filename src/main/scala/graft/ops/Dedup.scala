@@ -113,6 +113,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph via iterative
+    * min-label propagation: each node's label converges to the minimum id
+    * reachable from it. Converges in O(log(diameter)) rounds for the
+    * chain-free clusters near-dup graphs produce; `maxIter` bounds
+    * pathological chains. Returns (id, component) with component = min id
+    * of the cluster.
+    *
+    * Scale notes: each round is one groupBy-min over edges ∪ labels;
+    * `localCheckpoint` truncates the growing lineage (the classic
+    * iterative-algorithm trap on Spark).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").alias("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node: min of own label and neighbors' labels
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").alias("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min("component").alias("component"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup resolution: MinHash pairs → transitive clusters →
+    * keeper = min doc id per cluster. Output: (id, keeper, is_keeper) for
+    * every document that belongs to some near-dup cluster.
+    */
+  def resolveNearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashNearDup(df, idCol, textCol, threshold)
+    connectedComponents(pairs)
+      .select(col("id"), col("component").alias("keeper"),
+        (col("id") === col("component")).alias("is_keeper"))
+  }
+
   /** Brute-force token-set Jaccard pairs (the small-n oracle-checkable
     * path; `minHashNearDup` is the scale path). O(n²) — cap n upstream.
     */

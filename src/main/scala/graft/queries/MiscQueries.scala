@@ -43,6 +43,29 @@ object MiscQueries {
              |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Single-pass dataset profiling (long/string columns only: double→
+    // string casts format differently across engines in scientific-
+    // notation ranges).
+    QueryDef("q47_profile_customer",
+      (s, d) => graft.ops.Profiling.profile(Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")),
+      Some(Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey").map { c =>
+        s"""SELECT '$c' AS "column",
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           |  COUNT(DISTINCT $c) AS distinct_count,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
+    // Transitive near-dup resolution: MinHash pairs → connected components
+    // → min-id keeper per cluster (engine-internal hashing → rows-only;
+    // cluster semantics pinned in ProfilingSpec).
+    QueryDef("q48_neardup_clusters",
+      (s, d) => graft.ops.Dedup.resolveNearDupClusters(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.5),
+      None),
+
     // INTERSECT: customers holding both finished and open orders.
     QueryDef("q45_intersect",
       (s, d) => {

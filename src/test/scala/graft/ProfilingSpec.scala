@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Profiling}
+import graft.sources.Tables
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes null/distinct/min/max per column in one pass") {
+    val df = Seq(
+      (1L, Double.box(10.0), "a"),
+      (2L, null.asInstanceOf[java.lang.Double], "b"),
+      (3L, Double.box(30.0), "a")).toDF("id", "v", "s")
+    val p = Profiling.profile(df, Seq("id", "v", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("v").getAs[Long]("null_count") == 1L)
+    assert(p("v").getAs[Long]("distinct_count") == 2L)
+    assert(p("v").getAs[String]("min_value") == "10.0")
+    assert(p("s").getAs[Long]("distinct_count") == 2L)
+    assert(p("id").getAs[String]("max_value") == "3")
+  }
+
+  test("connectedComponents resolves chains and keeps singleton clusters apart") {
+    // 1-2-3 chained, 10-11 paired, 20-21-22 star around 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+  }
+
+  test("resolveNearDupClusters picks min-id keepers over transitive near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in the tall green trees of the quiet forest today"
+    val df = Seq(
+      (5L, base),
+      (2L, base.replace("today", "tonight")),     // near-dup of 5
+      (9L, base.replace("quick", "sneaky")),      // near-dup of 5 (and transitively 2)
+      (7L, "completely unrelated text about query engines columns and shuffles"))
+      .toDF("doc_id", "text")
+    val out = Dedup.resolveNearDupClusters(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId.keySet == Set(2L, 5L, 9L)) // 7 is in no cluster
+    assert(out.forall(_._2 == 2L))          // keeper = min id of the cluster
+    assert(byId(2L)._3 && !byId(5L)._3 && !byId(9L)._3)
+  }
+}
