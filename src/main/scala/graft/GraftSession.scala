@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // dynamic: overwriting one ingest_date/year-month-day partition
+      // replaces ONLY that partition — static overwrite (the default)
+      // would truncate the whole table on an incremental re-run
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
 
   /** Local session; core count from SPARK_GRAFT_CPUS (driver contract). */

@@ -245,6 +245,53 @@ object Dedup {
   }
 }
 
+/** LSH parameter selection from first principles: given a similarity
+  * threshold and a target recall, pick the cheapest (rows/planes, bands)
+  * whose S-curve meets the recall — callers stop hand-tuning band
+  * layouts per threshold.
+  */
+object LshParams {
+
+  /** MinHash banding: collision prob of a pair with Jaccard j under
+    * (bands b, rows r) is 1-(1-j^r)^b. Returns the (rows, bands) with the
+    * FEWEST total hashes meeting `targetRecall` at `threshold` while
+    * keeping low-similarity noise (j = threshold/2) collisions under
+    * `maxNoise`.
+    */
+  def minhash(threshold: Double, targetRecall: Double = 0.9,
+              maxNoise: Double = 0.15, maxHashes: Int = 256): (Int, Int) = {
+    def collide(j: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    val candidates = for {
+      r <- 1 to 16
+      b <- 1 to maxHashes
+      if r * b <= maxHashes
+      if collide(threshold, r, b) >= targetRecall
+      if collide(threshold / 2, r, b) <= maxNoise
+    } yield (r, b)
+    if (candidates.isEmpty) (4, 8) // fall back to the classic 32-hash layout
+    else candidates.minBy { case (r, b) => r * b }
+  }
+
+  /** Hyperplane banding: per-plane agreement prob for cosine c is
+    * 1 - acos(c)/π; same S-curve selection as [[minhash]].
+    */
+  def hyperplane(cosineThreshold: Double, targetRecall: Double = 0.9,
+                 maxNoise: Double = 0.15, maxBits: Int = 64): (Int, Int) = {
+    val p = 1.0 - math.acos(cosineThreshold) / math.Pi
+    val pNoise = 1.0 - math.acos(math.max(-0.99, cosineThreshold / 2)) / math.Pi
+    def collide(q: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(q, r), b)
+    val candidates = for {
+      r <- 1 to 32
+      b <- 1 to maxBits
+      if r * b <= maxBits
+      if collide(p, r, b) >= targetRecall
+      if collide(pNoise, r, b) <= maxNoise
+    } yield (r, b)
+    if (candidates.isEmpty) (4, 8)
+    else candidates.minBy { case (r, b) => r * b }
+  }
+}
+
 /** Deterministic hyperplane generation (seeded 64-bit LCG → uniform in
   * [-1, 1]); same constants as java.util.Random's LCG — public domain
   * parameters, reproducible across runs and engines.

@@ -31,6 +31,23 @@ class BronzeSpec extends SparkSpec {
     assert(plan.contains("2026-08-12") || plan.contains("PartitionFilters"))
   }
 
+  test("incremental re-ingest of one date leaves other partitions intact (dynamic overwrite)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bronze_incr").toString
+    val csvDir = s"$tmp/csv"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .coalesce(1).write.option("header", "true").csv(csvDir)
+    Bronze.ingestCsv(spark, csvDir, s"$tmp/bronze", "t", "2026-08-11")
+    Bronze.ingestCsv(spark, csvDir, s"$tmp/bronze", "t", "2026-08-12")
+    // re-ingest ONLY day 2 with different data
+    val csv2 = s"$tmp/csv2"
+    Seq((9L, "z")).toDF("id", "v").coalesce(1).write.option("header", "true").csv(csv2)
+    Bronze.ingestCsv(spark, csv2, s"$tmp/bronze", "t", "2026-08-12")
+    // day 1 must survive; day 2 must be replaced, not appended
+    assert(Bronze.readIngestDate(spark, s"$tmp/bronze", "t", "2026-08-11").count() == 2)
+    val day2 = Bronze.readIngestDate(spark, s"$tmp/bronze", "t", "2026-08-12")
+    assert(day2.count() == 1 && day2.select(col("id").cast("long")).head().getLong(0) == 9L)
+  }
+
   test("validateObserved yields metrics as a side effect of the consuming action") {
     val df = Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)).toDF("id", "amount")
     val rules = Seq(Validation.Rule("amount_positive", col("amount") > 0))

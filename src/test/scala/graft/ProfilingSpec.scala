@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Profiling}
+import graft.ops.{Dedup, LshParams, Profiling}
 import graft.sources.Tables
 
 class ProfilingSpec extends SparkSpec {
@@ -31,6 +31,15 @@ class ProfilingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
     assert(Seq(10L, 11L).forall(comp(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+  }
+
+  test("LshParams meets recall/noise targets on the analytic S-curve") {
+    def collide(j: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      val (r, b) = LshParams.minhash(t)
+      assert(collide(t, r, b) >= 0.9, s"recall miss at $t: ($r,$b)")
+      assert(collide(t / 2, r, b) <= 0.15, s"noise breach at $t: ($r,$b)")
+    }
   }
 
   test("resolveNearDupClusters picks min-id keepers over transitive near-dups") {
