@@ -36,6 +36,34 @@ object Similarity {
         col("rank"))
   }
 
+  /** Exact top-k via the typed [[graft.functions.TopKAggregator]]: same
+    * result as [[bruteForceTopK]], but ranked with map-side-combined
+    * bounded heaps instead of a window sort — only k rows per query per
+    * partition cross the shuffle (the scale path for large corpora).
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.{Scored, TopKAggregator}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"),
+        col("neighbor_id"),
+        VectorFunctions.cosine(col("__qv"), col("__cv")).alias("cosine"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, cos) => Scored(id, cos) }
+      .agg(agg)
+      .flatMap { case (queryId, top) =>
+        top.zipWithIndex.map { case (s, i) => (queryId, s.neighborId, s.score, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
   /** IVF (inverted-file) ANN: corpus rows are assigned to their nearest
     * coarse centroid; a query scores only the rows in its `nProbe` closest
     * cells. Centroids here are `nCentroids` deterministic corpus rows

@@ -16,6 +16,19 @@ object SimilarityQueries {
   private val K = 5
   private val NQ = 5 // query vectors: vec_id < NQ; corpus: the rest
 
+  private lazy val bruteForceSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= $NQ),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         ${VectorFunctions.cosineSql("qv", "cv")} AS cos_raw
+       |  FROM c CROSS JOIN q)
+       |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                          ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q50_ann_bruteforce",
@@ -25,17 +38,18 @@ object SimilarityQueries {
           emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
           "vec_id", "embedding", K)
       },
-      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
-              |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= $NQ),
-              |scored AS (
-              |  SELECT q.query_id, c.neighbor_id,
-              |         ${VectorFunctions.cosineSql("qv", "cv")} AS cos_raw
-              |  FROM c CROSS JOIN q)
-              |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
-              |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              |                          ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank
-              |FROM scored
-              |QUALIFY rank <= $K""".stripMargin)),
+      Some(bruteForceSql)),
+
+    // Same semantics ranked by the typed TopKAggregator (bounded map-side
+    // heaps, no window sort) — same oracle must hold for both plans.
+    QueryDef("q55_ann_topk_agg",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopKAgg(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", K)
+      },
+      Some(bruteForceSql)),
 
     QueryDef("q51_ann_lsh",
       (s, d) => {
