@@ -130,6 +130,31 @@ object AnalyticsQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
+    // Time-based sliding frame: per-customer 7-day rolling spend via
+    // rangeBetween over epoch-microseconds (numeric range = identical
+    // frame boundaries on both engines; decimal accumulation again
+    // defuses DuckDB's segment-tree summation order).
+    QueryDef("q56_rolling_window",
+      (s, d) => {
+        val sevenDaysUs = 7L * 86400L * 1000000L
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; cast is identity
+        // under the UTC session and unlocks unix_micros
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+          .rangeBetween(-sevenDaysUs, 0)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w)
+            .cast(DoubleType).alias("rolling_7d_spend"),
+          count(lit(1)).over(w).alias("rolling_7d_orders"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS rolling_7d_spend,
+             |  COUNT(*) OVER w AS rolling_7d_orders
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+             |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Exact distinct counting.
     QueryDef("q36_distinct_counts",
       (s, d) => Tables.lineitem(s, d).agg(
