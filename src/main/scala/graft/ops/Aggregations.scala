@@ -33,11 +33,18 @@ object Aggregations {
     */
   def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
-  /** DuckDB-side SQL mirror of [[exactSum]] (for oracle authors). */
+  /** DuckDB-side SQL mirror of [[exactSum]].
+    *
+    * The final decimal→double conversion goes through VARCHAR: once the
+    * sum's scaled int128 exceeds 2^53, DuckDB's native cast double-rounds
+    * (int128→double, then ×10⁻⁸) and can land one ulp away from Spark's
+    * correctly-rounded BigDecimal.doubleValue; string→double parsing is
+    * correctly rounded in both engines.
+    */
   def exactSumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
   /** DuckDB-side SQL mirror of [[exactAvg]]. */
   def exactAvgSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE) / COUNT($expr)"
+    s"${exactSumSql(expr)} / COUNT($expr)"
 }

@@ -124,9 +124,9 @@ object AnalyticsQueries {
              |  LEAD(o_totalprice, 1) OVER w AS next_price,
              |  CAST(RANK() OVER (PARTITION BY o_custkey
              |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER
              |       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+             |        ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_spend
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
@@ -149,7 +149,7 @@ object AnalyticsQueries {
           count(lit(1)).over(w).alias("rolling_7d_orders"))
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS rolling_7d_spend,
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS VARCHAR) AS DOUBLE) AS rolling_7d_spend,
              |  COUNT(*) OVER w AS rolling_7d_orders
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))

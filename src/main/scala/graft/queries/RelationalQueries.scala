@@ -279,7 +279,7 @@ object RelationalQueries {
   /** Runs verbatim on Spark SQL and DuckDB (ANSI subset + decimal trick). */
   private lazy val revenuePerNationSql =
     """SELECT n.n_name AS nation, COUNT(*) AS order_count,
-      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS STRING) AS DOUBLE) AS revenue
       |FROM orders o
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
