@@ -70,6 +70,17 @@ class DedupSpec extends SparkSpec {
     assert(strong.subsetOf(got), s"missed strong pairs: ${strong.diff(got)}")
   }
 
+  test("minHashNearDupAuto recovers at least the fixed-layout pairs (higher recall)") {
+    val df = graft.sources.Tables.documents(spark, sf001)
+    val fixed = Dedup.minHashNearDup(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.minHashNearDupAuto(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed.subsetOf(auto) || (fixed -- auto).size <= fixed.size / 10,
+      s"auto layout lost pairs: ${(fixed -- auto).take(5)}")
+    assert(auto.size >= fixed.size)
+  }
+
   test("simHashNearDup: identical token streams collide at hamming 0") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
