@@ -33,23 +33,35 @@ object VectorFunctions {
   }
 
   /** Random-hyperplane sign sketch: bit i of the result = sign of
-    * v·planes(i). The plane matrix travels as ONE typed literal and the
-    * bits accumulate in one aggregate loop — 32 separate per-plane dot
-    * expressions made Janino compile ~9s of generated code; this form
-    * compiles in milliseconds with identical output.
+    * v·planes(i). Requires ≤ 64 planes; delegates to the native
+    * codegen'd [[HyperplaneSketchWideExpr]] and unwraps the single word.
     */
   def hyperplaneSketch(v: Column, planes: Seq[Array[Double]]): Column = {
-    val m = typedlit(planes.map(_.toSeq))
-    aggregate(
-      sequence(lit(0), lit(planes.length - 1)),
-      lit(0L),
-      (acc, i) => {
-        val plane = element_at(m, i + 1) // literal matrix → constant-time access
-        val d = aggregate(zip_with(v, plane, (x, y) => x.cast("double") * y),
-          lit(0.0), (a, b) => a + b)
-        acc + when(d >= 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))
-      })
+    require(planes.length <= 64, "hyperplaneSketch packs into one long; use hyperplaneSketchWide")
+    element_at(HyperplaneSketchWideExpr(v, planes), 1)
   }
+
+  /** Wide random-hyperplane sketch: packs `planes.length` sign bits into
+    * an `array<long>` of ⌈n/64⌉ words (bit i of word ⌊i/64⌋ = sign of
+    * v·planes(i)). Word layout is little-endian in plane index, so word 1
+    * holds planes 0..63 — callers can reuse its low bits as LSH band keys
+    * and the full array as a hamming prefilter with one sketch
+    * computation. Native codegen'd expression (see
+    * [[HyperplaneSketchWideExpr]] for why not HOFs).
+    */
+  def hyperplaneSketchWide(v: Column, planes: Seq[Array[Double]]): Column =
+    HyperplaneSketchWideExpr(v, planes)
+
+  /** Hamming distance between two `array<long>` sketches of `words`
+    * elements. Unrolled into `words` codegen'd `bit_count(xor)` terms —
+    * the `zip_with`+`aggregate` HOF form is CodegenFallback and pays
+    * boxed interpretation per word per pair, which matters when this
+    * runs per candidate pair.
+    */
+  def hammingWide(a: Column, b: Column, words: Int): Column =
+    (1 to words).map(i =>
+      bit_count(element_at(a, i).bitwiseXOR(element_at(b, i))).cast("long"))
+      .reduce(_ + _)
 
   // ---- DuckDB oracle mirrors (same fold order → bit-identical) ----------
 

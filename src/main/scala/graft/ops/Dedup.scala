@@ -95,7 +95,15 @@ object Dedup {
       .filter(estMatches >= (threshold - 0.2) * numHashes)
       .select(col("id_a"), col("id_b"))
 
-    verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
+    val verified = verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
+    // Materialize the (small) verified pair set eagerly so the wide
+    // signature cache can be released before returning — otherwise every
+    // invocation leaks cached blocks for the session lifetime. The
+    // localCheckpoint blocks holding the result are weak-reference-cleaned
+    // by the ContextCleaner once the returned frame is unreferenced.
+    val out = verified.localCheckpoint(true)
+    sig.unpersist(false)
+    out
   }
 
   /** [[minHashNearDup]] with the band layout chosen by [[LshParams]] for
@@ -127,16 +135,20 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph via iterative
     * min-label propagation: each node's label converges to the minimum id
-    * reachable from it. Converges in O(log(diameter)) rounds for the
-    * chain-free clusters near-dup graphs produce; `maxIter` bounds
-    * pathological chains. Returns (id, component) with component = min id
-    * of the cluster.
+    * reachable from it. Labels advance one hop per round, so convergence
+    * takes O(diameter) rounds — near-dup clusters are dense (small
+    * diameter), which keeps the round count low in practice; `maxIter`
+    * bounds pathological chains and the loop THROWS if labels were still
+    * changing when it ran out (silently returning partial labels would
+    * mis-cluster). For graphs with genuinely large diameters use a
+    * pointer-doubling variant (large-star/small-star) instead. Returns
+    * (id, component) with component = min id of the cluster.
     *
     * Scale notes: each round is one groupBy-min over edges ∪ labels;
     * `localCheckpoint` truncates the growing lineage (the classic
     * iterative-algorithm trap on Spark).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
@@ -165,6 +177,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — graph diameter exceeds maxIter; " +
+          "raise maxIter or use a pointer-doubling variant")
     labels
   }
 
@@ -223,24 +240,40 @@ object Dedup {
   /** Embedding near-dup pairs over a threshold, within random-hyperplane
     * LSH buckets (sign-bit sketch). `planes` deterministic pseudo-random
     * hyperplanes are derived from a seeded LCG — no RNG at plan time.
-    * Exact cosine verifies candidates. Recall rises with fewer plane bits
-    * per band / more bands.
+    * Recall rises with fewer plane bits per band / more bands.
+    *
+    * Candidate pairs pass through two stages before anything wide moves:
+    *  1. a `prefilterBits`-bit sketch-hamming cut — for cosine c the
+    *     expected mismatched-bit fraction is acos(c)/π, so pairs whose
+    *     hamming exceeds the threshold's expectation + 4σ (binomial) are
+    *     dropped while true pairs survive w.p. ≥ 1 - 3e-5. On a
+    *     near-orthogonal corpus this prunes ~98% of bucket collisions
+    *     using 8-long sketches instead of full vectors;
+    *  2. exact cosine on the survivors, with per-ROW norms precomputed so
+    *     each surviving pair costs one dot product, not one dot + two
+    *     norm folds.
+    * The banding keys are the low bits of the same wide sketch (word 1),
+    * so the sketch is computed once per row.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int,
-                       planes: Int = 8, bands: Int = 4): DataFrame = {
+                       planes: Int = 8, bands: Int = 4,
+                       prefilterBits: Int = 512): DataFrame = {
     import graft.functions.VectorFunctions
-    val hp = Hyperplanes.generate(seed = 42L, nPlanes = planes * bands, dim = dim)
+    require(planes * bands <= 64, "band keys must fit the first sketch word")
+    val nBits = math.max(prefilterBits, planes * bands)
+    val hp = Hyperplanes.generate(seed = 42L, nPlanes = nBits, dim = dim)
     val base = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .withColumn("__sketch", VectorFunctions.hyperplaneSketch(col("__v"), hp))
+      .withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
+      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
     // ids only through the explode/self-join — never replicate the vector
     val banded = base.select(col("__id"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("__sketch"), b * planes)
+        shiftrightunsigned(element_at(col("__ws"), 1), b * planes)
           .bitwiseAND(lit((1L << planes) - 1))): _*))
         .as(Seq("__band", "__key")))
 
-    // ids-only distinct (never shuffle the vectors), then re-attach vectors
+    // ids-only distinct (never shuffle the vectors or sketches)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
@@ -248,12 +281,37 @@ object Dedup {
       .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .distinct()
 
-    candidates
-      .join(base.select(col("__id").alias("id_a"), col("__v").alias("__va")), "id_a")
-      .join(base.select(col("__id").alias("id_b"), col("__v").alias("__vb")), "id_b")
-      .withColumn("cosine", round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+    // stage 1: hamming over the full wide sketch (8 longs, not 64 floats)
+    val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
+    val prefiltered = candidates
+      .join(base.select(col("__id").alias("id_a"), col("__ws").alias("__wsa")), "id_a")
+      .join(base.select(col("__id").alias("id_b"), col("__ws").alias("__wsb")), "id_b")
+      .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
+      .select(col("id_a"), col("id_b"))
+
+    // stage 2: exact cosine, norms hoisted to per-row columns
+    val va = base.select(col("__id").alias("id_a"), col("__v").alias("__va"),
+      col("__nrm").alias("__na"))
+    val vb = base.select(col("__id").alias("id_b"), col("__v").alias("__vb"),
+      col("__nrm").alias("__nb"))
+    prefiltered.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(
+        when(col("__na") > 0 && col("__nb") > 0,
+          VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .otherwise(lit(null)), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** [[embeddingNearDup]] with the band layout chosen by
+    * [[LshParams.hyperplane]] for the given threshold instead of a
+    * hand-tuned (planes, bands).
+    */
+  def embeddingNearDupAuto(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int): DataFrame = {
+    val (rows, bands) = LshParams.hyperplane(threshold)
+    embeddingNearDup(df, idCol, vecCol, threshold, dim, rows, bands)
   }
 }
 

@@ -49,11 +49,13 @@ object DedupQueries {
       None),
 
     // Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
-    // so the threshold sits at 0.4 with a wide-recall band layout to
-    // produce a non-trivial result set.
+    // so the threshold sits at 0.4 to produce a non-trivial result set.
+    // Band layout comes from LshParams.hyperplane(0.4); the 512-bit
+    // sketch-hamming prefilter inside embeddingNearDup prunes the bucket
+    // collisions a low threshold on an orthogonal corpus creates.
     QueryDef("q44_embedding_neardup",
-      (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, dim = 64, planes = 4, bands = 8),
+      (s, d) => Dedup.embeddingNearDupAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, dim = 64),
       None)
   )
 }

@@ -102,4 +102,69 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)))
   }
+
+  test("embeddingNearDupAuto matches the explicit-layout result on the fixture") {
+    val df = graft.sources.Tables.embeddings(spark, sf001)
+    val explicit = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.embeddingNearDupAuto(df, "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LshParams.hyperplane(0.4) resolves to the same (4, 8) layout, and the
+    // hamming prefilter must not drop verified pairs (4σ margin)
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
+
+  test("sketch-hamming prefilter keeps all pairs exact cosine would report") {
+    // run with the prefilter effectively disabled (cut at max) and enabled;
+    // result sets must match — the prefilter is an optimization, not a filter
+    val df = graft.sources.Tables.embeddings(spark, sf001)
+    val withPrefilter = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 4, bands = 8, prefilterBits = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minimalSketch = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 4, bands = 8, prefilterBits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 32-bit prefilter has a wide 4σ band — keeps essentially everything;
+    // 512-bit is the tight one. Both must agree with each other on this corpus.
+    assert(withPrefilter == minimalSketch,
+      s"prefilter dropped pairs: ${minimalSketch.diff(withPrefilter).take(5)}")
+  }
+
+  test("hammingWide counts differing sketch bits") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Array(0L, -1L), Array(0L, 0L)), (Array(5L, 8L), Array(1L, 8L)))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.hammingWide(col("a"), col("b"), 2)).as[Long].collect()
+    assert(got.toSeq == Seq(64L, 1L))
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    // a 6-hop chain cannot converge in 2 rounds of one-hop min propagation
+    val chain = (1L to 7L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same graph resolves to one component
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .select("component").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("minHashNearDup releases its signature cache (no persist leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.minHashNearDup(docs(
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "a b c d e f g h i j k l m n o q",
+      3L -> "z y x w v u t s r q p o n m l k"), "doc_id", "text").collect()
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    // only the localCheckpoint blocks of the (small) returned result may
+    // remain — the wide signature cache must be gone
+    assert(leaked.size <= 2, s"leaked persistent RDDs: $leaked")
+  }
 }
