@@ -32,8 +32,10 @@ object Bench {
     try graft.sources.Tables.registerAll(spark, sfDir) catch { case _: Throwable => }
     try spark.sql("select count(*) from lineitem").collect() catch { case _: Throwable => }
 
-    // optional substring filter (local iteration): `runMain graft.Bench q44`
+    // optional substring filter (local iteration): `runMain graft.Bench q44`;
+    // `runMain graft.Bench shape` runs only the shape comparison
     val selected = args.headOption match {
+      case Some("shape") => Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
       case Some(sub) => SparkEntry.queries.filter(_._1.contains(sub))
       case None => SparkEntry.queries
     }
@@ -44,7 +46,22 @@ object Bench {
     val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+
+    // Matched-scale shape comparison (full runs only): the reference's
+    // literal job structure vs the library's, same fixtures, same
+    // deliverables. See ShapeBench.
+    val shape =
+      if (args.isEmpty || args.headOption.contains("shape")) {
+        try {
+          val (ref, ours) = ShapeBench.compare(spark, sfDir)
+          f""","baseline_shape_sec":${ref.sec}%.3f,"graft_shape_sec":${ours.sec}%.3f,"shape_speedup":${ref.sec / ours.sec}%.3f,"baseline_shape_jobs":${ref.jobs},"graft_shape_jobs":${ours.jobs},"baseline_shape_scan_mb":${ref.scanBytes / 1048576}%d,"graft_shape_scan_mb":${ours.scanBytes / 1048576}%d"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] shape compare failed: ${e.getMessage}")
+            ""","shape_error":true"""
+        }
+      } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$shape,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Validation
+import graft.pipeline.{Gold, Silver}
+import graft.queries.MedallionQueries
+
+/** Matched-scale benchmark: the reference pipeline's LITERAL plan shapes
+  * vs this library's plan shapes, on the SAME fixture-derived frames, the
+  * SAME hardware, producing the SAME deliverables (4 Silver parquet
+  * tables, 2 Gold parquet tables, per-rule validation metrics).
+  *
+  * The reference publishes only full-Home-Credit wall times, so a direct
+  * number-vs-number compare is scale-confounded. This closes the gap by
+  * re-enacting the reference's execution shape — one `count()` job per
+  * negated validation rule (spark/silver/processor.py:147-153,169),
+  * input-count jobs before each build (processor.py:91-97,253-254,419,566),
+  * a dynamic-pivot distinct job (processor.py:624-642), cache+count of
+  * installments (processor.py:422-424), and disk handoffs between layers
+  * (gold/processor.py:127-140,234-237 re-read Silver/Gold parquet) — and
+  * timing it against the library shape on identical inputs:
+  * observe-attached single-pass validation metrics, pinned pivot values,
+  * in-memory layer handoff (Silver frames flow into Gold without a
+  * round-trip through the object store), and one cached client-profile
+  * reused by the portfolio rollup.
+  *
+  * Both shapes are verified to produce identical Gold outputs
+  * (ShapeBenchSpec), so the timing ratio compares plans, not answers.
+  */
+object ShapeBench {
+
+  final case class ShapeResult(sec: Double, profileRows: Long, portfolioRows: Long,
+                               jobs: Long = 0, scanBytes: Long = 0)
+
+  /** Counts Spark jobs and input bytes scanned while `body` runs — the
+    * scale-invariant cost of a plan shape: wall time at sf0.1 is dominated
+    * by per-job constants, but jobs launched and bytes read off storage
+    * grow linearly with data, so their ratio is what a 100 TB run feels.
+    */
+  private def instrumented(spark: SparkSession)(body: => ShapeResult): ShapeResult = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = body
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+      r.copy(jobs = jobs.get, scanBytes = bytes.get)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def freshDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft_shape_$tag")
+    p.toString
+  }
+
+  private def writePartitioned(df: DataFrame, path: String): Unit =
+    df.withColumn("year", lit(2026)).withColumn("month", lit(8)).withColumn("day", lit(12))
+      .write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+
+  // -------------------------------------------------------------------------
+  // Reference shape: every job the reference runs, in its order.
+  // -------------------------------------------------------------------------
+
+  /** Mirrors spark/silver/processor.py + spark/gold/processor.py job
+    * structure on the HC-shaped fixture frames. Deviations: none —
+    * including the parts the library deliberately does differently.
+    */
+  def referenceShape(spark: SparkSession, sfDir: String): ShapeResult = instrumented(spark) {
+    val out = freshDir("ref")
+    val t0 = System.nanoTime()
+
+    // ---- silver_client_application (processor.py:73-191) ----
+    val train = MedallionQueries.train(spark, sfDir)
+    val test = MedallionQueries.test(spark, sfDir)
+    train.count(); test.count()                      // processor.py:91-92
+    val unioned = graft.ops.SetOps.unionByNameTolerant(train, test)
+    unioned.count()                                  // processor.py:97
+    val normalized = Silver.normalizeApplication(unioned)
+    val rules = Silver.clientApplicationRules
+    rules.foreach { r =>                             // processor.py:147-153
+      normalized.filter(!coalesce(r.predicate, lit(false))).count()
+    }
+    val validApp = Validation.validate(normalized, rules)
+    validApp.count()                                 // processor.py:169
+    writePartitioned(validApp, s"$out/silver_client_application")
+
+    // ---- silver_bureau_summary (processor.py:243-375) ----
+    val bureau = MedallionQueries.bureau(spark, sfDir)
+    val balance = MedallionQueries.bureauBalance(spark, sfDir)
+    bureau.count(); balance.count()                  // processor.py:253-254
+    val bureauAgg = Silver.bureauSummaryUnfiltered(bureau, balance)
+    bureauAgg.count()                                // processor.py:349
+    bureauAgg.filter(col("SK_ID_CURR").isNull).count() // processor.py:354
+    val bureauValid = bureauAgg.filter(col("SK_ID_CURR").isNotNull)
+    bureauValid.count()                              // processor.py:358
+    writePartitioned(bureauValid, s"$out/silver_bureau_summary")
+
+    // ---- silver_payment_behavior (processor.py:407-519) ----
+    val inst = MedallionQueries.installments(spark, sfDir)
+    inst.count()                                     // processor.py:419
+    val instCached = inst.cache()
+    instCached.count()                               // processor.py:423-424 cache trigger
+    val payAgg = Silver.paymentBehaviorUnfiltered(instCached)
+    payAgg.count()                                   // processor.py:489
+    payAgg.filter(col("SK_ID_CURR").isNull).count()  // processor.py:494
+    val payValid = payAgg.filter(col("SK_ID_CURR").isNotNull)
+    payValid.count()                                 // processor.py:498
+    writePartitioned(payValid, s"$out/silver_payment_behavior")
+    instCached.unpersist()                           // processor.py:519
+
+    // ---- silver_previous_applications (processor.py:556-679) ----
+    val prev = MedallionQueries.previousApps(spark, sfDir)
+    prev.count()                                     // processor.py:566
+    val prevAgg = Silver.previousApplications(prev, statusValues = None) // dynamic pivot distinct job
+    prevAgg.count()                                  // processor.py:653
+    prevAgg.filter(col("SK_ID_CURR").isNull).count() // processor.py:658 (post-filter in lib, count 0)
+    writePartitioned(prevAgg, s"$out/silver_previous_applications")
+
+    // ---- gold_client_risk_profile (gold/processor.py:108-223): re-read Silver ----
+    val part = "year=2026/month=8/day=12"
+    val appS = spark.read.parquet(s"$out/silver_client_application/$part")
+    val burS = spark.read.parquet(s"$out/silver_bureau_summary/$part")
+    val payS = spark.read.parquet(s"$out/silver_payment_behavior/$part")
+    val prvS = spark.read.parquet(s"$out/silver_previous_applications/$part")
+    val profile = Gold.clientRiskProfile(appS, burS, payS, prvS)
+    val nProfile = profile.count()                   // gold/processor.py:216
+    writePartitioned(profile, s"$out/gold_client_risk_profile")
+
+    // ---- gold_portfolio_risk (gold/processor.py:226-271): re-read Gold ----
+    val profBack = spark.read.parquet(s"$out/gold_client_risk_profile/$part")
+    profBack.count()                                 // gold/processor.py:240
+    val portfolio = Gold.portfolioRisk(profBack)
+    writePartitioned(portfolio, s"$out/gold_portfolio_risk")
+    val nPortfolio = spark.read.parquet(s"$out/gold_portfolio_risk/$part").count() // :270
+
+    ShapeResult((System.nanoTime() - t0) / 1e9, nProfile, nPortfolio)
+  }
+
+  // -------------------------------------------------------------------------
+  // Library shape: same deliverables, the plans this library chooses.
+  // -------------------------------------------------------------------------
+
+  /** Same six parquet tables and the same validation metrics, produced the
+    * way the library is designed to: metrics ride the write jobs as
+    * `observe` telemetry (zero extra scans), the pivot schema is pinned,
+    * and Gold consumes the Silver FRAMES — the write is a sink, not a
+    * handoff, so nothing is read back from disk mid-pipeline.
+    */
+  def graftShape(spark: SparkSession, sfDir: String): ShapeResult = instrumented(spark) {
+    import org.apache.spark.storage.StorageLevel
+    val out = freshDir("graft")
+    val t0 = System.nanoTime()
+
+    // Each Silver frame is computed ONCE: persisted (memory, disk spill),
+    // written as the layer deliverable, then flows into Gold from the
+    // persisted blocks — executor-local reuse instead of the reference's
+    // write-then-re-read-from-storage handoff, and no recompute either.
+    def persistAndWrite(df: DataFrame, path: String): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      writePartitioned(p, path)
+      p
+    }
+
+    // ---- Silver: validated app with observe-attached metrics ----
+    val unioned = graft.ops.SetOps.unionByNameTolerant(
+      MedallionQueries.train(spark, sfDir), MedallionQueries.test(spark, sfDir))
+    val normalized = Silver.normalizeApplication(unioned)
+    val (validApp0, obs) = Validation.validateObserved(normalized, Silver.clientApplicationRules)
+    val validApp = persistAndWrite(validApp0, s"$out/silver_client_application")
+    obs.get                                          // metrics materialized by the write job
+
+    val bureauValid = persistAndWrite(
+      Silver.bureauSummary(
+        MedallionQueries.bureau(spark, sfDir), MedallionQueries.bureauBalance(spark, sfDir)),
+      s"$out/silver_bureau_summary")
+
+    val payValid = persistAndWrite(
+      Silver.paymentBehavior(MedallionQueries.installments(spark, sfDir)),
+      s"$out/silver_payment_behavior")
+
+    val prevAgg = persistAndWrite(
+      Silver.previousApplications(
+        MedallionQueries.previousApps(spark, sfDir), Some(MedallionQueries.statuses)),
+      s"$out/silver_previous_applications")
+
+    // ---- Gold: consume the persisted Silver frames ----
+    val profile = Gold.clientRiskProfile(validApp, bureauValid, payValid, prevAgg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    writePartitioned(profile, s"$out/gold_client_risk_profile")
+    val nProfile = profile.count()                   // served from cache (populated by the write)
+    val portfolio = Gold.portfolioRisk(profile)      // cache reuse, no disk round-trip
+    writePartitioned(portfolio, s"$out/gold_portfolio_risk")
+    val nPortfolio = portfolio.count()
+    Seq(validApp, bureauValid, payValid, prevAgg, profile).foreach(_.unpersist(false))
+
+    ShapeResult((System.nanoTime() - t0) / 1e9, nProfile, nPortfolio)
+  }
+
+  /** Run both shapes (reference first — its cache/unpersist leaves no
+    * state) and return (reference, graft).
+    */
+  def compare(spark: SparkSession, sfDir: String): (ShapeResult, ShapeResult) = {
+    val ref = referenceShape(spark, sfDir)
+    val ours = graftShape(spark, sfDir)
+    (ref, ours)
+  }
+}

@@ -75,7 +75,14 @@ object Silver {
     * (MONTHS_BALANCE is unique per loan, so the reference's single-column
     * order is already total.)
     */
-  def bureauSummary(bureau: DataFrame, bureauBalance: DataFrame): DataFrame = {
+  def bureauSummary(bureau: DataFrame, bureauBalance: DataFrame): DataFrame =
+    bureauSummaryUnfiltered(bureau, bureauBalance).filter(col("SK_ID_CURR").isNotNull)
+
+  /** [[bureauSummary]] before the null-key keep-filter — the intermediate
+    * the reference validates with separate count jobs
+    * (silver/processor.py:349-358); exposed for shape-faithful replay.
+    */
+  def bureauSummaryUnfiltered(bureau: DataFrame, bureauBalance: DataFrame): DataFrame = {
     val latest = Windows.topOnePerGroup(bureauBalance, Seq("SK_ID_BUREAU"),
       Seq(col("MONTHS_BALANCE").desc))
     val joined = bureau.join(latest, Seq("SK_ID_BUREAU"), "left")
@@ -87,14 +94,19 @@ object Silver {
         sum(col("AMT_CREDIT_SUM_DEBT")).alias("bureau_total_debt"),
         max(col("CREDIT_DAY_OVERDUE")).alias("bureau_max_days_overdue"),
         sum(col("AMT_CREDIT_SUM_OVERDUE")).alias("bureau_total_overdue"))
-      .filter(col("SK_ID_CURR").isNotNull)
   }
 
   /** silver_payment_behavior: installment delay + client timeline sequence
     * + client rollup with guarded payment ratio
     * (silver/processor.py:430-487).
     */
-  def paymentBehavior(installments: DataFrame): DataFrame = {
+  def paymentBehavior(installments: DataFrame): DataFrame =
+    paymentBehaviorUnfiltered(installments).filter(col("SK_ID_CURR").isNotNull)
+
+  /** [[paymentBehavior]] before the null-key keep-filter
+    * (silver/processor.py:489-498); exposed for shape-faithful replay.
+    */
+  def paymentBehaviorUnfiltered(installments: DataFrame): DataFrame = {
     val withDelay = installments.withColumn("payment_delay_days",
       coalesce(
         col("DAYS_ENTRY_PAYMENT").cast("int") - col("DAYS_INSTALMENT").cast("int"),
@@ -112,7 +124,6 @@ object Silver {
         sum(coalesce(col("AMT_INSTALMENT"), lit(0))).alias("payment_total_installment"))
       .withColumn("payment_ratio",
         Projections.guardedDiv(col("payment_total_paid"), col("payment_total_installment")))
-      .filter(col("SK_ID_CURR").isNotNull)
   }
 
   /** silver_previous_applications: counts + rejection rate + average

@@ -18,11 +18,11 @@ import graft.pipeline.{Gold, Silver}
   */
 object MedallionQueries {
 
-  private val statuses = Seq("Approved", "Refused", "Refused by client", "Unused offer")
+  private[graft] val statuses = Seq("Approved", "Refused", "Refused by client", "Unused offer")
 
   // ---- HC-shaped adapters (Spark side) ----------------------------------
 
-  private def appBase(spark: SparkSession, d: String): DataFrame =
+  private[graft] def appBase(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d).select(
       col("c_custkey").alias("SK_ID_CURR"),
       when(col("c_custkey") % 5 === 0, 1).otherwise(0).alias("TARGET"),
@@ -37,13 +37,13 @@ object MedallionQueries {
         .when(col("c_custkey") % 21 === 2, "XNA")
         .otherwise("F").alias("CODE_GENDER"))
 
-  private def train(spark: SparkSession, d: String): DataFrame =
+  private[graft] def train(spark: SparkSession, d: String): DataFrame =
     appBase(spark, d).filter(col("SK_ID_CURR") % 4 =!= 0)
 
-  private def test(spark: SparkSession, d: String): DataFrame =
+  private[graft] def test(spark: SparkSession, d: String): DataFrame =
     appBase(spark, d).filter(col("SK_ID_CURR") % 4 === 0).drop("TARGET")
 
-  private def bureau(spark: SparkSession, d: String): DataFrame =
+  private[graft] def bureau(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d).select(
       col("o_custkey").alias("SK_ID_CURR"),
       col("o_orderkey").alias("SK_ID_BUREAU"),
@@ -57,14 +57,14 @@ object MedallionQueries {
     * unique (linenumber, partkey, suppkey) quad so the latest-per-loan
     * window has a total order.
     */
-  private def bureauBalance(spark: SparkSession, d: String): DataFrame =
+  private[graft] def bureauBalance(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d).select(
       col("l_orderkey").alias("SK_ID_BUREAU"),
       (-(col("l_linenumber").cast("long") * 1000000000L +
         col("l_partkey") * 10000L + col("l_suppkey"))).alias("MONTHS_BALANCE"),
       col("l_returnflag").alias("STATUS"))
 
-  private def installments(spark: SparkSession, d: String): DataFrame =
+  private[graft] def installments(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -80,7 +80,7 @@ object MedallionQueries {
           .otherwise((floor(col("l_extendedprice") / 10) - floor(col("l_quantity"))).cast("double"))
           .alias("AMT_PAYMENT"))
 
-  private def previousApps(spark: SparkSession, d: String): DataFrame =
+  private[graft] def previousApps(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d).select(
       col("o_orderkey").alias("SK_ID_PREV"),
       col("o_custkey").alias("SK_ID_CURR"),

@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until queued listener events are delivered (`listenerBus` is
+    * `private[spark]`) — needed when metrics collected by a listener are
+    * read right after the jobs that produced them.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
