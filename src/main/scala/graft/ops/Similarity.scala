@@ -28,6 +28,7 @@ object Similarity {
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine").isNotNull) // zero-norm vectors have no defined similarity
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -52,6 +53,7 @@ object Similarity {
       .select(col("query_id"),
         col("neighbor_id"),
         VectorFunctions.cosine(col("__qv"), col("__cv")).alias("cosine"))
+      .filter(col("cosine").isNotNull) // keep degenerate-vector semantics identical to bruteForceTopK
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(k).toColumn
     scored.groupByKey(_._1)
@@ -64,50 +66,118 @@ object Similarity {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
+  /** Spherical k-means coarse centroids for IVF, fit driver-side over a
+    * seeded sample of the corpus: farthest-point init (deterministic
+    * k-means++ analogue), then `iters` Lloyd rounds assigning by dot
+    * product against unit-norm centroids. The sample is one corpus scan
+    * (`sample(fraction)` sized off a parquet-metadata count); the fit
+    * itself is O(sampleSize · k · dim) on the driver — trivial for coarse
+    * quantizers (k ≤ a few hundred), which is exactly IVF's regime.
+    * Returns unit-norm centroids; cells that lose all members keep their
+    * previous centroid.
+    */
+  def fitCentroids(corpus: DataFrame, vecCol: String, k: Int,
+                   sampleSize: Int = 2048, iters: Int = 8,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    val total = corpus.count() // parquet scans answer this from footer metadata
+    val fraction = math.min(1.0, (sampleSize * 1.2) / math.max(1L, total).toDouble)
+    val rows = corpus.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).collect()
+    val pts: Array[Array[Double]] = rows.iterator
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case null => 0.0
+      }.toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+      .filter(_.exists(_ != 0.0))
+      .toArray
+    require(pts.length >= k, s"need at least $k non-zero sample vectors, got ${pts.length}")
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    // farthest-point init: start from the sample's first vector, then
+    // repeatedly add the point with the smallest best-dot to chosen ones
+    val cents = scala.collection.mutable.ArrayBuffer(pts(0))
+    while (cents.length < k) {
+      var worst = -1; var worstBest = Double.MaxValue
+      var i = 0
+      while (i < pts.length) {
+        var best = Double.MinValue
+        cents.foreach(c => best = math.max(best, dot(c, pts(i))))
+        if (best < worstBest) { worstBest = best; worst = i }
+        i += 1
+      }
+      cents += pts(worst)
+    }
+    var centroids = cents.toArray
+
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](pts(0).length))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MinValue
+        var c = 0
+        while (c < k) {
+          val d = dot(centroids(c), p)
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < p.length) { sums(best)(j) += p(j); j += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else centroids(c)
+        }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: corpus rows are assigned to their nearest
     * coarse centroid; a query scores only the rows in its `nProbe` closest
-    * cells. Centroids here are `nCentroids` deterministic corpus rows
-    * (lowest ids) collected to the driver — at real scale substitute a
-    * sampled k-means; the probe/assign machinery is unchanged. The
-    * centroid table is tiny and travels as literals inside codegen'd
-    * expressions; the corpus is scanned once and shuffled only on the
-    * cell key.
+    * cells. Centroids come from [[fitCentroids]] (sampled spherical
+    * k-means) unless supplied. The centroid matrix is tiny and travels as
+    * a codegen reference object inside the native
+    * [[graft.functions.CentroidCellsExpr]] (one fused dot-product loop per
+    * row, not k interpreted HOF folds); the corpus is scanned once and
+    * shuffled only on the cell key.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Column
-    val centroids: Seq[Seq[Double]] = corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-
-    def centroidScores(v: String): Column =
-      array(centroids.map(c =>
-        VectorFunctions.cosine(col(v), array(c.map(lit): _*))): _*)
+              nCentroids: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.CentroidCellsExpr
+    val cents = centroids.getOrElse(fitCentroids(corpus, vecCol, nCentroids))
 
     // corpus → its single best cell (1-based index into the centroid list)
     val assigned = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
-      .withColumn("__cell", array_position(centroidScores("__cv"),
-        array_max(centroidScores("__cv"))))
+      .withColumn("__cell", element_at(CentroidCellsExpr(col("__cv"), cents, 1), 1))
 
-    // query → its nProbe best cells, via comparator array_sort on
-    // (score, index) structs
-    val idxScores = transform(sequence(lit(1), lit(nCentroids)),
-      i => struct(element_at(centroidScores("__qv"), i).alias("s"), i.alias("i")))
-    val probeCells = slice(
-      array_sort(idxScores, (l, r) =>
-        when(l.getField("s") > r.getField("s"), -1)
-          .when(l.getField("s") < r.getField("s"), 1)
-          .otherwise(0)),
-      1, nProbe)
+    // query → its nProbe best cells
     val probed = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
-      .withColumn("__cell", explode(transform(probeCells, p => p.getField("i").cast("long"))))
+      .withColumn("__cell", explode(CentroidCellsExpr(col("__qv"), cents, nProbe)))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probed), Seq("__cell"))
       .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
@@ -147,6 +217,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),

@@ -61,4 +61,65 @@ class SimilaritySpec extends SparkSpec {
       brute.get(key).foreach(exp => assert(math.abs(r.getDouble(2) - exp) < 1e-9))
     }
   }
+
+  /** Deterministic clustered corpus: `nClusters` unit anchor directions,
+    * each point = anchor + small seeded noise. IVF's contract (nearby
+    * points share a cell) is only testable on data that HAS cells.
+    */
+  private def clusteredCorpus(n: Int, nClusters: Int, dim: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(1234)
+    val anchors = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    (0L until n.toLong).map { i =>
+      val a = anchors((i % nClusters).toInt)
+      val noisy = a.map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      (i, noisy.toSeq)
+    }
+  }
+
+  test("fitCentroids is deterministic and returns unit-norm centroids") {
+    val corpus = clusteredCorpus(400, 8, 16).toDF("vec_id", "embedding")
+    val c1 = Similarity.fitCentroids(corpus, "embedding", 8, sampleSize = 256)
+    val c2 = Similarity.fitCentroids(corpus, "embedding", 8, sampleSize = 256)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    c1.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9)
+    }
+  }
+
+  test("ivfTopK with k-means centroids: recall >= 0.9 vs brute force on clustered data") {
+    val corpus = clusteredCorpus(600, 8, 16).toDF("vec_id", "embedding")
+    val queries = clusteredCorpus(600, 8, 16).filter(_._1 % 40 == 0).toDF("vec_id", "embedding")
+    val k = 5
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (|brute|=${brute.size}, |ivf|=${ivf.size})")
+  }
+
+  test("ivfTopK cosines are exact and ranks are contiguous per query") {
+    val corpus = clusteredCorpus(300, 4, 12).toDF("vec_id", "embedding")
+    val queries = clusteredCorpus(300, 4, 12).filter(_._1 < 3).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 300)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val out = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 4,
+      nCentroids = 4, nProbe = 2).collect()
+    out.foreach { r =>
+      val exp = brute((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - exp) < 1e-9)
+    }
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
 }
