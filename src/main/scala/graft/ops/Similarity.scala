@@ -66,6 +66,31 @@ object Similarity {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
+  /** Exact top-k ranked by the native [[graft.functions.TopKPairsAgg]]
+    * `TypedImperativeAggregate`: bounded k-element heaps with partial
+    * (map-side) aggregation — only k pairs per query per partition cross
+    * the shuffle — and, unlike the typed-Dataset
+    * [[bruteForceTopKAgg]] variant, input rows stay in Tungsten format
+    * (no Kryo buffer, no object churn per row). Same output as
+    * [[bruteForceTopK]]; this is the scale path for large corpora.
+    */
+  def bruteForceTopKNative(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKPairsAgg
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("__qv"), col("__cv")).alias("cosine"))
+      .groupBy(col("query_id"))
+      .agg(TopKPairsAgg(col("neighbor_id"), col("cosine"), k).alias("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("query_id"),
+        col("__s.neighbor_id").alias("neighbor_id"),
+        round(col("__s.cosine"), 6).alias("cosine"),
+        (col("__i") + 1).cast("long").alias("rank"))
+  }
+
   /** Spherical k-means coarse centroids for IVF, fit driver-side over a
     * seeded sample of the corpus: farthest-point init (deterministic
     * k-means++ analogue), then `iters` Lloyd rounds assigning by dot

@@ -40,12 +40,13 @@ object SimilarityQueries {
       },
       Some(bruteForceSql)),
 
-    // Same semantics ranked by the typed TopKAggregator (bounded map-side
-    // heaps, no window sort) — same oracle must hold for both plans.
+    // Same semantics ranked by the native TopKPairsAgg aggregate (bounded
+    // map-side heaps in Tungsten, no window sort, no typed-Dataset
+    // round-trip) — same oracle must hold for both plans.
     QueryDef("q55_ann_topk_agg",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.bruteForceTopKAgg(
+        Similarity.bruteForceTopKNative(
           emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
           "vec_id", "embedding", K)
       },

@@ -80,6 +80,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bruteForceTopKNative matches the window variant exactly") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val window = canon(Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 7))
+    val native = canon(Similarity.bruteForceTopKNative(q, c, "vec_id", "embedding", 7))
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("TopKPairsAgg tolerates null scores and ties break by lower id") {
+    import graft.functions.TopKPairsAgg
+    val df = Seq(
+      (1L, 10L, Double.box(0.5)), (1L, 11L, Double.box(0.5)), (1L, 12L, Double.box(0.9)),
+      (1L, 13L, null.asInstanceOf[java.lang.Double]), (1L, 14L, Double.box(0.1))
+    ).toDF("g", "id", "s")
+    val out = df.groupBy("g").agg(TopKPairsAgg(col("id"), col("s"), 3).alias("top"))
+      .select(explode(col("top")).alias("e"))
+      .select(col("e.neighbor_id"), col("e.cosine")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((12L, 0.9), (10L, 0.5), (11L, 0.5)))
+  }
+
   test("fitCentroids is deterministic and returns unit-norm centroids") {
     val corpus = clusteredCorpus(400, 8, 16).toDF("vec_id", "embedding")
     val c1 = Similarity.fitCentroids(corpus, "embedding", 8, sampleSize = 256)
