@@ -47,7 +47,8 @@ object Dedup {
     */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, shingleK: Int = 3,
-                     bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                     bands: Int = 8, rowsPerBand: Int = 4,
+                     estMargin: Double = 0.2): DataFrame = {
     val numHashes = bands * rowsPerBand
     // shingle sets + signatures are consumed by three branches (banding,
     // estimate filter, exact verify) — cache once instead of recomputing
@@ -79,8 +80,10 @@ object Dedup {
     // two cheap prefilters before touching the wide shingle arrays:
     //  1. size ratio: true jaccard ≤ min(|A|,|B|)/max(|A|,|B|) — lossless;
     //  2. signature estimate: matching-minhash fraction ≈ jaccard; cut at
-    //     threshold − 0.2 (≈2.3σ for 32 hashes) — prunes the bulk of the
-    //     sub-threshold bucket collisions this self-similar corpus creates.
+    //     threshold − estMargin (default 0.2 ≈ 2.3σ for 32 hashes) — prunes
+    //     the bulk of the sub-threshold bucket collisions this self-similar
+    //     corpus creates. Widen the margin when the layout targets
+    //     exactness (every extra 0.05 of margin buys ~0.7σ at 48 hashes).
     val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"),
       col("__n").alias("__na"))
     val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"),
@@ -92,7 +95,7 @@ object Dedup {
       .join(sa, "id_a").join(sb, "id_b")
       .filter(least(col("__na"), col("__nb")).cast("double") /
         greatest(col("__na"), col("__nb")) >= threshold)
-      .filter(estMatches >= (threshold - 0.2) * numHashes)
+      .filter(estMatches >= (threshold - estMargin) * numHashes)
       .select(col("id_a"), col("id_b"))
 
     val verified = verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)

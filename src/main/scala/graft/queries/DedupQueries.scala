@@ -38,6 +38,29 @@ object DedupQueries {
              |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.5""".stripMargin)),
 
+    // MinHash-LSH tuned for EXACTNESS: with 1-gram shingles the verify
+    // step computes the same token-set Jaccard as q41's brute force, and
+    // the (rows=3, bands=16) layout drives per-pair banding miss
+    // probability at j=0.9 to (1-0.9^3)^16 ≈ 8.6e-10 — so LSH + exact
+    // verify equals the brute-force pair set and carries the same DuckDB
+    // oracle (the first hash-green LSH path; q42 remains the
+    // recall/throughput-tuned scale variant). estMargin=0.35 keeps the
+    // signature-estimate prefilter ~8σ clear of true pairs.
+    QueryDef("q49_minhash_lsh_exact",
+      (s, d) => Dedup.minHashNearDup(
+        Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+        threshold = 0.9, shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             |  FROM documents WHERE doc_id < 500)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9""".stripMargin)),
+
     QueryDef("q42_minhash_neardup",
       (s, d) => Dedup.minHashNearDup(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5),

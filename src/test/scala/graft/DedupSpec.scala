@@ -155,6 +155,17 @@ class DedupSpec extends SparkSpec {
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("exactness-tuned MinHash layout equals brute-force token jaccard (q49 contract)") {
+    val docs = graft.sources.Tables.documents(spark, sf001).filter(col("doc_id") < 300)
+    val brute = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minHashNearDup(docs, "doc_id", "text",
+      threshold = 0.9, shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"missed=${brute.diff(lsh).take(5)} extra=${lsh.diff(brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
   test("minHashNearDup releases its signature cache (no persist leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
