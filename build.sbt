@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// HiveCatalogSpec owns its SparkContext lifecycle (a Hive-backed
+// SharedState cannot coexist with the shared in-memory-catalog test
+// session), so it gets a dedicated JVM.
+Test / testGrouping := {
+  val (solo, rest) = (Test / definedTests).value.partition(_.name.contains("HiveCatalogSpec"))
+  val forkOpts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  Seq(
+    Tests.Group("hive-catalog", solo, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

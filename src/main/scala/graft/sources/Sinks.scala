@@ -27,22 +27,26 @@ object Sinks {
   /** S8: JDBC overwrite (drop+recreate semantics, reference:
     * gold/processor.py:284-313). `numPartitions` bounds concurrent
     * connections; `batchsize` amortizes round-trips — a single-connection
-    * unbatched JDBC write is the classic datamart bottleneck.
-    * Integration-gated: requires a reachable database (none in this
-    * container), so covered by wiring tests only.
+    * unbatched JDBC write is the classic datamart bottleneck. `props`
+    * passes driver-specific options (e.g. `driver` for databases not
+    * auto-discovered from the url). Integration-tested against embedded
+    * Derby (JdbcSpec), including overwrite-with-schema-change.
     */
   def jdbcOverwrite(df: DataFrame, url: String, table: String,
                     user: String, password: String,
-                    numPartitions: Int = 8, batchSize: Int = 10000): Unit =
-    df.write.format("jdbc")
+                    numPartitions: Int = 8, batchSize: Int = 10000,
+                    props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("user", user)
       .option("password", password)
       .option("numPartitions", numPartitions.toString)
       .option("batchsize", batchSize.toString)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(SaveMode.Overwrite)
       .save()
+  }
 
   /** CSV export sink (header, overwrite). */
   def csv(df: DataFrame, path: String, coalesceTo: Option[Int] = Some(1)): Unit = {
