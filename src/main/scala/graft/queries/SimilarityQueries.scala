@@ -70,16 +70,18 @@ object SimilarityQueries {
       },
       None),
 
-    // Multimodal plumbing: binary content column → size-balanced
-    // partitions → batched decode (STUB features) — real schema/iteration,
-    // fake codec (see Multimodal.decodeStub).
+    // Multimodal: REAL PNG bytes (rendered deterministically from fixture
+    // text, encoded by ImageIO) → size-balanced partitions → REAL image
+    // decode (width/height/channels/band means). The stub codec survives
+    // only as the non-image fallback inside decodeImages.
     QueryDef("q52_multimodal_features",
       (s, d) => {
-        val media = Multimodal.fromDocuments(Tables.documents(s, d))
-        Multimodal.decodeStub(media)
-          .select(col("media_id"), col("n_bytes"),
-            round(element_at(col("feature"), 1), 6).alias("f0"),
-            round(element_at(col("feature"), 8), 6).alias("f7"))
+        val media = Multimodal.pngFromDocuments(Tables.documents(s, d))
+        Multimodal.decodeImages(Multimodal.sizeBalanced(media, 1L << 20, 8L << 20))
+          .select(col("media_id"), col("n_bytes"), col("decode_ok"),
+            col("width"), col("height"), col("channels"),
+            round(element_at(col("feature"), 1), 6).alias("mean_r"),
+            round(element_at(col("feature"), 5), 6).alias("aspect"))
       },
       None),
 

@@ -26,10 +26,81 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
   }
 
-  test("sizeBalanced yields the requested partition count") {
+  test("sizeBalanced yields the requested partition count and spreads bytes") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf001))
     val total = media.agg(sum("n_bytes")).head().getLong(0)
     val parts = Multimodal.sizeBalanced(media, targetPartitionBytes = total / 4, total)
     assert(parts.rdd.getNumPartitions == 4)
+    // byte skew: hash spreading must not concentrate the large blobs
+    val bytesPerPart = parts.select(col("n_bytes")).rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).sum)).collect()
+    val mean = bytesPerPart.sum.toDouble / bytesPerPart.length
+    assert(bytesPerPart.max <= 2.0 * mean,
+      s"byte skew: ${bytesPerPart.mkString(",")}")
+  }
+
+  test("sizeBalancedExact bounds every partition by target + one blob") {
+    import spark.implicits._
+    // adversarial sizes: a few huge blobs among many small ones
+    val media = (1L to 300L).map { i =>
+      val n = if (i % 50 == 0) 60000L else 500L
+      (i, Array.fill(1)(i.toByte), "application/octet-stream", n)
+    }.toDF("media_id", "content", "media_type", "n_bytes")
+    val total = media.agg(sum("n_bytes")).head().getLong(0)
+    val target = 80000L
+    val parts = Multimodal.sizeBalancedExact(media, target, total)
+    val bytesPerPart = parts.select(col("n_bytes")).rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).sum)).collect()
+    assert(bytesPerPart.forall(_ <= target + 60000L),
+      s"partition over bound: ${bytesPerPart.mkString(",")}")
+  }
+
+  test("decodeImages decodes real PNG bytes: dimensions, channels, band means") {
+    import spark.implicits._
+    // hand-built 2x1 image: left pixel pure red, right pixel pure blue
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((1L, png, "image/png", png.length.toLong))
+      .toDF("media_id", "content", "media_type", "n_bytes")
+    val r = Multimodal.decodeImages(media).head()
+    assert(r.getAs[Boolean]("decode_ok"))
+    assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 1)
+    assert(r.getAs[Int]("channels") == 3)
+    val f = r.getSeq[Double](7)
+    // bands are BGR or RGB depending on raster layout; mean of each used
+    // band over {255, 0} pixels is 0.5, green stays 0
+    assert(math.abs(f(0) - 0.5) < 1e-9 && math.abs(f(2) - 0.5) < 1e-9)
+    assert(f(1) == 0.0)
+    assert(f(4) == 2.0) // aspect ratio
+  }
+
+  test("decodeImages falls back to stub features on corrupt or non-image rows") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array[Byte](1, 2, 3), "image/png", 3L),          // corrupt image
+      (2L, Array[Byte](4, 5, 6), "audio/wav", 3L))          // non-image
+      .toDF("media_id", "content", "media_type", "n_bytes")
+    val out = Multimodal.decodeImages(media).collect()
+    assert(out.forall(!_.getAs[Boolean]("decode_ok")))
+    assert(out.forall(_.isNullAt(4)))
+    assert(out.forall(_.getSeq[Double](7).length == 8))
+  }
+
+  test("pngFromDocuments emits decodable PNGs and q52 runs end-to-end") {
+    val media = Multimodal.pngFromDocuments(
+      Tables.documents(spark, sf001).limit(20))
+    val decoded = Multimodal.decodeImages(media)
+    val rows = decoded.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("decode_ok")))
+    assert(rows.forall(r => r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8))
+    // determinism: same input bytes, same decoded means
+    val again = decoded.collect().map(r => r.getLong(0) -> r.getSeq[Double](7)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Double](7)))
   }
 }
