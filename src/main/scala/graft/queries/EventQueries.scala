@@ -75,6 +75,32 @@ object EventQueries {
               |  FROM f)
               |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
               |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
-              |FROM sess GROUP BY user_id, session_id""".stripMargin))
+              |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
+    // Native session_window (the streaming idiom, run in batch) with a
+    // lag-gap SQL mirror: a gap of exactly the threshold starts a new
+    // session (>=), the one boundary where session_window and the q23
+    // lag-gap form differ.
+    QueryDef("q57_session_window",
+      (s, d) => TimeSeries.sessionWindowAgg(Tables.events(s, d), "user_id", "ts",
+        gapSeconds = 1800),
+      Some(s"""WITH $evCte,
+              |m AS (
+              |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+              |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              |  FROM ev),
+              |f AS (
+              |  SELECT user_id, event_id, ts,
+              |         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+              |  FROM m),
+              |sess AS (
+              |  SELECT user_id, ts,
+              |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                           ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM f)
+              |SELECT user_id, MIN(ts) AS session_start,
+              |       MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+              |       COUNT(*) AS n_events
+              |FROM sess GROUP BY user_id, sid""".stripMargin))
   )
 }

@@ -86,4 +86,19 @@ class StreamingSpec extends SparkSpec {
     assert(mismatch.count() == 0)
     assert(finalTotals.count() == batch.count())
   }
+
+  test("batch session_window agrees with lag-gap sessionization (q57 vs q23)") {
+    val events = graft.sources.Tables.events(spark, sf001)
+    val native = TimeSeries.sessionWindowAgg(events, "user_id", "ts", 1800)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val lagGap = TimeSeries.sessionStats(events, "user_id", "ts", 1800,
+      tieBreak = Seq(col("event_id")))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // no fixture gap lands exactly on the 1800s boundary, so the two
+    // boundary conventions produce identical sessions
+    assert(native == lagGap)
+    assert(native.nonEmpty)
+  }
 }
