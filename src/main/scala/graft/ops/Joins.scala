@@ -43,4 +43,38 @@ object Joins {
   /** Generic equi-join with arbitrary condition (inner). */
   def inner(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "inner")
+
+  /** Range (interval-containment) join: pairs each `intervals` row with
+    * every `points` row whose `tsCol` falls in `[startCol, endCol)`.
+    *
+    * A naive inequality join has NO equi-key, so Catalyst can only plan a
+    * broadcast-nested-loop or cartesian product — O(|intervals|·|points|)
+    * compares and a single-task wall at scale. This operator manufactures
+    * the equi-key: time is sliced into `binSeconds` bins, each interval is
+    * exploded to the bins it overlaps, each point hashes to exactly ONE
+    * bin, and the join becomes a plain shuffled equi-join on the bin key
+    * with the exact range predicate as a post-filter. Each point lives in
+    * one bin, so no dedup is needed; interval replication is
+    * `1 + ceil(length/binSeconds)` rows — pick binSeconds near the typical
+    * interval length to keep it ~2×.
+    *
+    * Bin ids come from exact integral floor-division on epoch
+    * microseconds (`(us - pmod(us, bin)) / bin` — the subtraction makes
+    * the double division exact), valid for any timestamp sign.
+    */
+  def rangeJoinBinned(intervals: DataFrame, points: DataFrame,
+                      startCol: String, endCol: String, tsCol: String,
+                      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binOf(us: Column): Column =
+      ((us - pmod(us, lit(binUs))) / lit(binUs)).cast("long")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        binOf(unix_micros(col(startCol))),
+        binOf(unix_micros(col(endCol)) - 1))))  // end is exclusive
+    val pts = points.withColumn("__bin", binOf(unix_micros(col(tsCol))))
+    binned.join(pts, Seq("__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
 }

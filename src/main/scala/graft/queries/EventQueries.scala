@@ -101,6 +101,31 @@ object EventQueries {
               |SELECT user_id, MIN(ts) AS session_start,
               |       MAX(ts) + INTERVAL 1800 SECOND AS session_end,
               |       COUNT(*) AS n_events
-              |FROM sess GROUP BY user_id, sid""".stripMargin))
+              |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // Range join: every event inside a 30-minute incident window (windows
+    // anchored at sparse error events). The binned rewrite turns the
+    // no-equi-key inequality join — a nested-loop at scale — into a
+    // shuffled equi-join on a time-bin key (see Joins.rangeJoinBinned);
+    // the oracle states the same join as a plain inequality.
+    QueryDef("q58_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val incidents = ev
+          .filter(col("event_type") === "error" && col("event_id") % 101 === 0)
+          .select(col("event_id").alias("incident_id"),
+            col("ts").alias("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).alias("w_end"))
+        graft.ops.Joins.rangeJoinBinned(incidents, ev,
+            "w_start", "w_end", "ts", binSeconds = 1800)
+          .select(col("incident_id"), col("event_id"), col("user_id"), col("event_type"))
+      },
+      Some(s"""WITH $evCte,
+              |inc AS (
+              |  SELECT event_id AS incident_id, ts AS w_start,
+              |         ts + INTERVAL 30 MINUTE AS w_end
+              |  FROM ev WHERE event_type = 'error' AND event_id % 101 = 0)
+              |SELECT i.incident_id, e.event_id, e.user_id, e.event_type
+              |FROM inc i JOIN ev e ON e.ts >= i.w_start AND e.ts < i.w_end""".stripMargin))
   )
 }

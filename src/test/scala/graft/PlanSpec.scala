@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"too many SK_ID_CURR exchanges ($exchanges):\n$p")
   }
 
+  test("q58 range join plans an equi-join on the bin key, not a nested loop") {
+    val p = plan("q58_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a product plan:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -96,4 +96,40 @@ class ScaleOpsSpec extends SparkSpec {
     val r = spark.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0)
     assert(r != 0L)
   }
+
+  test("rangeJoinBinned equals the naive inequality join on fixture events") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val incidents = ev.filter(col("event_type") === "error" && col("event_id") % 17 === 0)
+      .select(col("event_id").alias("incident_id"), col("ts").alias("w_start"),
+        (col("ts") + expr("INTERVAL 45 MINUTES")).alias("w_end"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("incident_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = canon(incidents.join(ev,
+      col("ts") >= col("w_start") && col("ts") < col("w_end")))
+    val binned = canon(graft.ops.Joins.rangeJoinBinned(incidents, ev,
+      "w_start", "w_end", "ts", binSeconds = 1800))
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
+  test("rangeJoinBinned boundary semantics: start inclusive, end exclusive, long spans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val intervals = Seq((1L, "2024-01-01 00:00:00", "2024-01-01 10:00:00"))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), to_timestamp(col("s")).alias("w_start"),
+        to_timestamp(col("e")).alias("w_end"))
+    val points = Seq(
+      (10L, "2024-01-01 00:00:00"),  // == start: included
+      (11L, "2024-01-01 05:30:00"),  // mid-span (bin 11 of 20): included
+      (12L, "2024-01-01 10:00:00"),  // == end: excluded
+      (13L, "2023-12-31 23:59:59")   // before: excluded
+    ).toDF("pid", "t").select(col("pid"), to_timestamp(col("t")).alias("ts"))
+    val got = graft.ops.Joins.rangeJoinBinned(intervals, points,
+      "w_start", "w_end", "ts", binSeconds = 1800)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L))
+  }
 }
