@@ -11,16 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// HiveCatalogSpec owns its SparkContext lifecycle (a Hive-backed
-// SharedState cannot coexist with the shared in-memory-catalog test
-// session), so it gets a dedicated JVM.
+// HiveCatalogSpec and ExtensionsSpec own their SparkContext lifecycles
+// (Hive-backed SharedState / session extensions are fixed at creation and
+// cannot coexist with the shared test session), so each gets its own JVM.
 Test / testGrouping := {
-  val (solo, rest) = (Test / definedTests).value.partition(_.name.contains("HiveCatalogSpec"))
+  val tests = (Test / definedTests).value
   val forkOpts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
-  Seq(
-    Tests.Group("hive-catalog", solo, Tests.SubProcess(forkOpts)),
-    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
-  ).filter(_.tests.nonEmpty)
+  def grp(n: String, ts: Seq[TestDefinition]) = Tests.Group(n, ts, Tests.SubProcess(forkOpts))
+  val (hive, rest1) = tests.partition(_.name.contains("HiveCatalogSpec"))
+  val (extn, rest) = rest1.partition(_.name.contains("ExtensionsSpec"))
+  Seq(grp("hive-catalog", hive), grp("extensions", extn), grp("main", rest))
+    .filter(_.tests.nonEmpty)
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -87,11 +87,14 @@ final class TopKHeap(val k: Int) {
 case class TopKPairsAgg(
     idExpr: Expression, scoreExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKHeap] {
+    extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
 
   require(k >= 1, "k must be >= 1")
 
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
+  // analyzer-inserted coercions: SQL callers may pass int ids or decimal
+  // scores (ANSI literals) — without this the blind casts in update() throw
+  override def inputTypes: Seq[DataType] = Seq(LongType, DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

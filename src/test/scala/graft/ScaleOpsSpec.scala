@@ -97,6 +97,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r != 0L)
   }
 
+  test("GraftFunctions.registerAll installs the SQL surface in a live session") {
+    GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT simhash64(array('x')) AS h").head().getLong(0) != 0L)
+    assert(spark.sql(
+      "SELECT size(hyperplane_sketch(array(CAST(1.0 AS DOUBLE)), 7, 64, 1)) AS n")
+      .head().getInt(0) == 1)
+    val top = spark.sql(
+      """SELECT top_k_pairs(id, s, 1) AS t FROM VALUES (5L, 0.2), (6L, 0.8) AS v(id, s)""")
+      .selectExpr("t[0].neighbor_id").head().getLong(0)
+    assert(top == 6L)
+  }
+
   test("rangeJoinBinned equals the naive inequality join on fixture events") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf001)
