@@ -63,4 +63,37 @@ class ActionsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
     }
   }
+
+  test("xlsx export writes a valid workbook with typed cells") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a & <b>", 1.5, true),
+      (2L, "plain", -0.25, false)
+    ).toDF("id", "name", "score", "flag")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/out.xlsx"
+    graft.sources.XlsxExport.write(df, path, maxRows = 10)
+
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.toSet == Set("[Content_Types].xml", "_rels/.rels",
+        "xl/workbook.xml", "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"))
+      // sheet must be well-formed XML with escaped strings and typed numbers
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      assert(doc.getElementsByTagName("c").getLength == 12) // 4 header + 2 rows x 4
+      val xml = {
+        val in = zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      assert(xml.contains("a &amp; &lt;b&gt;"))
+      assert(xml.contains("""t="n"><v>1.5</v>"""))
+      assert(xml.contains("""t="b"><v>1</v>"""))
+    } finally zf.close()
+  }
 }
