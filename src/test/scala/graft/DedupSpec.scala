@@ -166,6 +166,28 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("connectedComponentsFast collapses a long chain in O(log d) rounds") {
+    // a 200-node path has diameter 199: one-hop propagation would need
+    // ~199 rounds; pointer doubling must finish within 16
+    val chain = (1L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsFast(chain, maxIter = 16)
+    assert(out.select("component").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.count() == 200)
+  }
+
+  test("connectedComponentsFast equals the one-hop variant on mixed graphs") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),      // chain
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L)                          // pair
+    ).toDF("id_a", "id_b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(canon(Dedup.connectedComponentsFast(pairs)) ==
+      canon(Dedup.connectedComponents(pairs)))
+  }
+
   test("minHashNearDup releases its signature cache (no persist leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
