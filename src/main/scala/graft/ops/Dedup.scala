@@ -264,6 +264,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Brute-force word-k-gram (shingle) Jaccard pairs — stricter than
+    * token-set Jaccard (word order matters within each gram; boilerplate
+    * vocabulary overlap no longer inflates similarity). Builds STRING
+    * shingles so the similarity is engine-independent and oracle-
+    * expressible; [[minHashNearDup]] with `shingleK = k` is the hashed,
+    * banded scale path for the same semantics. O(n²) — cap n upstream.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).alias("__id"),
+      TextFunctions.tokens(col(textCol)).alias("__toks"))
+    val sh = t.select(col("__id"), array_distinct(
+      when(size(col("__toks")) >= k,
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))).alias("__sh"))
+    val a = sh.select(col("__id").alias("id_a"), col("__sh").alias("__sa"))
+    val b = sh.select(col("__id").alias("id_b"), col("__sh").alias("__sb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_distinct(concat(col("__sa"), col("__sb")))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, 4×16-bit LSH bands,
     * hamming distance ≤ maxHamming (pigeonhole-complete for maxHamming ≤ 3).
     */

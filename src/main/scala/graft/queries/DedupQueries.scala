@@ -38,6 +38,29 @@ object DedupQueries {
              |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.5""".stripMargin)),
 
+    // Word-3-gram Jaccard: order-sensitive near-dup similarity (the
+    // "n-gram Jaccard" dedup mode), string shingles so DuckDB states the
+    // identical computation.
+    QueryDef("q59_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 600), "doc_id", "text",
+        k = 3, threshold = 0.2),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 600),
+             |s AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2),
+             |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))
+             |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+             |  FROM t)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.2""".stripMargin)),
+
     // MinHash-LSH tuned for EXACTNESS: with 1-gram shingles the verify
     // step computes the same token-set Jaccard as q41's brute force, and
     // the (rows=3, bands=16) layout drives per-pair banding miss

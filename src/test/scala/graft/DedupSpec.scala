@@ -166,6 +166,20 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("ngramJaccardPairs is order-sensitive where token jaccard is not") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",  // identical
+      3L -> "dog lazy the over jumps fox brown quick the"   // same tokens, reversed
+    ).toDF("doc_id", "text")
+    val tok = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tok == Set((1L, 2L), (1L, 3L), (2L, 3L))) // token sets identical
+    assert(ngram == Set((1L, 2L)))                   // only the true duplicate survives
+  }
+
   test("connectedComponentsFast collapses a long chain in O(log d) rounds") {
     // a 200-node path has diameter 199: one-hop propagation would need
     // ~199 rounds; pointer doubling must finish within 16
