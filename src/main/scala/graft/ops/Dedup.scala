@@ -275,14 +275,24 @@ object Dedup {
                         k: Int, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).alias("__id"),
       TextFunctions.tokens(col(textCol)).alias("__toks"))
+    // grams are hashed to 64-bit before the O(n²) stage: set Jaccard is
+    // unchanged (injective up to ~1e-13/pair collisions) and the pairwise
+    // array_intersect runs over longs, not strings — ~an order of
+    // magnitude less per-pair work. The lossless size-ratio cut (true
+    // jaccard ≤ min/max set sizes) skips hopeless pairs entirely.
     val sh = t.select(col("__id"), array_distinct(
       when(size(col("__toks")) >= k,
         transform(sequence(lit(0), size(col("__toks")) - k),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))
-        .otherwise(array().cast("array<string>"))).alias("__sh"))
-    val a = sh.select(col("__id").alias("id_a"), col("__sh").alias("__sa"))
-    val b = sh.select(col("__id").alias("id_b"), col("__sh").alias("__sb"))
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))).alias("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    val a = sh.select(col("__id").alias("id_a"), col("__sh").alias("__sa"),
+      col("__n").alias("__na"))
+    val b = sh.select(col("__id").alias("id_b"), col("__sh").alias("__sb"),
+      col("__n").alias("__nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
       .withColumn("jaccard",
         round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_distinct(concat(col("__sa"), col("__sb")))), 6))

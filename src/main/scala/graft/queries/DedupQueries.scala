@@ -43,11 +43,12 @@ object DedupQueries {
     // identical computation.
     QueryDef("q59_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 600), "doc_id", "text",
-        k = 3, threshold = 0.2),
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 300 || col("doc_id") % 17 === 0),
+        "doc_id", "text", k = 3, threshold = 0.15),
       Some("""WITH t AS (
              |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-             |  FROM documents WHERE doc_id < 600),
+             |  FROM documents WHERE doc_id < 300 OR doc_id % 17 = 0),
              |s AS (
              |  SELECT doc_id, list_distinct(
              |    CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2),
@@ -59,7 +60,7 @@ object DedupQueries {
              |        len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
              |FROM s a JOIN s b ON a.doc_id < b.doc_id
              |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |            len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.2""".stripMargin)),
+             |            len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.15""".stripMargin)),
 
     // MinHash-LSH tuned for EXACTNESS: with 1-gram shingles the verify
     // step computes the same token-set Jaccard as q41's brute force, and
