@@ -32,6 +32,37 @@ object VectorFunctions {
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(null))
   }
 
+  // ---- int8 quantization (ANN storage/IO scale path) --------------------
+  // A 100 TB embedding corpus is 4× smaller as int8; coarse scoring over
+  // quantized vectors reads a quarter of the bytes and the exact float
+  // rerank touches only the survivors. Symmetric per-vector scheme:
+  // scale = max|x|/127, q_i = floor(x_i/scale + 0.5) clamped to ±127
+  // (explicit floor keeps the arithmetic engine-independent — no
+  // rounding-mode ambiguity).
+
+  /** Per-vector quantization scale (null for the zero vector). */
+  def quantScale(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x.cast("double"))))
+    when(m > 0, m / 127.0).otherwise(lit(null))
+  }
+
+  /** Quantize to `array<tinyint>` with the given scale. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x.cast("double") / scale + 0.5))).cast("tinyint"))
+
+  /** Reconstruct doubles from a quantized vector. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Largest per-element reconstruction error of the quantization —
+    * bounded by scale/2, i.e. max|x|/254.
+    */
+  def quantMaxAbsError(v: Column, q: Column, scale: Column): Column =
+    array_max(zip_with(v, q, (x, qi) =>
+      abs(qi.cast("double") * scale - x.cast("double"))))
+
   /** Random-hyperplane sign sketch: bit i of the result = sign of
     * v·planes(i). Requires ≤ 64 planes; delegates to the native
     * codegen'd [[HyperplaneSketchWideExpr]] and unwraps the single word.

@@ -85,6 +85,43 @@ object SimilarityQueries {
       },
       None),
 
+    // int8 embedding quantization: the ANN storage scale path (4× smaller
+    // corpus, coarse scoring over tinyints, float rerank on survivors).
+    // Arithmetic is explicit floor-based so DuckDB states it identically;
+    // qsum/max_err summarize the full quantized vector per row.
+    QueryDef("q63_quantize_embeddings",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val scale = VectorFunctions.quantScale(col("embedding"))
+        val withScale = emb.withColumn("__scale", scale)
+          .withColumn("__q", VectorFunctions.quantizeInt8(col("embedding"), col("__scale")))
+        withScale.select(
+          col("vec_id"),
+          round(col("__scale"), 9).alias("scale"),
+          aggregate(col("__q"), lit(0L), (acc, x) => acc + x.cast("long")).alias("qsum"),
+          round(VectorFunctions.quantMaxAbsError(
+            col("embedding"), col("__q"), col("__scale")), 9).alias("max_err"))
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+             |  FROM embeddings),
+             |scaled AS (
+             |  SELECT vec_id, embedding,
+             |    CASE WHEN m > 0 THEN m / 127.0 ELSE NULL END AS scale
+             |  FROM base),
+             |quant AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(embedding, x ->
+             |      greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5)))) AS q,
+             |    embedding
+             |  FROM scaled)
+             |SELECT vec_id, round(scale, 9) AS scale,
+             |  CAST(list_sum(q) AS BIGINT) AS qsum,
+             |  round(list_max(list_transform(range(len(q)),
+             |    i -> abs(q[i+1] * scale - CAST(embedding[i+1] AS DOUBLE)))), 9) AS max_err
+             |FROM quant""".stripMargin)),
+
     // The metadata side IS oracle-checkable: byte length of UTF-8 content.
     QueryDef("q53_multimodal_meta",
       (s, d) => Multimodal.fromDocuments(Tables.documents(s, d))

@@ -58,6 +58,23 @@ object StreamingOps {
         col("session_window.end").alias("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on a content key: keeps the FIRST arrival of
+    * each key and drops later duplicates, with state bounded by the event-
+    * time watermark (`dropDuplicatesWithinWatermark` — duplicates arriving
+    * within the watermark window of the kept row are removed; state for
+    * keys older than the watermark is evicted, so an infinite stream
+    * doesn't accumulate infinite state). The streaming face of
+    * [[graft.ops.Dedup.exactDedupByHash]]: same key derivation — a 64-bit
+    * hash of the normalized content — computed on the stream.
+    */
+  def dedupStream(rows: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    rows
+      .withColumn("content_hash",
+        xxhash64(graft.functions.TextFunctions.normalizeText(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

@@ -64,6 +64,44 @@ class ActionsSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit is deterministic, disjoint-complete, and near the fractions") {
+    import graft.ops.Sampling
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count())                 // complete, no null split
+    assert(!counts.contains(null))
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.05)
+    assert(math.abs(counts("val").toDouble / total - 0.1) < 0.04)
+    // a re-run and a repartitioned run assign every row identically
+    val again = Sampling.hashSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val joined = split.select(col("doc_id"), col("split").alias("a"))
+      .join(again.select(col("doc_id"), col("split").alias("b")), "doc_id")
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("stratifiedSample keeps per-stratum fractions and is a subset") {
+    import graft.ops.Sampling
+    val events = graft.sources.Tables.events(spark, sf001)
+    val sampled = Sampling.stratifiedSample(events, "event_type", "event_id",
+      Map("click" -> 0.5, "error" -> 0.1))
+    val got = sampled.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("click", "error")) // unlisted strata drop out
+    val base = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("click").toDouble / base("click") - 0.5) < 0.1)
+    assert(math.abs(got("error").toDouble / base("error") - 0.1) < 0.06)
+    // subset of the source and deterministic
+    assert(sampled.join(events, Seq("event_id"), "left_anti").count() == 0)
+    assert(Sampling.stratifiedSample(events, "event_type", "event_id",
+      Map("click" -> 0.5, "error" -> 0.1)).count() == sampled.count())
+  }
+
   test("xlsx export writes a valid workbook with typed cells") {
     import spark.implicits._
     val df = Seq(

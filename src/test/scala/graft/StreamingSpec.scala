@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSpec {
     assert(finalTotals.count() == batch.count())
   }
 
+  test("dedupStream keeps one row per content key across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val stream = StreamingOps.dedupStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", watermark = "1 hour")
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((1L, "Hello  World", ts(0)), (2L, "other doc", ts(1)))
+      q.processAllAvailable()
+      // same normalized content in a later micro-batch, within the watermark
+      in.addData((3L, "hello world", ts(2)), (4L, "third", ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // doc 3 duplicates doc 1 (case/whitespace-normalized) and is dropped
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("batch session_window agrees with lag-gap sessionization (q57 vs q23)") {
     val events = graft.sources.Tables.events(spark, sf001)
     val native = TimeSeries.sessionWindowAgg(events, "user_id", "ts", 1800)
