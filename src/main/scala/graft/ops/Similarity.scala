@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,64 @@ object Similarity {
         col("__s.neighbor_id").alias("neighbor_id"),
         round(col("__s.cosine"), 6).alias("cosine"),
         (col("__i") + 1).cast("long").alias("rank"))
+  }
+
+  /** Quantized two-stage exact-ish top-k: coarse-score int8 vectors (the
+    * corpus a 100 TB system actually keeps hot — 4× less I/O than float),
+    * keep the best `rerankK` per query, then rerank ONLY the survivors
+    * with exact float cosine and emit the top k.
+    *
+    * The coarse score needs no dequantization: with symmetric per-vector
+    * scales, cos ≈ (sq·sc·dotInt) / (sq·|q8| · sc·|c8|) — the scales
+    * cancel, so the whole coarse pass is integer multiply-adds over
+    * tinyints. Quantization shifts cosines by O(1/127·√dim); any true
+    * top-k member within that margin of rank `rerankK` survives to the
+    * exact stage, so with a few-× cushion the result equals brute force
+    * (q64 carries q50's oracle to pin exactly that).
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    rerankK: Int): DataFrame = {
+    import graft.functions.TopKPairsAgg
+    require(rerankK >= k, "rerankK must be >= k")
+    def quantize(df: DataFrame, idAlias: String, v: String): DataFrame = {
+      val scale = VectorFunctions.quantScale(col(v))
+      df.select(col(idCol).alias(idAlias), col(vecCol).alias(v))
+        .withColumn(s"${v}8", VectorFunctions.quantizeInt8(col(v), scale))
+    }
+    val q8 = quantize(queries, "query_id", "__qv")
+    val c8 = quantize(corpus, "neighbor_id", "__cv").drop("__cv") // int8-only coarse side
+
+    val dotInt = aggregate(
+      zip_with(col("__qv8"), col("__cv8"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double")
+    def normInt(c: Column) = sqrt(aggregate(
+      transform(c, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
+    val coarseCos = when(normInt(col("__qv8")) > 0 && normInt(col("__cv8")) > 0,
+      dotInt / (normInt(col("__qv8")) * normInt(col("__cv8")))).otherwise(lit(null))
+
+    val survivors = c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8"))))
+      .select(col("query_id"), col("neighbor_id"), coarseCos.alias("coarse"))
+      .filter(col("coarse").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(TopKPairsAgg(col("neighbor_id"), col("coarse"), rerankK).alias("__top"))
+      .select(col("query_id"), explode(col("__top.neighbor_id")).alias("neighbor_id"))
+
+    // exact rerank touches only |Q|·rerankK float vectors
+    val rer = survivors
+      .join(corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))),
+        "query_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
+        col("rank"))
   }
 
   /** Spherical k-means coarse centroids for IVF, fit driver-side over a

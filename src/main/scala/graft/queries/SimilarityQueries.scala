@@ -85,6 +85,18 @@ object SimilarityQueries {
       },
       None),
 
+    // Quantized coarse scoring (integer-only int8 pass) + exact float
+    // rerank of 5k survivors: must EQUAL brute force on this corpus, so
+    // it carries the identical oracle as q50/q55.
+    QueryDef("q64_ann_quantized",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", K, rerankK = 5 * K)
+      },
+      Some(bruteForceSql)),
+
     // int8 embedding quantization: the ANN storage scale path (4× smaller
     // corpus, coarse scoring over tinyints, float rerank on survivors).
     // Arithmetic is explicit floor-based so DuckDB states it identically;

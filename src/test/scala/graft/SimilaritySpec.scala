@@ -105,6 +105,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((12L, 0.9), (10L, 0.5), (11L, 0.5)))
   }
 
+  test("quantizedTopK equals brute force with a rerank cushion") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val brute = canon(Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5))
+    val quant = canon(Similarity.quantizedTopK(q, c, "vec_id", "embedding", 5, rerankK = 25))
+    assert(quant == brute)
+    assert(quant.nonEmpty)
+  }
+
   test("fitCentroids is deterministic and returns unit-norm centroids") {
     val corpus = clusteredCorpus(400, 8, 16).toDF("vec_id", "embedding")
     val c1 = Similarity.fitCentroids(corpus, "embedding", 8, sampleSize = 256)
