@@ -109,10 +109,17 @@ object Similarity {
                     rerankK: Int): DataFrame = {
     import graft.functions.TopKPairsAgg
     require(rerankK >= k, "rerankK must be >= k")
+    // int8 norms are hoisted to per-ROW columns before the cross product —
+    // recomputing them inside the pair expression would triple the coarse
+    // pass's multiply-adds
+    def normInt(c: Column) = sqrt(aggregate(
+      transform(c, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
     def quantize(df: DataFrame, idAlias: String, v: String): DataFrame = {
       val scale = VectorFunctions.quantScale(col(v))
       df.select(col(idCol).alias(idAlias), col(vecCol).alias(v))
         .withColumn(s"${v}8", VectorFunctions.quantizeInt8(col(v), scale))
+        .withColumn(s"${v}n", normInt(col(s"${v}8")))
     }
     val q8 = quantize(queries, "query_id", "__qv")
     val c8 = quantize(corpus, "neighbor_id", "__cv").drop("__cv") // int8-only coarse side
@@ -120,13 +127,10 @@ object Similarity {
     val dotInt = aggregate(
       zip_with(col("__qv8"), col("__cv8"), (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v).cast("double")
-    def normInt(c: Column) = sqrt(aggregate(
-      transform(c, x => x.cast("long") * x.cast("long")),
-      lit(0L), (acc, v) => acc + v).cast("double"))
-    val coarseCos = when(normInt(col("__qv8")) > 0 && normInt(col("__cv8")) > 0,
-      dotInt / (normInt(col("__qv8")) * normInt(col("__cv8")))).otherwise(lit(null))
+    val coarseCos = when(col("__qvn") > 0 && col("__cvn") > 0,
+      dotInt / (col("__qvn") * col("__cvn"))).otherwise(lit(null))
 
-    val survivors = c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8"))))
+    val survivors = c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8"), col("__qvn"))))
       .select(col("query_id"), col("neighbor_id"), coarseCos.alias("coarse"))
       .filter(col("coarse").isNotNull)
       .groupBy(col("query_id"))
