@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HyperplaneSketchWideExpr, SimHash64, TopKPairsAgg}
+import graft.functions.{DotProductExpr, HyperplaneSketchWideExpr, SimHash64, TopKPairsAgg}
 import graft.ops.Hyperplanes
 
 /** Session extension wiring for the engine's native expressions, so a
@@ -56,6 +56,12 @@ object GraftFunctions {
     ("simhash64",
       "simhash64(tokens) - 64-bit SimHash of an array<string>",
       exprs => SimHash64(exprs.head)),
+    ("dotp",
+      "dotp(a, b) - dot product of two float/double arrays, left-fold double accumulation",
+      exprs => {
+        require(exprs.length == 2, "dotp(a, b)")
+        DotProductExpr(exprs(0), exprs(1))
+      }),
     ("hyperplane_sketch",
       "hyperplane_sketch(vec, seed, nbits, dim) - sign sketch packed into array<long>",
       exprs => {

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product with double accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product with left-to-right double accumulation — the native
+    * codegen'd [[DotProductExpr]] (bit-identical to the HOF
+    * `aggregate(zip_with(...))` form it replaced, which was
+    * CodegenFallback and dominated the ANN inner loops).
+    */
+  def dot(a: Column, b: Column): Column = DotProductExpr(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 

@@ -8,6 +8,34 @@ import graft.functions.VectorFunctions
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native dotp is bit-identical to the HOF left-fold on fixture vectors") {
+    val a = graft.sources.Tables.embeddings(spark, sf001).limit(200)
+      .select(col("vec_id"), col("embedding").alias("a"))
+    val pairs = a.crossJoin(graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("embedding").alias("b")).limit(5))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val bits = pairs.select(
+      VectorFunctions.dot(col("a"), col("b")).alias("native"), hof.alias("ref"))
+      .collect()
+    assert(bits.nonEmpty)
+    bits.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native dotp null semantics match the HOF form") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Float.box(1.0f), null.asInstanceOf[java.lang.Float]), Seq(Float.box(2.0f), Float.box(3.0f))),
+      (Seq(Float.box(1.0f)), Seq(Float.box(2.0f), Float.box(3.0f))) // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("cosine HOF matches hand computation") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
