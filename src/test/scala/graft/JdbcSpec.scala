@@ -57,6 +57,32 @@ class JdbcSpec extends SparkSpec {
       s"expected pushed filter in JDBC scan:\n$plan")
   }
 
+  test("streaming jdbcUpsertSink merges micro-batches exactly-once by key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(Long, String, Double)]
+    val writer = graft.streaming.StreamingOps.jdbcUpsertSink(
+      in.toDF().toDF("id", "segment", "exposure"),
+      url, "datamart_stream", keyCols = Seq("id"), props = props)
+    val q = writer.start()
+    try {
+      in.addData((1L, "HIGH", 10.0), (2L, "LOW", 5.0))
+      q.processAllAvailable()
+      // batch 2 updates id=1 and inserts id=3 — no duplicate id=1 row
+      in.addData((1L, "MEDIUM", 12.0), (3L, "LOW", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = Tables.jdbc(spark, url, "datamart_stream", props)
+      .collect().map(r => (
+        r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("segment")),
+        r.getDouble(r.fieldIndex("exposure")))).toSet
+    assert(rows == Set((1L, "MEDIUM", 12.0), (2L, "LOW", 5.0), (3L, "LOW", 7.0)))
+  }
+
   test("S8: gold portfolio lands in the datamart like the reference write") {
     // end-to-end: medallion gold output -> JDBC datamart -> read back by name
     val q61 = SparkEntry.queries("q61_medallion_portfolio")(spark, sf001)
