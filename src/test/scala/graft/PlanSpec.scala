@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"too many SK_ID_CURR exchanges ($exchanges):\n$p")
   }
 
+  test("q55 native top-k aggregate combines map-side (partial before the exchange)") {
+    val p = plan("q55_ann_topk_agg")
+    assert(p.contains("partial_top_k_pairs"),
+      s"no partial aggregation for top_k_pairs:\n$p")
+  }
+
   test("q58 range join plans an equi-join on the bin key, not a nested loop") {
     val p = plan("q58_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

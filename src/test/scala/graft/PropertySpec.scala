@@ -87,4 +87,28 @@ class PropertySpec extends SparkSpec {
       assert(pairs == 0)
     }
   }
+
+  test("int8 quantization reconstruction error is bounded by scale/2 for any vector") {
+    import graft.functions.VectorFunctions
+    import org.scalacheck.Gen
+    val vectors = Gen.listOfN(5,
+      Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f).suchThat(f => !f.isNaN)))
+    forAll(vectors) { vs =>
+      if (vs.nonEmpty && vs.forall(_.exists(_ != 0.0f))) {
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        val scale = VectorFunctions.quantScale(col("v"))
+        val out = df.withColumn("__s", scale)
+          .withColumn("__q", VectorFunctions.quantizeInt8(col("v"), col("__s")))
+          .select(
+            VectorFunctions.quantMaxAbsError(col("v"), col("__q"), col("__s")).alias("err"),
+            (col("__s") / 2.0).alias("bound"))
+          .collect()
+        out.foreach { r =>
+          // float→double cast noise allows equality at the boundary
+          assert(r.getDouble(0) <= r.getDouble(1) * (1 + 1e-12) + 1e-300,
+            s"err ${r.getDouble(0)} > bound ${r.getDouble(1)}")
+        }
+      }
+    }
+  }
 }
