@@ -201,6 +201,59 @@ object AnalyticsQueries {
              |SELECT c.event_id AS click_id, c.user_id,
              |       s.event_id AS signup_id, s.ts AS signup_ts
              |FROM clicks c ASOF LEFT JOIN signups s
-             |  ON c.user_id = s.user_id AND c.ts >= s.ts""".stripMargin))
+             |  ON c.user_id = s.user_id AND c.ts >= s.ts""".stripMargin)),
+
+    // TPC-H Q4-style order-priority check: EXISTS over a compound-
+    // condition semi join (late shipment = shipped 60+ days after order),
+    // count by priority. The semi join never duplicates orders no matter
+    // how many late lines match — the shape EXISTS is for.
+    QueryDef("q65_exists_priority",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+        val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        orders.join(late,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).alias("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q17-style small-quantity revenue: correlated per-part average
+    // as a pre-aggregated join (the decorrelated plan Catalyst would want
+    // anyway — one pass over lineitem for the averages, no per-row
+    // subquery). exactAvg makes the 0.5·avg comparison engine-independent.
+    QueryDef("q66_small_qty_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val partAvg = li.groupBy(col("l_partkey").alias("pk"))
+          .agg(exactAvg(col("l_quantity")).alias("avg_qty"))
+        li.join(partAvg, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(exactSum(col("l_extendedprice")).alias("small_qty_revenue"),
+            count(lit(1)).alias("n_lines"))
+      },
+      Some(s"""WITH pa AS (
+              |  SELECT l_partkey AS pk, ${exactAvgSql("l_quantity")} AS avg_qty
+              |  FROM lineitem GROUP BY l_partkey)
+              |SELECT p_brand,
+              |  ${exactSumSql("l_extendedprice")} AS small_qty_revenue,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem JOIN pa ON l_partkey = pk
+              |JOIN part ON l_partkey = p_partkey
+              |WHERE l_quantity < 0.5 * avg_qty
+              |GROUP BY p_brand""".stripMargin))
   )
 }
