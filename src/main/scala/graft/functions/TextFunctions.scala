@@ -64,9 +64,19 @@ object TextFunctions {
 
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * xxhash64; signature element i = min over shingles of xxhash64(i, s).
-    * One pass per hash over the shingle array, all inside codegen.
+    * Native codegen'd expression ([[MinHashSignatureExpr]] — the HOF form
+    * was CodegenFallback and its numHashes×|shingles| interpreted hash
+    * calls dominated the MinHash dedup queries; the native form is
+    * bit-identical).
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    MinHashSignatureExpr(shingleCol, numHashes)
+
+  /** The HOF formulation [[minHashSignature]] replaced — kept for the
+    * bit-parity test pinning that the native expression computes the
+    * identical signature.
+    */
+  private[graft] def minHashSignatureHof(shingleCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleCol, s => xxhash64(i, s))))
 

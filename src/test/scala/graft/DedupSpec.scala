@@ -166,6 +166,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("native minhash signature is bit-identical to the HOF form") {
+    import graft.functions.TextFunctions
+    val sh = graft.sources.Tables.documents(spark, sf001).limit(100)
+      .select(col("doc_id"),
+        TextFunctions.shingleHashesFromTokenHashes(
+          TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))), 3).alias("sh"))
+    val both = sh.select(
+      TextFunctions.minHashSignature(col("sh"), 32).alias("native"),
+      TextFunctions.minHashSignatureHof(col("sh"), 32).alias("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1))
+    }
+  }
+
   test("ngramJaccardPairs is order-sensitive where token jaccard is not") {
     val docs = Seq(
       1L -> "the quick brown fox jumps over the lazy dog",
