@@ -254,6 +254,38 @@ object AnalyticsQueries {
               |FROM lineitem JOIN pa ON l_partkey = pk
               |JOIN part ON l_partkey = p_partkey
               |WHERE l_quantity < 0.5 * avg_qty
-              |GROUP BY p_brand""".stripMargin))
+              |GROUP BY p_brand""".stripMargin)),
+
+    // TPC-H Q22-style dormant customers: above-average balance, no RECENT
+    // orders — scalar-aggregate subquery (broadcast 1-row frame) + anti
+    // join on a filtered side, the NOT EXISTS shape. exactAvg keeps the
+    // balance threshold engine-independent.
+    QueryDef("q67_dormant_customers",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg(exactAvg(col("c_acctbal")).alias("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).alias("n_customers"),
+            exactSum(col("c_acctbal")).alias("total_balance"))
+      },
+      Some(s"""WITH avg_bal AS (
+              |  SELECT ${exactAvgSql("c_acctbal")} AS avg_bal
+              |  FROM customer WHERE c_acctbal > 0)
+              |SELECT n_name, COUNT(*) AS n_customers,
+              |  ${exactSumSql("c_acctbal")} AS total_balance
+              |FROM customer, avg_bal
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE c_acctbal > avg_bal
+              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+              |GROUP BY n_name""".stripMargin))
   )
 }
