@@ -126,12 +126,16 @@ object Dedup {
     */
   private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
                             threshold: Double): DataFrame = {
-    val sa = shingleSets.select(col("__id").alias("id_a"), col("__sh").alias("__sha"))
-    val sb = shingleSets.select(col("__id").alias("id_b"), col("__sh").alias("__shb"))
+    import graft.functions.JaccardSortedExpr
+    // sort once per ROW; each pair is then one allocation-free merge pass
+    // (array_intersect/array_union build hash sets per PAIR — the
+    // dominant cost at hundreds of thousands of candidates)
+    val sa = shingleSets.select(col("__id").alias("id_a"),
+      array_sort(col("__sh")).alias("__sha"))
+    val sb = shingleSets.select(col("__id").alias("id_b"),
+      array_sort(col("__sh")).alias("__shb"))
     pairs.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb"))), 6))
+      .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -252,14 +256,17 @@ object Dedup {
     */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
+    // token sets are hashed (injective up to ~1e-13/pair) and sorted per
+    // row so the O(n²) stage is an allocation-free merge per pair instead
+    // of hash-set-building array_intersect/array_distinct(concat) calls
+    import graft.functions.JaccardSortedExpr
     val t = df.select(col(idCol).alias("__id"),
-      array_distinct(TextFunctions.tokens(col(textCol))).alias("__toks"))
+      array_sort(array_distinct(TextFunctions.tokenHashes(
+        TextFunctions.tokens(col(textCol))))).alias("__toks"))
     val a = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
     val b = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
-          size(array_distinct(concat(col("__ta"), col("__tb")))), 6))
+      .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -280,11 +287,11 @@ object Dedup {
     // array_intersect runs over longs, not strings — ~an order of
     // magnitude less per-pair work. The lossless size-ratio cut (true
     // jaccard ≤ min/max set sizes) skips hopeless pairs entirely.
-    val sh = t.select(col("__id"), array_distinct(
+    val sh = t.select(col("__id"), array_sort(array_distinct(
       when(size(col("__toks")) >= k,
         transform(sequence(lit(0), size(col("__toks")) - k),
           i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
-        .otherwise(array().cast("array<bigint>"))).alias("__sh"))
+        .otherwise(array().cast("array<bigint>")))).alias("__sh"))
       .withColumn("__n", size(col("__sh")))
     val a = sh.select(col("__id").alias("id_a"), col("__sh").alias("__sa"),
       col("__n").alias("__na"))
@@ -294,8 +301,7 @@ object Dedup {
       .filter(least(col("__na"), col("__nb")).cast("double") /
         greatest(col("__na"), col("__nb")) >= threshold)
       .withColumn("jaccard",
-        round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_distinct(concat(col("__sa"), col("__sb")))), 6))
+        round(graft.functions.JaccardSortedExpr(col("__sa"), col("__sb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
