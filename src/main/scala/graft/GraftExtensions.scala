@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, HyperplaneSketchWideExpr, SimHash64, TopKPairsAgg}
+import graft.functions.{DotProductExpr, HyperplaneSketchWideExpr, JaccardSortedExpr, MinHashSignatureExpr, SimHash64, TopKPairsAgg}
 import graft.ops.Hyperplanes
 
 /** Session extension wiring for the engine's native expressions, so a
@@ -61,6 +61,18 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 2, "dotp(a, b)")
         DotProductExpr(exprs(0), exprs(1))
+      }),
+    ("jaccard_sorted",
+      "jaccard_sorted(a, b) - Jaccard similarity of two sorted distinct bigint arrays",
+      exprs => {
+        require(exprs.length == 2, "jaccard_sorted(a, b)")
+        JaccardSortedExpr(exprs(0), exprs(1))
+      }),
+    ("minhash_signature",
+      "minhash_signature(shingles, n) - n-element MinHash signature of a bigint array",
+      exprs => {
+        require(exprs.length == 2, "minhash_signature(shingles, n)")
+        MinHashSignatureExpr(exprs(0), literalInt(exprs(1), "n"))
       }),
     ("hyperplane_sketch",
       "hyperplane_sketch(vec, seed, nbits, dim) - sign sketch packed into array<long>",
