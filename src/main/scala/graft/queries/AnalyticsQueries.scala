@@ -229,16 +229,18 @@ object AnalyticsQueries {
              |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
              |GROUP BY o_orderpriority""".stripMargin)),
 
-    // TPC-H Q17-style small-quantity revenue: correlated per-part average
-    // as a pre-aggregated join (the decorrelated plan Catalyst would want
-    // anyway — one pass over lineitem for the averages, no per-row
-    // subquery). exactAvg makes the 0.5·avg comparison engine-independent.
+    // TPC-H Q17-style small-quantity revenue: the correlated per-part
+    // average decorrelated as a WINDOW average — ONE lineitem scan and one
+    // shuffle on l_partkey, no self-join (the groupBy+rejoin form scans
+    // twice and shuffles both sides). Same decimal-accumulated average as
+    // exactAvg, so the 0.5·avg comparison is engine-independent.
     QueryDef("q66_small_qty_revenue",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val partAvg = li.groupBy(col("l_partkey").alias("pk"))
-          .agg(exactAvg(col("l_quantity")).alias("avg_qty"))
-        li.join(partAvg, col("l_partkey") === col("pk"))
+        val w = Window.partitionBy(col("l_partkey"))
+        val avgQty = sum(col("l_quantity").cast(DecimalType(30, 8))).over(w)
+          .cast(DoubleType) / count(col("l_quantity")).over(w)
+        Tables.lineitem(s, d)
+          .withColumn("avg_qty", avgQty)
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))

@@ -76,6 +76,12 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation for top_k_pairs:\n$p")
   }
 
+  test("q66 window-decorrelated subquery scans lineitem exactly once") {
+    val p = plan("q66_small_qty_revenue")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
+  }
+
   test("q58 range join plans an equi-join on the bin key, not a nested loop") {
     val p = plan("q58_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
