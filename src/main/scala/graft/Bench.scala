@@ -54,7 +54,13 @@ object Bench {
       if (args.isEmpty || args.headOption.contains("shape")) {
         try {
           val (ref, ours) = ShapeBench.compare(spark, sfDir)
-          f""","baseline_shape_sec":${ref.sec}%.3f,"graft_shape_sec":${ours.sec}%.3f,"shape_speedup":${ref.sec / ours.sec}%.3f,"baseline_shape_jobs":${ref.jobs},"graft_shape_jobs":${ours.jobs},"baseline_shape_scan_mb":${ref.scanBytes / 1048576}%d,"graft_shape_scan_mb":${ours.scanBytes / 1048576}%d"""
+          // Locale.ROOT: the f-interpolator is locale-sensitive and would
+          // emit comma decimals (invalid JSON) on e.g. de_DE JVMs
+          String.format(java.util.Locale.ROOT,
+            ""","baseline_shape_sec":%.3f,"graft_shape_sec":%.3f,"shape_speedup":%.3f,"baseline_shape_jobs":%d,"graft_shape_jobs":%d,"baseline_shape_scan_mb":%d,"graft_shape_scan_mb":%d""",
+            Double.box(ref.sec), Double.box(ours.sec), Double.box(ref.sec / ours.sec),
+            Long.box(ref.jobs), Long.box(ours.jobs),
+            Long.box(ref.scanBytes / 1048576), Long.box(ours.scanBytes / 1048576))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] shape compare failed: ${e.getMessage}")

@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft", name, usage),
+        // 5-arg form: (className, db, NAME, usage, extended)
+        new ExpressionInfo("graft", null, name, usage, ""),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
 }

@@ -58,9 +58,16 @@ object ShapeBench {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  private def freshDir(tag: String): String = {
-    val p = Files.createTempDirectory(s"graft_shape_$tag")
-    p.toString
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_shape_$tag").toString
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files => F, Paths}
+    import java.util.Comparator
+    val root = Paths.get(path)
+    if (F.exists(root))
+      F.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { F.deleteIfExists(p); () })
   }
 
   private def writePartitioned(df: DataFrame, path: String): Unit =
@@ -77,6 +84,10 @@ object ShapeBench {
     */
   def referenceShape(spark: SparkSession, sfDir: String): ShapeResult = instrumented(spark) {
     val out = freshDir("ref")
+    try referenceShapeAt(spark, sfDir, out) finally deleteRecursively(out)
+  }
+
+  private def referenceShapeAt(spark: SparkSession, sfDir: String, out: String): ShapeResult = {
     val t0 = System.nanoTime()
 
     // ---- silver_client_application (processor.py:73-191) ----
@@ -157,8 +168,12 @@ object ShapeBench {
     * handoff, so nothing is read back from disk mid-pipeline.
     */
   def graftShape(spark: SparkSession, sfDir: String): ShapeResult = instrumented(spark) {
-    import org.apache.spark.storage.StorageLevel
     val out = freshDir("graft")
+    try graftShapeAt(spark, sfDir, out) finally deleteRecursively(out)
+  }
+
+  private def graftShapeAt(spark: SparkSession, sfDir: String, out: String): ShapeResult = {
+    import org.apache.spark.storage.StorageLevel
     val t0 = System.nanoTime()
 
     // Each Silver frame is computed ONCE: persisted (memory, disk spill),

@@ -68,10 +68,14 @@ object Joins {
     val binUs = binSeconds * 1000000L
     def binOf(us: Column): Column =
       ((us - pmod(us, lit(binUs))) / lit(binUs)).cast("long")
+    // empty/inverted intervals (end <= start) must yield ZERO bins —
+    // sequence(a, b) DESCENDS when b < a, so one dirty row would otherwise
+    // explode into a huge descending bin array
+    val s0 = binOf(unix_micros(col(startCol)))
+    val e0 = binOf(unix_micros(col(endCol)) - 1)  // end is exclusive
     val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        binOf(unix_micros(col(startCol))),
-        binOf(unix_micros(col(endCol)) - 1))))  // end is exclusive
+      explode(when(col(endCol) > col(startCol), sequence(s0, e0))
+        .otherwise(array().cast("array<long>"))))
     val pts = points.withColumn("__bin", binOf(unix_micros(col(tsCol))))
     binned.join(pts, Seq("__bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))

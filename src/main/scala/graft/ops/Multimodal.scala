@@ -58,8 +58,14 @@ object Multimodal {
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
     val w = Window.orderBy(col("media_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__bucket",
+    // the single-partition running-sum window sees only (media_id,
+    // n_bytes) — ~16 bytes/row — never the content blobs; buckets join
+    // back by id before the range partitioning moves the payload
+    val buckets = df.select(col("media_id"), col("n_bytes"))
+      .withColumn("__bucket",
         floor((sum(col("n_bytes")).over(w) - col("n_bytes")) / targetPartitionBytes))
+      .select(col("media_id"), col("__bucket"))
+    df.join(buckets, "media_id")
       .repartitionByRange(parts, col("__bucket"), col("media_id"))
       .drop("__bucket")
   }
@@ -126,7 +132,7 @@ object Multimodal {
           val mediaType = r.getString(2)
           val nBytes = r.getLong(3)
           val img =
-            if (mediaType != null && mediaType.startsWith("image/"))
+            if (bytes != null && mediaType != null && mediaType.startsWith("image/"))
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               catch { case _: Exception => null }
             else null
@@ -163,7 +169,8 @@ object Multimodal {
   /** The stub's FNV-1a stripe features (shared by [[decodeStub]] and the
     * non-image fallback of [[decodeImages]]).
     */
-  private def stubFeatures(bytes: Array[Byte]): Array[Double] = {
+  private def stubFeatures(bytesOrNull: Array[Byte]): Array[Double] = {
+    val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
     val feats = new Array[Double](8)
     var i = 0
     while (i < 8) {

@@ -98,8 +98,10 @@ object Similarity {
     *
     * The coarse score needs no dequantization: with symmetric per-vector
     * scales, cos ≈ (sq·sc·dotInt) / (sq·|q8| · sc·|c8|) — the scales
-    * cancel, so the whole coarse pass is integer multiply-adds over
-    * tinyints. Quantization shifts cosines by O(1/127·√dim); any true
+    * cancel, so the coarse pass works on the quantized VALUES only (widened
+    * to double once per row so the per-pair dot runs in the native
+    * codegen'd DotProductExpr — integers ≤ 127·127·dim are exact in
+    * double). Quantization shifts cosines by O(1/127·√dim); any true
     * top-k member within that margin of rank `rerankK` survives to the
     * exact stage, so with a few-× cushion the result equals brute force
     * (q64 carries q50's oracle to pin exactly that).
@@ -115,22 +117,28 @@ object Similarity {
     def normInt(c: Column) = sqrt(aggregate(
       transform(c, x => x.cast("long") * x.cast("long")),
       lit(0L), (acc, v) => acc + v).cast("double"))
+    // per-row prep: scale HOISTED to a column (inlining it into the
+    // quantize lambda would re-run the array_max per ELEMENT — O(dim²)),
+    // quantized values widened to array<double> once per row so the
+    // per-PAIR coarse dot runs in the native codegen'd DotProductExpr
+    // (the int values are exact in double far below 2^53; the int8 array
+    // remains the STORED form — the widening is compute-side only)
     def quantize(df: DataFrame, idAlias: String, v: String): DataFrame = {
-      val scale = VectorFunctions.quantScale(col(v))
       df.select(col(idCol).alias(idAlias), col(vecCol).alias(v))
-        .withColumn(s"${v}8", VectorFunctions.quantizeInt8(col(v), scale))
+        .withColumn(s"${v}s", VectorFunctions.quantScale(col(v)))
+        .withColumn(s"${v}8", VectorFunctions.quantizeInt8(col(v), col(s"${v}s")))
+        .withColumn(s"${v}8d", transform(col(s"${v}8"), x => x.cast("double")))
         .withColumn(s"${v}n", normInt(col(s"${v}8")))
+        .drop(s"${v}s")
     }
     val q8 = quantize(queries, "query_id", "__qv")
     val c8 = quantize(corpus, "neighbor_id", "__cv").drop("__cv") // int8-only coarse side
 
-    val dotInt = aggregate(
-      zip_with(col("__qv8"), col("__cv8"), (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v).cast("double")
+    val dotInt = VectorFunctions.dot(col("__qv8d"), col("__cv8d"))
     val coarseCos = when(col("__qvn") > 0 && col("__cvn") > 0,
       dotInt / (col("__qvn") * col("__cvn"))).otherwise(lit(null))
 
-    val survivors = c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8"), col("__qvn"))))
+    val survivors = c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8d"), col("__qvn"))))
       .select(col("query_id"), col("neighbor_id"), coarseCos.alias("coarse"))
       .filter(col("coarse").isNotNull)
       .groupBy(col("query_id"))
@@ -161,12 +169,16 @@ object Similarity {
     * itself is O(sampleSize · k · dim) on the driver — trivial for coarse
     * quantizers (k ≤ a few hundred), which is exactly IVF's regime.
     * Returns unit-norm centroids; cells that lose all members keep their
-    * previous centroid.
+    * previous centroid. Deterministic for a fixed input partitioning
+    * (`sample(seed)` draws per partition — a different layout yields a
+    * different but equally valid sample); duplicate sample vectors are
+    * collapsed before init so farthest-point never emits the same
+    * centroid twice.
     */
   def fitCentroids(corpus: DataFrame, vecCol: String, k: Int,
                    sampleSize: Int = 2048, iters: Int = 8,
                    seed: Long = 42L): Array[Array[Double]] = {
-    val total = corpus.count() // parquet scans answer this from footer metadata
+    val total = corpus.count() // one cheap count job to size the sample fraction
     val fraction = math.min(1.0, (sampleSize * 1.2) / math.max(1L, total).toDouble)
     val rows = corpus.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
       .limit(sampleSize).collect()
@@ -181,8 +193,9 @@ object Similarity {
         if (n > 0) v.map(_ / n) else v
       }
       .filter(_.exists(_ != 0.0))
+      .map(_.toSeq).distinct.map(_.toArray)  // duplicate vectors would duplicate centroids
       .toArray
-    require(pts.length >= k, s"need at least $k non-zero sample vectors, got ${pts.length}")
+    require(pts.length >= k, s"need at least $k distinct non-zero sample vectors, got ${pts.length}")
 
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

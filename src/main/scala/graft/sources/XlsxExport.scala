@@ -31,21 +31,30 @@ object XlsxExport {
     writeRows(cols, rows, path, sheetName)
   }
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def esc(s: String): String = {
+    val cleaned = s.filter(c => c == '\t' || c == '\n' || c == '\r' || c >= ' ')
+    cleaned.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+  }
+
+  private def numCell(ref: String, repr: String): String =
+    s"""<c r="$ref" t="n"><v>$repr</v></c>"""
+
+  private def strCell(ref: String, s: String): String =
+    s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
 
   private def cellXml(ref: String, v: Any): String = v match {
     case null => ""
-    case n: Byte => s"""<c r="$ref" t="n"><v>$n</v></c>"""
-    case n: Short => s"""<c r="$ref" t="n"><v>$n</v></c>"""
-    case n: Int => s"""<c r="$ref" t="n"><v>$n</v></c>"""
-    case n: Long => s"""<c r="$ref" t="n"><v>$n</v></c>"""
-    case n: Float => s"""<c r="$ref" t="n"><v>$n</v></c>"""
-    case n: Double => s"""<c r="$ref" t="n"><v>$n</v></c>"""
-    case n: java.math.BigDecimal => s"""<c r="$ref" t="n"><v>$n</v></c>"""
+    case n: Byte => numCell(ref, n.toString)
+    case n: Short => numCell(ref, n.toString)
+    case n: Int => numCell(ref, n.toString)
+    case n: Long => numCell(ref, n.toString)
+    // NaN/Infinity are not valid SpreadsheetML numbers — emit as strings
+    case n: Float if java.lang.Float.isFinite(n) => numCell(ref, n.toString)
+    case n: Double if java.lang.Double.isFinite(n) => numCell(ref, n.toString)
+    case n: java.math.BigDecimal => numCell(ref, n.toString)
     case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-    case other => s"""<c r="$ref" t="inlineStr"><is><t>${esc(String.valueOf(other))}</t></is></c>"""
+    case other => strCell(ref, String.valueOf(other))
   }
 
   /** A1-style column letters: 0 → A, 25 → Z, 26 → AA … */

@@ -87,13 +87,14 @@ object StreamingOps {
       val nonKeys = cols.filterNot(keyCols.contains)
       val conn = java.sql.DriverManager.getConnection(url, user, password)
       try {
-        val meta = conn.getMetaData
-        val exists = {
-          val rs = meta.getTables(null, null, table.toUpperCase, null)
-          try rs.next() finally rs.close()
-        }
         val st = conn.createStatement()
         try {
+          // probe existence with a zero-row query — works for schema-
+          // qualified and case-folded names alike, unlike a getTables
+          // name-pattern match
+          val exists =
+            try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+            catch { case _: java.sql.SQLException => false }
           if (!exists)
             st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
           // Spark's JDBC writer creates case-preserved QUOTED identifiers;
@@ -107,6 +108,10 @@ object StreamingOps {
           st.executeUpdate(
             s"""MERGE INTO $table t USING $staging s ON $on
                |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+          // drop the staging table so the datamart schema stays clean;
+          // the next batch's overwrite recreates it
+          try st.executeUpdate(s"DROP TABLE $staging")
+          catch { case _: java.sql.SQLException => () }
         } finally st.close()
       } finally conn.close()
       () // foreachBatch wants Unit; executeUpdate returns a count

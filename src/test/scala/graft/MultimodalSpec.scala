@@ -79,13 +79,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4) == 2.0) // aspect ratio
   }
 
-  test("decodeImages falls back to stub features on corrupt or non-image rows") {
+  test("decodeImages falls back to stub features on corrupt, non-image or NULL rows") {
     import spark.implicits._
     val media = Seq(
       (1L, Array[Byte](1, 2, 3), "image/png", 3L),          // corrupt image
-      (2L, Array[Byte](4, 5, 6), "audio/wav", 3L))          // non-image
-      .toDF("media_id", "content", "media_type", "n_bytes")
+      (2L, Array[Byte](4, 5, 6), "audio/wav", 3L),          // non-image
+      (3L, null.asInstanceOf[Array[Byte]], "image/png", 0L) // null blob
+    ).toDF("media_id", "content", "media_type", "n_bytes")
     val out = Multimodal.decodeImages(media).collect()
+    assert(out.length == 3)
     assert(out.forall(!_.getAs[Boolean]("decode_ok")))
     assert(out.forall(_.isNullAt(4)))
     assert(out.forall(_.getSeq[Double](7).length == 8))

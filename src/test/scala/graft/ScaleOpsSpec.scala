@@ -126,6 +126,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("rangeJoinBinned yields zero rows for inverted intervals, not a bin explosion") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // end BEFORE start: sequence(a, b) would descend into a huge array
+    val intervals = Seq((1L, "2024-06-01 00:00:00", "2024-01-01 00:00:00"))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), to_timestamp(col("s")).alias("w_start"),
+        to_timestamp(col("e")).alias("w_end"))
+    val points = Seq((10L, "2024-03-01 00:00:00"))
+      .toDF("pid", "t").select(col("pid"), to_timestamp(col("t")).alias("ts"))
+    val got = graft.ops.Joins.rangeJoinBinned(intervals, points,
+      "w_start", "w_end", "ts", binSeconds = 60)
+    assert(got.count() == 0)
+  }
+
   test("rangeJoinBinned boundary semantics: start inclusive, end exclusive, long spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
