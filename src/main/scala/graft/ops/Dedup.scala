@@ -271,6 +271,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: drop training documents whose normalized
+    * content equals ANY document of the eval/benchmark set — an anti join
+    * on the 64-bit content hash (the eval set is tiny relative to the
+    * corpus, so Catalyst broadcasts it; the corpus is never shuffled).
+    * The standard pre-training hygiene step for published-benchmark leaks.
+    */
+  def decontaminateExact(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val key = xxhash64(TextFunctions.normalizeText(col(textCol)))
+    val evalKeys = evalSet.select(key.alias("__eval_hash")).distinct()
+    train.withColumn("__hash", key)
+      .join(broadcast(evalKeys), col("__hash") === col("__eval_hash"), "left_anti")
+      .drop("__hash")
+  }
+
+  /** Near-duplicate decontamination: drop training documents whose
+    * token-set Jaccard against ANY eval document reaches `threshold` —
+    * eval shingle sets broadcast, candidates prefiltered by the lossless
+    * size-ratio bound, survivors verified with the merge-pass exact
+    * Jaccard. The eval side is small by construction (benchmarks), so the
+    * corpus-side cost is one scan + one broadcast join; no self-join, no
+    * LSH needed.
+    */
+  def decontaminateNear(train: DataFrame, evalSet: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.8): DataFrame = {
+    import graft.functions.JaccardSortedExpr
+    def toks(df: DataFrame, id: String, t: String) = df.select(
+      col(idCol).alias(id),
+      array_sort(array_distinct(TextFunctions.tokenHashes(
+        TextFunctions.tokens(col(textCol))))).alias(t))
+    val ev = toks(evalSet, "__eid", "__et").withColumn("__en", size(col("__et")))
+    val tr = toks(train, "__tid", "__tt").withColumn("__tn", size(col("__tt")))
+    val contaminated = tr.join(broadcast(ev),
+        least(col("__tn"), col("__en")).cast("double") /
+          greatest(col("__tn"), col("__en")) >= threshold &&
+          JaccardSortedExpr(col("__tt"), col("__et")) >= threshold)
+      .select(col("__tid")).distinct()
+    train.join(contaminated, col(idCol) === col("__tid"), "left_anti")
+  }
+
   /** Brute-force word-k-gram (shingle) Jaccard pairs — stricter than
     * token-set Jaccard (word order matters within each gram; boilerplate
     * vocabulary overlap no longer inflates similarity). Builds STRING

@@ -85,6 +85,21 @@ object DedupQueries {
              |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9""".stripMargin)),
 
+    // Benchmark decontamination: training docs surviving an exact-match
+    // anti join against a (fixture-derived) eval set. The engine matches
+    // on the normalized-content hash; the oracle states the same predicate
+    // on the normalized text itself — identical up to 2^-64 collisions.
+    QueryDef("q68_decontaminate",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        Dedup.decontaminateExact(all, all.filter(col("doc_id") % 31 === 0),
+            "doc_id", "text")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $normalizeTextSql AS nt FROM documents)
+              |SELECT doc_id FROM n
+              |WHERE nt NOT IN (SELECT nt FROM n WHERE doc_id % 31 = 0)""".stripMargin)),
+
     QueryDef("q42_minhash_neardup",
       (s, d) => Dedup.minHashNearDup(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5),

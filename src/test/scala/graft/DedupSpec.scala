@@ -166,6 +166,32 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("decontaminateExact drops exact normalized matches only") {
+    val train = docs(
+      1L -> "The Quick  Brown Fox",   // normalizes to eval doc
+      2L -> "something unrelated here",
+      3L -> "another training doc")
+    val eval = docs(100L -> "the quick brown fox", 101L -> "benchmark prompt two")
+    val kept = Dedup.decontaminateExact(train, eval, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("decontaminateNear drops near-duplicates of eval docs above the threshold") {
+    val train = docs(
+      1L -> "a b c d e f g h i j",      // 9/11 jaccard vs eval 100
+      2L -> "a b c d e f g h i j",      // same — both must go
+      3L -> "z y x w v u t s r q")      // unrelated
+    val eval = docs(100L -> "a b c d e f g h i k")
+    val kept = Dedup.decontaminateNear(train, eval, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // below-threshold docs survive
+    val keptStrict = Dedup.decontaminateNear(train, eval, "doc_id", "text", threshold = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptStrict == Set(1L, 2L, 3L))
+  }
+
   test("native minhash signature is bit-identical to the HOF form") {
     import graft.functions.TextFunctions
     val sh = graft.sources.Tables.documents(spark, sf001).limit(100)
