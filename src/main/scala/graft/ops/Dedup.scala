@@ -251,6 +251,24 @@ object Dedup {
         (col("id") === col("component")).alias("is_keeper"))
   }
 
+  /** [[resolveNearDupClusters]] over the EXACTNESS-grade LSH pair set:
+    * with 1-gram shingles and the (rows = 3, bands = 16) layout the
+    * banding miss probability at j = `threshold` = 0.9 is
+    * (1 - 0.9³)¹⁶ ≈ 8.6e-10, so LSH + exact verify produces the SAME pair
+    * graph as brute force and the cluster labels are deterministic —
+    * checkable against a recursive-CTE transitive closure over the exact
+    * Jaccard pairs (see q69). Uses the pointer-doubling component solver,
+    * so chained clusters (A~B~C without A~C) converge in O(log d) rounds.
+    */
+  def resolveNearDupClustersExact(df: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double = 0.9): DataFrame = {
+    val pairs = minHashNearDup(df, idCol, textCol, threshold,
+      shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
+    connectedComponentsFast(pairs)
+      .select(col("id"), col("component").alias("keeper"),
+        (col("id") === col("component")).alias("is_keeper"))
+  }
+
   /** Brute-force token-set Jaccard pairs (the small-n oracle-checkable
     * path; `minHashNearDup` is the scale path). O(n²) — cap n upstream.
     */

@@ -100,6 +100,36 @@ object DedupQueries {
               |SELECT doc_id FROM n
               |WHERE nt NOT IN (SELECT nt FROM n WHERE doc_id % 31 = 0)""".stripMargin)),
 
+    // Cluster resolution over the q49 exactness-grade pair graph: the LSH
+    // pair set equals brute force (banding miss ≈ 8.6e-10 at j = 0.9), so
+    // the connected-component labels are deterministic and DuckDB can state
+    // the same clustering as a recursive-CTE transitive closure over the
+    // exact-Jaccard pair graph — the first hash-green clustering path
+    // (q48 remains the recall-tuned rows-only scale variant).
+    QueryDef("q69_neardup_clusters_exact",
+      (s, d) => Dedup.resolveNearDupClustersExact(
+        Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+        threshold = 0.9),
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             |  FROM documents WHERE doc_id < 500),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |              len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b AS src, id_a AS dst FROM pairs),
+             |cc AS (
+             |  SELECT src AS id, src AS comp FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+             |SELECT id, min(comp) AS keeper, (id = min(comp)) AS is_keeper
+             |FROM cc GROUP BY id""".stripMargin)),
+
     QueryDef("q42_minhash_neardup",
       (s, d) => Dedup.minHashNearDup(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5),

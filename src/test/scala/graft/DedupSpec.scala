@@ -243,6 +243,19 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.connectedComponents(pairs)))
   }
 
+  test("resolveNearDupClustersExact equals clustering over brute-force pairs") {
+    val df = graft.sources.Tables.documents(spark, sf001)
+      .filter(col("doc_id") < 500)
+    val viaLsh = Dedup.resolveNearDupClustersExact(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val bruteForce = Dedup.connectedComponentsFast(
+        Dedup.tokenJaccardPairs(df, "doc_id", "text", threshold = 0.9))
+      .select(col("id"), col("component"), (col("id") === col("component")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaLsh == bruteForce)
+    assert(viaLsh.nonEmpty)
+  }
+
   test("minHashNearDup releases its signature cache (no persist leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
