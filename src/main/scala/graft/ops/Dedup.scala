@@ -304,6 +304,42 @@ object Dedup {
       .drop("__hash")
   }
 
+  /** [[decontaminateExact]] via a broadcast Bloom filter — the layout for
+    * when the eval set is too large to broadcast as raw keys but its Bloom
+    * filter still fits (~1.2 bytes/key at 1% fpp vs 8+ bytes for the key
+    * itself, a ~7× broadcast reduction). The corpus is scanned, never
+    * shuffled:
+    *   1. Bloom-NEGATIVE rows are definitely clean (no false negatives) —
+    *      they pass straight through;
+    *   2. Bloom-POSITIVE rows (true leaks + ~fpp false positives) are the
+    *      only rows that reach the exact anti join, so the join input is
+    *      |leaks| + fpp·|corpus| rows instead of |corpus|.
+    * The exact verify makes the output EQUAL to [[decontaminateExact]] —
+    * fpp trades join width for bloom size, never correctness. The corpus
+    * is referenced twice (clean branch ∪ rescued branch): two scans and
+    * zero corpus shuffles beats one scan feeding a full-corpus sort-merge
+    * anti join at 100 TB, where scans parallelize and shuffles do not.
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val key = xxhash64(TextFunctions.normalizeText(col(textCol)))
+    val evalKeys = evalSet.select(key.alias("__eval_hash")).distinct()
+    val nEval = math.max(1L, evalKeys.count())
+    val bloom = evalKeys.stat.bloomFilter("__eval_hash", nEval, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+
+    val keyed = train.withColumn("__hash", key)
+    val clean = keyed.filter(!mightContain(col("__hash")))
+    // no broadcast hint: the premise is an eval set too big to broadcast —
+    // both join inputs are small/prefiltered, so AQE picks the right side
+    val rescued = keyed.filter(mightContain(col("__hash")))
+      .join(evalKeys, col("__hash") === col("__eval_hash"), "left_anti")
+    clean.unionByName(rescued).drop("__hash")
+  }
+
   /** Near-duplicate decontamination: drop training documents whose
     * token-set Jaccard against ANY eval document reaches `threshold` —
     * eval shingle sets broadcast, candidates prefiltered by the lossless

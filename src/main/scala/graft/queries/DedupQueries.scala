@@ -100,6 +100,22 @@ object DedupQueries {
               |SELECT doc_id FROM n
               |WHERE nt NOT IN (SELECT nt FROM n WHERE doc_id % 31 = 0)""".stripMargin)),
 
+    // Bloom-filter decontamination: same output as an exact anti join (the
+    // bloom's false positives are exactly re-verified; negatives are
+    // provably clean), but the corpus meets only a broadcast bloom — the
+    // layout for eval sets too large to broadcast as raw keys. Oracle =
+    // the exact anti-join semantics, like q68.
+    QueryDef("q70_bloom_decontaminate",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        Dedup.decontaminateBloom(all, all.filter(col("doc_id") % 23 === 0),
+            "doc_id", "text")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $normalizeTextSql AS nt FROM documents)
+              |SELECT doc_id FROM n
+              |WHERE nt NOT IN (SELECT nt FROM n WHERE doc_id % 23 = 0)""".stripMargin)),
+
     // Cluster resolution over the q49 exactness-grade pair graph: the LSH
     // pair set equals brute force (banding miss ≈ 8.6e-10 at j = 0.9), so
     // the connected-component labels are deterministic and DuckDB can state

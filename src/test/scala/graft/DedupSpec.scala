@@ -256,6 +256,21 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh.nonEmpty)
   }
 
+  test("decontaminateBloom equals decontaminateExact at any fpp") {
+    val all = graft.sources.Tables.documents(spark, sf001)
+    val evalSet = all.filter(col("doc_id") % 23 === 0)
+    val exact = Dedup.decontaminateExact(all, evalSet, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // high fpp forces many false positives through the bloom — the exact
+    // verify must strip every one of them
+    for (fpp <- Seq(0.5, 0.01)) {
+      val viaBloom = Dedup.decontaminateBloom(all, evalSet, "doc_id", "text", fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaBloom == exact, s"fpp=$fpp")
+    }
+    assert(exact.nonEmpty && exact.size < all.count())
+  }
+
   test("minHashNearDup releases its signature cache (no persist leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
