@@ -11,45 +11,36 @@ import org.apache.spark.sql.SparkSession
   * name order; a small warmup query first absorbs one-time session costs
   * (codegen compiler warmup, FileSourceStrategy init) so per-query numbers
   * measure the plan, not the JVM.
+  *
+  * Stability (the round-3 lesson — numbers that swing 3.5× between rounds
+  * gate nothing):
+  *  - the shape comparison runs FIRST, on a pristine session, so 70 queries
+  *    of accumulated JVM/cache state can't pollute the one number that is
+  *    compared against the reference baseline;
+  *  - every query runs `reps` times and reports the MEDIAN, so one GC pause
+  *    or compiler deopt can't fake a regression;
+  *  - cached/checkpointed blocks are swept between queries — a query's
+  *    timing must not depend on what the previous query leaked.
   */
 object Bench {
+  private val Reps = 3
+
+  /** Sweep session state a query may have left behind: CacheManager
+    * entries and directly-persisted RDDs (localCheckpoint blocks backing a
+    * returned frame land here too).
+    */
+  private def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
 
-    // Returns elapsed seconds, NEGATED on failure — a crashed query must
-    // not contribute an innocent-looking small timing to the total.
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (ok) sec else -sec
-    }
-
-    // warmup: touch every fixture table once (scan + codegen warm)
-    try graft.sources.Tables.registerAll(spark, sfDir) catch { case _: Throwable => }
-    try spark.sql("select count(*) from lineitem").collect() catch { case _: Throwable => }
-
-    // optional substring filter (local iteration): `runMain graft.Bench q44`;
-    // `runMain graft.Bench shape` runs only the shape comparison
-    val selected = args.headOption match {
-      case Some("shape") => Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-      case Some(sub) => SparkEntry.queries.filter(_._1.contains(sub))
-      case None => SparkEntry.queries
-    }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> runOne(fn)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-
-    // Matched-scale shape comparison (full runs only): the reference's
-    // literal job structure vs the library's, same fixtures, same
-    // deliverables. See ShapeBench.
+    // Matched-scale shape comparison FIRST (full runs only): the
+    // reference's literal job structure vs the library's, same fixtures,
+    // same deliverables, pristine session. See ShapeBench.
     val shape =
       if (args.isEmpty || args.headOption.contains("shape")) {
         try {
@@ -67,7 +58,48 @@ object Bench {
             ""","shape_error":true"""
         }
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures$shape,"sf":"$sfDir"}""")
+    sweep(spark)
+
+    // Returns elapsed seconds, NEGATED on failure — a crashed query must
+    // not contribute an innocent-looking small timing to the total.
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweep(spark)
+      if (ok) sec else -sec
+    }
+
+    // Median of `Reps` runs; a single failed rep marks the query failed
+    // (negative) — crashes must stay visible, not be medianed away.
+    def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = Seq.fill(Reps)(runOne(fn))
+      val med = times.map(math.abs).sorted.apply(Reps / 2)
+      if (times.exists(_ < 0)) -med else med
+    }
+
+    // warmup: touch every fixture table once (scan + codegen warm)
+    try graft.sources.Tables.registerAll(spark, sfDir) catch { case _: Throwable => }
+    try spark.sql("select count(*) from lineitem").collect() catch { case _: Throwable => }
+
+    // optional substring filter (local iteration): `runMain graft.Bench q44`;
+    // `runMain graft.Bench shape` runs only the shape comparison
+    val selected = args.headOption match {
+      case Some("shape") => Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      case Some(sub) => SparkEntry.queries.filter(_._1.contains(sub))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> runMedian(fn)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"failures":$failures$shape,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

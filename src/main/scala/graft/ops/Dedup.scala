@@ -180,6 +180,10 @@ object Dedup {
         .join(labels.alias("l"), Seq("id"))
         .filter(col("n.component") =!= col("l.component"))
         .count()
+      // the superseded round's checkpoint blocks are dead the moment the
+      // changed-count consumed them — release eagerly, don't let them
+      // accumulate one-per-round on the ContextCleaner's queue
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -228,6 +232,7 @@ object Dedup {
         .join(labels.alias("l"), Seq("id"))
         .filter(col("n.component") =!= col("l.component"))
         .count()
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels) // see connectedComponents
       labels = next
       iter += 1
     }
@@ -242,13 +247,21 @@ object Dedup {
   /** Full near-dup resolution: MinHash pairs → transitive clusters →
     * keeper = min doc id per cluster. Output: (id, keeper, is_keeper) for
     * every document that belongs to some near-dup cluster.
+    *
+    * Defaults are the HIGH-RECALL path: the band layout comes from
+    * [[LshParams.minhash]] (recall ≥ 0.9 at the threshold; the fixed 8×4
+    * layout recalls only ~0.4 at j = 0.5) and components are solved with
+    * pointer doubling (O(log diameter) rounds, not O(diameter)).
     */
   def resolveNearDupClusters(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.5): DataFrame = {
-    val pairs = minHashNearDup(df, idCol, textCol, threshold)
-    connectedComponents(pairs)
-      .select(col("id"), col("component").alias("keeper"),
-        (col("id") === col("component")).alias("is_keeper"))
+    val pairs = minHashNearDupAuto(df, idCol, textCol, threshold)
+    val labels = connectedComponentsFast(pairs)
+    // the pair frame's checkpoint is dead once the (checkpointed) labels
+    // exist — the labels' plan no longer references it
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(pairs)
+    labels.select(col("id"), col("component").alias("keeper"),
+      (col("id") === col("component")).alias("is_keeper"))
   }
 
   /** [[resolveNearDupClusters]] over the EXACTNESS-grade LSH pair set:
@@ -264,9 +277,10 @@ object Dedup {
                                   threshold: Double = 0.9): DataFrame = {
     val pairs = minHashNearDup(df, idCol, textCol, threshold,
       shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
-    connectedComponentsFast(pairs)
-      .select(col("id"), col("component").alias("keeper"),
-        (col("id") === col("component")).alias("is_keeper"))
+    val labels = connectedComponentsFast(pairs)
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(pairs)
+    labels.select(col("id"), col("component").alias("keeper"),
+      (col("id") === col("component")).alias("is_keeper"))
   }
 
   /** Brute-force token-set Jaccard pairs (the small-n oracle-checkable

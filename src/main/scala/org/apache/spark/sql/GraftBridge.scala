@@ -17,4 +17,21 @@ object GraftBridge {
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Release the cached blocks behind a `localCheckpoint(eager = true)`ed
+    * frame NOW instead of waiting for the ContextCleaner's weak-reference
+    * sweep. Iterative algorithms (connected components) supersede a
+    * checkpointed frame every round; without an explicit release the
+    * superseded blocks accumulate for the session lifetime — the round-3
+    * bench-instability root cause. A checkpointed Dataset's plan is a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] over the persisted RDD,
+    * which `Dataset.unpersist` does NOT cover (it only sweeps the
+    * CacheManager); unpersisting that RDD directly is the supported path.
+    * No-op on frames that aren't checkpointed.
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -81,6 +81,33 @@ class DedupSpec extends SparkSpec {
     assert(auto.size >= fixed.size)
   }
 
+  test("resolveNearDupClusters recall vs brute force (auto layout + fast CC defaults)") {
+    val df = graft.sources.Tables.documents(spark, sf001)
+    val clusters = Dedup.resolveNearDupClusters(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force truth over the same shingle-3 jaccard the LSH path verifies
+    val sh = df.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).alias("sh"))
+    val truth = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a true pair counts as recovered when both ids share a cluster label
+    // (transitive closure can only merge MORE than the pair graph)
+    val recovered = truth.count { case (a, b) =>
+      clusters.get(a).exists(ka => clusters.get(b).contains(ka))
+    }
+    assert(truth.nonEmpty, "fixture produced no true pairs — test is vacuous")
+    val recall = recovered.toDouble / truth.size
+    assert(recall >= 0.8,
+      s"cluster recall $recall < 0.8 ($recovered/${truth.size}) — " +
+        "the auto band layout should recover ≥ 0.9 of pairs at the threshold")
+    // no degenerate giant cluster: distinct labels stay plural on this corpus
+    assert(clusters.values.toSet.size > 1)
+  }
+
   test("simHashNearDup: identical token streams collide at hamming 0") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
