@@ -337,21 +337,42 @@ object Dedup {
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
                          fpp: Double = 0.01): DataFrame = {
-    val spark = train.sparkSession
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val key = xxhash64(TextFunctions.normalizeText(col(textCol)))
     val evalKeys = evalSet.select(key.alias("__eval_hash")).distinct()
+    // one count job on the SMALL (eval) side to size the filter for fpp
     val nEval = math.max(1L, evalKeys.count())
-    val bloom = evalKeys.stat.bloomFilter("__eval_hash", nEval, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val numBits = math.max(64L,
+      math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
-    val keyed = train.withColumn("__hash", key)
-    val clean = keyed.filter(!mightContain(col("__hash")))
+    // The filter is built by the native BloomFilterAggregate and consumed
+    // by the native (codegen'd) BloomFilterMightContain via a scalar
+    // subquery — the exact shape Spark's own InjectRuntimeFilter plants.
+    // No Scala UDF: the corpus scan + bloom probe stay inside whole-stage
+    // codegen (a closure-based `udf` here would fence off codegen on the
+    // 100 TB side of the query — the round-3 verdict's finding).
+    val bloomAgg = new BloomFilterAggregate(
+      GraftBridge.expression(col("__eval_hash")),
+      Literal(nEval), Literal(numBits)).toAggregateExpression()
+    val bloomDf = evalKeys.agg(GraftBridge.column(bloomAgg).alias("__bloom"))
+    // empty eval set → bloom aggregate yields null → might_contain yields
+    // null: coalesce to false so every corpus row passes straight through
+    // (identical to decontaminateExact's anti join against nothing)
+    val mightContain = coalesce(
+      GraftBridge.column(BloomFilterMightContain(
+        ScalarSubquery(bloomDf.queryExecution.logical),
+        GraftBridge.expression(col("__hash")))),
+      lit(false))
+
+    val keyed = train.withColumn("__hash", key).withColumn("__might", mightContain)
+    val clean = keyed.filter(!col("__might"))
     // no broadcast hint: the premise is an eval set too big to broadcast —
     // both join inputs are small/prefiltered, so AQE picks the right side
-    val rescued = keyed.filter(mightContain(col("__hash")))
+    val rescued = keyed.filter(col("__might"))
       .join(evalKeys, col("__hash") === col("__eval_hash"), "left_anti")
-    clean.unionByName(rescued).drop("__hash")
+    clean.unionByName(rescued).drop("__hash", "__might")
   }
 
   /** Near-duplicate decontamination: drop training documents whose

@@ -169,18 +169,23 @@ object Similarity {
     * itself is O(sampleSize · k · dim) on the driver — trivial for coarse
     * quantizers (k ≤ a few hundred), which is exactly IVF's regime.
     * Returns unit-norm centroids; cells that lose all members keep their
-    * previous centroid. Deterministic for a fixed input partitioning
-    * (`sample(seed)` draws per partition — a different layout yields a
-    * different but equally valid sample); duplicate sample vectors are
-    * collapsed before init so farthest-point never emits the same
-    * centroid twice.
+    * previous centroid. The sample is the `sampleSize` rows with the
+    * smallest `xxhash64(vector)` — a deterministic pseudo-random draw that
+    * Spark executes as one `TakeOrderedAndProject` job (bounded per-
+    * partition heaps, no full sort, and crucially NO sizing `count()` scan
+    * first — at 100 TB a count is a full-corpus job before any work).
+    * Unlike `sample(fraction, seed)` the draw is independent of the input
+    * partitioning, so refits over a repartitioned corpus yield identical
+    * centroids. Duplicate sample vectors are collapsed before init so
+    * farthest-point never emits the same centroid twice.
     */
   def fitCentroids(corpus: DataFrame, vecCol: String, k: Int,
                    sampleSize: Int = 2048, iters: Int = 8,
                    seed: Long = 42L): Array[Array[Double]] = {
-    val total = corpus.count() // one cheap count job to size the sample fraction
-    val fraction = math.min(1.0, (sampleSize * 1.2) / math.max(1L, total).toDouble)
-    val rows = corpus.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+    // hash-order + limit = deterministic uniform draw in ONE job
+    // (TakeOrderedAndProject); `seed` perturbs the hash via a shift column
+    val rows = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
       .limit(sampleSize).collect()
     val pts: Array[Array[Double]] = rows.iterator
       .map(_.getSeq[Any](0).map {

@@ -78,6 +78,41 @@ object MiscQueries {
              |INTERSECT
              |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
 
+    // CSV round-trip (SURVEY §2.1 S1, reference spark/bronze/feeder_csv.py:95-100):
+    // the orders fixture is written to CSV (header, explicit timestamp
+    // format) then read back with header + inferSchema — the DuckDB oracle
+    // reads the SAME files via read_csv_auto, so quoting, header, type
+    // inference and timestamp parsing are pinned against an independent
+    // CSV reader, not just a Spark-to-Spark round trip. Both sides cast
+    // to one explicit type set: Spark infers INT where DuckDB infers
+    // BIGINT, so uncasted schemas can never hash-compare. The write lands
+    // under target/ keyed by sf name (the oracle path is static SQL and
+    // the driver evaluates it at sf0.01 only; bench runs at other sfs
+    // write sibling dirs and never clobber it).
+    QueryDef("q72_csv_roundtrip",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_csv/$sfName/orders"
+        Tables.orders(s, d).coalesce(1).write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(out)
+        Tables.csv(s, out).select(
+          col("o_orderkey").cast("long").alias("o_orderkey"),
+          col("o_custkey").cast("long").alias("o_custkey"),
+          col("o_orderstatus").cast("string").alias("o_orderstatus"),
+          col("o_totalprice").cast("double").alias("o_totalprice"),
+          col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+          col("o_orderpriority").cast("string").alias("o_orderpriority"))
+      },
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             |  CAST(o_custkey AS BIGINT) AS o_custkey,
+             |  CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             |  CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+             |FROM read_csv_auto('/root/repo/target/graft_csv/sf0.01/orders/*.csv', header=true)""".stripMargin)),
+
     // EXCEPT: customers with finished orders but no open ones.
     QueryDef("q46_except",
       (s, d) => {

@@ -70,6 +70,21 @@ object SimilarityQueries {
       },
       None),
 
+    // IVF with nProbe = nCentroids probes EVERY cell, so the union of
+    // probed buckets covers the whole corpus and the result provably
+    // equals brute force — carrying q50's oracle pins the
+    // CentroidCellsExpr assignment + cell join + rank machinery end-to-end
+    // (the q64/q49 exactness trick). q54 keeps the recall-tuned
+    // approximate layout; this entry is the correctness gate for it.
+    QueryDef("q71_ann_ivf_exhaustive",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", K, nCentroids = 8, nProbe = 8)
+      },
+      Some(bruteForceSql)),
+
     // Multimodal: REAL PNG bytes (rendered deterministically from fixture
     // text, encoded by ImageIO) → size-balanced partitions → REAL image
     // decode (width/height/channels/band means). The stub codec survives
