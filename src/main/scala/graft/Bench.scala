@@ -34,6 +34,24 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Per-rep job/scan meter (round-4 verdict: a wall-second alone is not
+    * attributable — record the scale-invariant costs next to it so a
+    * regression is diagnosable from the JSON: same jobs+bytes but more
+    * seconds = measurement/JIT noise; more jobs or bytes = a plan change).
+    */
+  private final class Meter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+    def reset(): Unit = { jobs.set(0); bytes.set(0) }
+  }
+
+  /** One rep's record: elapsed seconds, jobs launched, bytes scanned. */
+  private final case class Rep(sec: Double, jobs: Long, scanBytes: Long, ok: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -60,24 +78,32 @@ object Bench {
       } else ""
     sweep(spark)
 
-    // Returns elapsed seconds, NEGATED on failure — a crashed query must
-    // not contribute an innocent-looking small timing to the total.
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
+
+    // One timed+metered rep; failure is recorded, never masked (a crashed
+    // query must not contribute an innocent-looking small timing).
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      meter.reset()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+      val r = Rep(sec, meter.jobs.get, meter.bytes.get, ok)
       sweep(spark)
-      if (ok) sec else -sec
+      r
     }
 
-    // Median of `Reps` runs; a single failed rep marks the query failed
-    // (negative) — crashes must stay visible, not be medianed away.
-    def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = Seq.fill(Reps)(runOne(fn))
-      val med = times.map(math.abs).sorted.apply(Reps / 2)
-      if (times.exists(_ < 0)) -med else med
+    // The rep with the MEDIAN wall time (its jobs/bytes ride along, so the
+    // reported triple is one real run, not a mix); a single failed rep
+    // marks the query failed — crashes must stay visible, not be medianed
+    // away.
+    def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      val reps = Seq.fill(Reps)(runOne(fn))
+      val med = reps.sortBy(_.sec).apply(Reps / 2)
+      med.copy(ok = reps.forall(_.ok))
     }
 
     // warmup: touch every fixture table once (scan + codegen warm)
@@ -94,12 +120,21 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> runMedian(fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // "queries" stays name→seconds (negative = failed, the established
+    // shape); "detail" carries the attribution triple per query.
+    val qs = results.map { case (k, r) =>
+      "\"" + k + "\":" + (if (r.ok) r.sec else -r.sec)
+    }.mkString("{", ",", "}")
+    val detail = results.map { case (k, r) =>
+      String.format(java.util.Locale.ROOT,
+        """"%s":{"sec":%.3f,"jobs":%d,"scan_mb":%.1f}""",
+        k, Double.box(r.sec), Long.box(r.jobs), Double.box(r.scanBytes / 1048576.0))
+    }.mkString("{", ",", "}")
+    val failures = results.collect { case (k, r) if !r.ok => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, r) if r.ok => r.sec }.sum
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"failures":$failures$shape,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"detail":$detail,"failures":$failures$shape,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,12 +88,15 @@ object MiscQueries {
     // BIGINT, so uncasted schemas can never hash-compare. The write lands
     // under target/ keyed by sf name (the oracle path is static SQL and
     // the driver evaluates it at sf0.01 only; bench runs at other sfs
-    // write sibling dirs and never clobber it).
+    // write sibling dirs and never clobber it). The write is PARALLEL —
+    // the oracle globs *.csv, so funneling the table through one task
+    // (coalesce(1)) would buy nothing and serialize the whole write at
+    // scale.
     QueryDef("q72_csv_roundtrip",
       (s, d) => {
         val sfName = new java.io.File(d).getName
         val out = s"/root/repo/target/graft_csv/$sfName/orders"
-        Tables.orders(s, d).coalesce(1).write.mode("overwrite")
+        Tables.orders(s, d).write.mode("overwrite")
           .option("header", "true")
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
           .csv(out)
