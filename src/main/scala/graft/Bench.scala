@@ -120,21 +120,28 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> runMedian(fn)
     }
-    // "queries" stays name→seconds (negative = failed, the established
-    // shape); "detail" carries the attribution triple per query.
+    // Per-query record is [sec, jobs, scan_mb] (round-4 verdict: wall
+    // seconds alone make regressions unattributable) — sec negative on
+    // failure. The capture of this line is TAIL-truncated downstream, so
+    // the headline numbers (shape comparison, total) go at the END where
+    // they always survive, and the full record is also written to
+    // BENCH_DETAIL.json.
     val qs = results.map { case (k, r) =>
-      "\"" + k + "\":" + (if (r.ok) r.sec else -r.sec)
-    }.mkString("{", ",", "}")
-    val detail = results.map { case (k, r) =>
-      String.format(java.util.Locale.ROOT,
-        """"%s":{"sec":%.3f,"jobs":%d,"scan_mb":%.1f}""",
-        k, Double.box(r.sec), Long.box(r.jobs), Double.box(r.scanBytes / 1048576.0))
+      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%d,%d]""",
+        k, Double.box(if (r.ok) r.sec else -r.sec), Long.box(r.jobs),
+        Long.box(r.scanBytes / 1048576))
     }.mkString("{", ",", "}")
     val failures = results.collect { case (k, r) if !r.ok => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, r) if r.ok => r.sec }.sum
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"detail":$detail,"failures":$failures$shape,"sf":"$sfDir"}""")
+    val line = String.format(java.util.Locale.ROOT,
+      """{"metric":"total","unit":"sec","reps":%d,"legend":"queries: name -> [median_sec, jobs, scan_mb]","failures":%s,"queries":%s%s,"value":%.3f,"sf":"%s"}""",
+      Int.box(Reps), failures, qs, shape, Double.box(total), sfDir)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      line.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -564,6 +564,27 @@ object LshParams {
     else candidates.minBy { case (r, b) => r * b }
   }
 
+  /** Hyperplane banding for TOP-K search: unlike threshold search there is
+    * no wrong-pair risk (sub-threshold candidates just cost compute and
+    * lose the rank), so the objective is pure selectivity — the LARGEST
+    * planes-per-band (buckets per band = 2^planes, i.e. exponentially
+    * smaller buckets) whose S-curve still recalls a true neighbor at
+    * `neighborCosine` with probability ≥ `targetRecall`, then the fewest
+    * bands that get there. Returns (planes, bands) with
+    * planes·bands ≤ `maxBits` (the band keys share one sketch word).
+    */
+  def hyperplaneTopK(neighborCosine: Double, targetRecall: Double = 0.9,
+                     maxBits: Int = 64): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, neighborCosine))) / math.Pi
+    def collide(r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+    val layouts = for {
+      r <- maxBits to 1 by -1
+      b = (1 to maxBits / r).find(collide(r, _) >= targetRecall)
+      if b.isDefined
+    } yield (r, b.get)
+    layouts.headOption.getOrElse((1, 1))
+  }
+
   /** Hyperplane banding: per-plane agreement prob for cosine c is
     * 1 - acos(c)/π; same S-curve selection as [[minhash]].
     */

@@ -293,19 +293,48 @@ object Similarity {
     * corpus rows sharing ≥1 band with the query — approximate (recall < 1)
     * but turns the n×m cross product into bucket-local joins. Same output
     * shape as [[bruteForceTopK]].
+    *
+    * The band layout is NOT fixed: it comes from
+    * [[LshParams.hyperplaneTopK]] for (`neighborCosine`, `targetRecall`) —
+    * the most selective planes-per-band whose S-curve still recalls a
+    * true neighbor at that cosine with the target probability (the round-4
+    * verdict's finding: a hard-coded `planes = 6` is 64 buckets per band
+    * at EVERY corpus size). Callers that know their corpus pass an
+    * explicit layout via [[lshTopKWith]]; q74 gates this machinery against
+    * the brute-force oracle through the degenerate exhaustive layout.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              planes: Int = 6, bands: Int = 6): DataFrame = {
+              neighborCosine: Double = 0.5, targetRecall: Double = 0.9): DataFrame = {
+    val (planes, bands) = LshParams.hyperplaneTopK(neighborCosine, targetRecall)
+    lshTopKWith(queries, corpus, idCol, vecCol, k, dim, planes, bands)
+  }
+
+  /** [[lshTopK]] with an explicit (planes, bands) layout. `planes = 0` is
+    * the EXHAUSTIVE degenerate layout: every row keys to the single bucket
+    * 0, so the candidate set is the full cross product and the result
+    * provably equals [[bruteForceTopK]] — the correctness gate for the
+    * banding/candidate/rank machinery (q74 carries q50's oracle through
+    * it, the same trick q71 plays for IVF).
+    */
+  def lshTopKWith(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int, dim: Int,
+                  planes: Int, bands: Int): DataFrame = {
+    require(planes >= 0 && bands >= 1 && planes * bands <= 64,
+      "band keys must fit one 64-bit sketch word")
     val hp = Hyperplanes.generate(seed = 7L, nPlanes = planes * bands, dim = dim)
-    def banded(df: DataFrame, id: String, v: String) =
-      df.select(col(idCol).alias(id), col(vecCol).alias(v))
-        .withColumn("__sketch", VectorFunctions.hyperplaneSketch(col(v), hp))
-        .select(col(id), col(v),
-          posexplode(array((0 until bands).map(b =>
-            shiftrightunsigned(col("__sketch"), b * planes)
-              .bitwiseAND(lit((1L << planes) - 1))): _*))
-            .as(Seq("__band", "__key")))
+    def banded(df: DataFrame, id: String, v: String) = {
+      val base = df.select(col(idCol).alias(id), col(vecCol).alias(v))
+      if (planes == 0) // exhaustive: one global bucket, no sketch to compute
+        base.select(col(id), col(v), lit(0).alias("__band"), lit(0L).alias("__key"))
+      else
+        base.withColumn("__sketch", VectorFunctions.hyperplaneSketch(col(v), hp))
+          .select(col(id), col(v),
+            posexplode(array((0 until bands).map(b =>
+              shiftrightunsigned(col("__sketch"), b * planes)
+                .bitwiseAND(lit((1L << planes) - 1))): _*))
+              .as(Seq("__band", "__key")))
+    }
 
     val qb = banded(queries, "query_id", "__qv")
     val cb = banded(corpus, "neighbor_id", "__cv")

@@ -288,6 +288,47 @@ object AnalyticsQueries {
               |WHERE c_acctbal > avg_bal
               |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
               |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-              |GROUP BY n_name""".stripMargin))
+              |GROUP BY n_name""".stripMargin)),
+
+    // TPC-H Q20-style qualified suppliers: IN + a correlated scalar
+    // subquery TWO levels down (supplier ← lineitem ← per-(part,supplier)
+    // average), the round-4 verdict's next decorrelation rung past
+    // q65-q67. Spark side decorrelates the correlated average as a window
+    // over (l_partkey, l_suppkey) — one lineitem scan, one shuffle. Two
+    // ordering traps are load-bearing: the window must be computed BEFORE
+    // the ship-date filter (the oracle's correlated avg ranges over the
+    // FULL group, qualifying lines over six months), and the red-part
+    // semi join keys on l_partkey alone, so it drops or keeps whole
+    // (l_partkey, l_suppkey) groups and cannot change any group's average.
+    QueryDef("q75_qualified_suppliers",
+      (s, d) => {
+        val redParts = Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))
+        val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        val avgQty = sum(col("l_quantity").cast(DecimalType(30, 8))).over(w)
+          .cast(DoubleType) / count(col("l_quantity")).over(w)
+        val qualifying = Tables.lineitem(s, d)
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .withColumn("avg_qty", avgQty)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")) &&
+            col("l_quantity") > lit(1.45) * col("avg_qty"))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, d)
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some(s"""SELECT s_suppkey, s_name, n_name
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |WHERE s_suppkey IN (
+              |  SELECT l_suppkey FROM lineitem
+              |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+              |    AND l_quantity > (SELECT 1.45 * (${exactAvgSql("l2.l_quantity")})
+              |                      FROM lineitem l2
+              |                      WHERE l2.l_partkey = lineitem.l_partkey
+              |                        AND l2.l_suppkey = lineitem.l_suppkey))""".stripMargin))
   )
 }

@@ -116,6 +116,38 @@ object MiscQueries {
              |  CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
              |FROM read_csv_auto('/root/repo/target/graft_csv/sf0.01/orders/*.csv', header=true)""".stripMargin)),
 
+    // Partitioned-Parquet round-trip (SURVEY §2.1 S4/S6, reference
+    // spark/silver/processor.py:179-188 + gold/processor.py:117-130): the
+    // orders fixture is written hive-partitioned on year=/month= (derived
+    // from o_orderdate — multiple real partitions, unlike the reference's
+    // single literal load date) and read back through a partition FILTER,
+    // so directory layout, partition-value encoding and pruning semantics
+    // are all pinned by DuckDB reading the same files with
+    // hive_partitioning — the q72 trick for the partitioned sink/scan.
+    // Partition columns come back as inferred ints on both engines; the
+    // explicit BIGINT cast on both sides makes the schemas comparable.
+    // PlanSpec pins that the filter lands in PartitionFilters (pruned
+    // listing), not a post-scan Filter.
+    QueryDef("q73_partitioned_roundtrip",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_part/$sfName/orders"
+        Tables.orders(s, d)
+          .withColumn("year", year(col("o_orderdate")))
+          .withColumn("month", month(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+        s.read.parquet(out)
+          .where(col("year") === 1995 && col("month") >= 7)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("year").cast("long").alias("year"),
+            col("month").cast("long").alias("month"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CAST(year AS BIGINT) AS year, CAST(month AS BIGINT) AS month
+             |FROM parquet_scan('/root/repo/target/graft_part/sf0.01/orders/**/*.parquet',
+             |                  hive_partitioning=true)
+             |WHERE year = 1995 AND month >= 7""".stripMargin)),
+
     // EXCEPT: customers with finished orders but no open ones.
     QueryDef("q46_except",
       (s, d) => {

@@ -91,4 +91,35 @@ class PlanSpec extends SparkSpec {
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q70 bloom probe is the native might_contain over a scalar subquery, not a UDF") {
+    // decontaminateBloom builds BloomFilterMightContain(ScalarSubquery(...))
+    // through the private[sql] bridge — exactly the internal surface a
+    // Spark minor bump can shift. Pin the shape: the probe must stay the
+    // codegen'd native expression (InjectRuntimeFilter's own shape); any
+    // refactor that reintroduces a closure UDF (or Python eval) re-fences
+    // whole-stage codegen on the corpus side of the query.
+    val df = SparkEntry.queries("q70_bloom_decontaminate")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("might_contain"), s"native bloom probe missing:\n$p")
+    assert(p.toLowerCase.contains("subquery"), s"bloom filter not fed via scalar subquery:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"bloom probe fell back to a UDF:\n$p")
+    assert(p.contains("[codegen id :"), s"corpus side fell out of codegen:\n$p")
+  }
+
+  test("q73 partition filter prunes at the listing, not post-scan") {
+    val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), s"no partition filters in scan:\n$p")
+    val pf = p.linesIterator.mkString(" ")
+    // both predicates must be PARTITION filters (pruned directory listing);
+    // a plan filtering year/month after a full scan reads every partition
+    assert(pf.matches(""".*PartitionFilters: \[[^\]]*year[^\]]*\].*"""),
+      s"year not in PartitionFilters:\n$p")
+    assert(pf.matches(""".*PartitionFilters: \[[^\]]*month[^\]]*\].*"""),
+      s"month not in PartitionFilters:\n$p")
+  }
 }

@@ -76,6 +76,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hyperplaneTopK maximizes selectivity subject to the recall target") {
+    import graft.ops.LshParams
+    def p(c: Double) = 1.0 - math.acos(c) / math.Pi
+    def collide(c: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p(c), r), b)
+    Seq(0.3, 0.5, 0.7, 0.9).foreach { c =>
+      val (r, b) = LshParams.hyperplaneTopK(c)
+      assert(r * b <= 64)
+      assert(collide(c, r, b) >= 0.9, s"layout ($r,$b) misses recall at c=$c")
+      // one more plane per band must be infeasible within the bit budget —
+      // otherwise the layout isn't the most selective one
+      val better = (1 to 64 / (r + 1)).exists(b2 => collide(c, r + 1, b2) >= 0.9)
+      assert(!better, s"($r,$b) at c=$c: planes=${r + 1} would also meet recall")
+    }
+  }
+
+  test("lshTopKWith exhaustive layout equals brute force; auto layout recalls >= 0.9") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val bruteRows = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5).collect()
+    val brute = bruteRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = Similarity.lshTopKWith(q, c, "vec_id", "embedding", 5, dim = 64,
+      planes = 0, bands = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive == brute, "planes=0 single-bucket LSH must equal brute force")
+    // the S-curve guarantee is per-pair AT the design cosine: design for
+    // the weakest true neighbor actually present (near-orthogonal fixture:
+    // top-5 cosines run well below the 0.5 default) with headroom
+    val cMin = bruteRows.map(_.getDouble(2)).min
+    val auto = Similarity.lshTopK(q, c, "vec_id", "embedding", 5, dim = 64,
+      neighborCosine = cMin, targetRecall = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (auto intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (design cosine $cMin)")
+  }
+
   test("lshTopK results are a subset of brute-force candidates with correct cosines") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 5)
