@@ -83,6 +83,77 @@ class JdbcSpec extends SparkSpec {
     assert(rows == Set((1L, "MEDIUM", 12.0), (2L, "LOW", 5.0), (3L, "LOW", 7.0)))
   }
 
+  // ---------------------------------------------------------------------
+  // PostgreSQL-dialect coverage (round-4 verdict item 2). The reference's
+  // real datamart is Postgres (gold/datamart_extended.py:78-103,141-144);
+  // no Postgres/H2 server or driver exists in this zero-egress container,
+  // so these tests pin the part Spark CONTROLS — the exact DDL, type
+  // mapping, identifier quoting and literal compilation its
+  // PostgresDialect emits on the write path jdbcOverwrite exercises —
+  // against the dialect rules Postgres enforces. Live round-trip behavior
+  // (drop+recreate, pushdown) is proven on embedded Derby above; these
+  // assertions catch the dialect-level drift Derby hides.
+  // ---------------------------------------------------------------------
+
+  private val pgDialect =
+    org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://host/db")
+
+  test("Postgres dialect: datamart DDL type mapping for the gold schema") {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    val gold = SparkEntry.queries("q61_medallion_portfolio")(spark, sf001)
+    val ddl = JdbcUtils.schemaString(pgDialect,
+      Projections.lowercaseAll(gold).schema, caseSensitive = false, None)
+    // long → BIGINT, double → FLOAT8 (pg alias of DOUBLE PRECISION),
+    // string → TEXT — the mappings a Postgres reader of the datamart
+    // depends on (numeric columns arriving as TEXT, or doubles as
+    // NUMERIC, breaks consumers)
+    assert(ddl.contains("\"risk_segment\" TEXT"), ddl)
+    assert(ddl.contains("\"client_count\" BIGINT"), ddl)
+    assert(ddl.contains("\"total_exposure\" FLOAT8"), ddl)
+  }
+
+  test("Postgres dialect: full type surface maps to the expected pg types") {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("c_long", LongType), StructField("c_int", IntegerType),
+      StructField("c_double", DoubleType), StructField("c_float", FloatType),
+      StructField("c_str", StringType), StructField("c_bool", BooleanType),
+      StructField("c_ts", TimestampType), StructField("c_dec", DecimalType(30, 8)),
+      StructField("c_bin", BinaryType), StructField("c_vec", ArrayType(DoubleType))))
+    val ddl = JdbcUtils.schemaString(pgDialect, schema, caseSensitive = false, None)
+    // FLOAT8/FLOAT4 are pg's canonical aliases of DOUBLE PRECISION/REAL;
+    // session timestamps are LTZ semantics, hence TIMESTAMP WITH TIME ZONE
+    Seq("\"c_long\" BIGINT", "\"c_int\" INTEGER", "\"c_double\" FLOAT8",
+      "\"c_float\" FLOAT4", "\"c_str\" TEXT", "\"c_bool\" BOOLEAN",
+      "\"c_ts\" TIMESTAMP WITH TIME ZONE", "\"c_dec\" NUMERIC(30,8)", "\"c_bin\" BYTEA")
+      .foreach(frag => assert(ddl.contains(frag), s"missing `$frag` in:\n$ddl"))
+    // embeddings ride as native pg arrays, not serialized blobs
+    assert(ddl.contains("\"c_vec\" FLOAT8[]"), ddl)
+  }
+
+  test("Postgres dialect: lowercase folding makes quoted identifiers fold-stable") {
+    // Postgres folds UNquoted identifiers to lowercase but Spark always
+    // quotes — so a camelCase Spark column becomes a quoted case-sensitive
+    // pg column that `SELECT colname` can no longer reach. The datamart
+    // write lowercases first (reference datamart_extended.py:141-144);
+    // after folding, quoting is inert and the table is queryable unquoted.
+    val df = Seq((1L, "x")).toDF("SK_ID_CURR", "Risk_Segment")
+    val folded = Projections.lowercaseAll(df)
+    folded.schema.fieldNames.foreach { n =>
+      assert(n == n.toLowerCase)
+      assert(pgDialect.quoteIdentifier(n) == "\"" + n + "\"")
+    }
+  }
+
+  test("Postgres dialect: pushed string literals are escaped pg-style") {
+    // scan-side pushdown compiles Catalyst literals into dialect SQL; a
+    // name with a quote must double it, not backslash it (pg standard)
+    assert(pgDialect.compileValue("O'Brien") == "'O''Brien'")
+    assert(pgDialect.compileValue(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      .toString.startsWith("'1997-01-01"))
+  }
+
   test("S8: gold portfolio lands in the datamart like the reference write") {
     // end-to-end: medallion gold output -> JDBC datamart -> read back by name
     val q61 = SparkEntry.queries("q61_medallion_portfolio")(spark, sf001)
