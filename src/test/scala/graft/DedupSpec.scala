@@ -117,6 +117,29 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == Set((1L, 2L, 0)))
   }
 
+  test("simHashNearDup equals brute-force hamming over ALL pairs (verified grade)") {
+    // pigeonhole completeness (hamming ≤ 3 ⇒ one of 4 16-bit bands equal)
+    // plus the exact bit_count verify make the banded output DETERMINISTIC:
+    // exactly the pairs within hamming 3 — provable by O(n²) comparison on
+    // the self-similar documents fixture (the q49 exactness trick for
+    // SimHash; 500 docs → 125k brute pairs, trivial at test scale)
+    val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val banded = Dedup.simHashNearDup(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = df.select(col("doc_id"),
+      TextFunctions.simHash64(TextFunctions.tokens(col("text"))).alias("__s"))
+    val brute = sig.alias("a").join(sig.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.__s").bitwiseXOR(col("b.__s"))).alias("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture produced no sim-hash pairs — test is vacuous")
+    assert(banded == brute,
+      s"banded ${banded.size} pairs != brute ${brute.size}: " +
+        s"missed ${(brute -- banded).take(5)}, extra ${(banded -- brute).take(5)}")
+  }
+
   test("embeddingNearDup finds the noisy copy, not the orthogonal vector") {
     val dim = 8
     val v = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else 0.5f)
