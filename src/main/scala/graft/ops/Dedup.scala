@@ -476,24 +476,36 @@ object Dedup {
     *     norm folds.
     * The banding keys are the low bits of the same wide sketch (word 1),
     * so the sketch is computed once per row.
+    *
+    * Degenerate gates (the q71/q74 exactness trick): `planes = 0` keys
+    * every row to the single bucket 0 (candidates = all pairs) and
+    * `prefilterBits = 0` disables the probabilistic sketch cut — with
+    * both, the output provably equals brute-force threshold search and a
+    * DuckDB all-pairs oracle pins the candidate/verify machinery (q76).
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int,
                        planes: Int = 8, bands: Int = 4,
                        prefilterBits: Int = 512): DataFrame = {
     import graft.functions.VectorFunctions
-    require(planes * bands <= 64, "band keys must fit the first sketch word")
+    require(planes >= 0 && planes * bands <= 64, "band keys must fit the first sketch word")
     val nBits = math.max(prefilterBits, planes * bands)
     val hp = Hyperplanes.generate(seed = 42L, nPlanes = nBits, dim = dim)
-    val base = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
+    val base0 = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
       .withColumn("__nrm", VectorFunctions.norm(col("__v")))
+    val base =
+      if (nBits > 0) base0.withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
+      else base0
     // ids only through the explode/self-join — never replicate the vector
-    val banded = base.select(col("__id"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(element_at(col("__ws"), 1), b * planes)
-          .bitwiseAND(lit((1L << planes) - 1))): _*))
-        .as(Seq("__band", "__key")))
+    val banded =
+      if (planes == 0) // exhaustive: one global bucket
+        base.select(col("__id"), lit(0).alias("__band"), lit(0L).alias("__key"))
+      else
+        base.select(col("__id"),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(element_at(col("__ws"), 1), b * planes)
+              .bitwiseAND(lit((1L << planes) - 1))): _*))
+            .as(Seq("__band", "__key")))
 
     // ids-only distinct (never shuffle the vectors or sketches)
     val candidates = banded.alias("a")
@@ -506,11 +518,13 @@ object Dedup {
     // stage 1: hamming over the full wide sketch (8 longs, not 64 floats)
     val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
-    val prefiltered = candidates
-      .join(base.select(col("__id").alias("id_a"), col("__ws").alias("__wsa")), "id_a")
-      .join(base.select(col("__id").alias("id_b"), col("__ws").alias("__wsb")), "id_b")
-      .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
-      .select(col("id_a"), col("id_b"))
+    val prefiltered =
+      if (prefilterBits == 0) candidates
+      else candidates
+        .join(base.select(col("__id").alias("id_a"), col("__ws").alias("__wsa")), "id_a")
+        .join(base.select(col("__id").alias("id_b"), col("__ws").alias("__wsb")), "id_b")
+        .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
+        .select(col("id_a"), col("id_b"))
 
     // stage 2: exact cosine, norms hoisted to per-row columns
     val va = base.select(col("__id").alias("id_a"), col("__v").alias("__va"),

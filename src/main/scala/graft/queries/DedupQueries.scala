@@ -164,6 +164,47 @@ object DedupQueries {
     QueryDef("q44_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupAuto(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, dim = 64),
-      None)
+      None),
+
+    // Embedding near-dup through the EXHAUSTIVE degenerate layout
+    // (planes = 0: every row in one bucket ⇒ candidates = all pairs;
+    // prefilterBits = 0: the probabilistic 4σ sketch cut is off) — the
+    // output provably equals brute-force cosine-threshold search, so a
+    // DuckDB all-pairs oracle (identical left-fold cosine) pins the
+    // candidate/self-join/exact-verify machinery that q44's banded scale
+    // path shares. Input capped like q41: exhaustive is the oracle
+    // companion, not the scale path.
+    QueryDef("q76_embedding_pairs_exhaustive",
+      (s, d) => Dedup.embeddingNearDup(
+        Tables.embeddings(s, d).filter(col("vec_id") < 600), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 0, bands = 1, prefilterBits = 0),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE round(${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin)),
+
+    // Near-duplicate decontamination: drop training docs whose token-set
+    // Jaccard against ANY eval doc reaches the threshold (eval side
+    // broadcast, lossless size-ratio prefilter, exact merge-pass verify).
+    // The oracle states the same NOT EXISTS over string token sets —
+    // hashed-token Jaccard equals string-token Jaccard up to ~1e-13/pair
+    // collisions (the proven q41 equivalence).
+    QueryDef("q77_decontaminate_near",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        Dedup.decontaminateNear(all, all.filter(col("doc_id") % 29 === 0),
+            "doc_id", "text", threshold = 0.8)
+          .select(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             |  FROM documents),
+             |ev AS (SELECT toks FROM t WHERE doc_id % 29 = 0)
+             |SELECT doc_id FROM t
+             |WHERE NOT EXISTS (SELECT 1 FROM ev
+             |  WHERE CAST(len(list_intersect(t.toks, ev.toks)) AS DOUBLE) /
+             |        len(list_distinct(list_cat(t.toks, ev.toks))) >= 0.8)""".stripMargin))
   )
 }
