@@ -329,6 +329,48 @@ object AnalyticsQueries {
               |    AND l_quantity > (SELECT 1.45 * (${exactAvgSql("l2.l_quantity")})
               |                      FROM lineitem l2
               |                      WHERE l2.l_partkey = lineitem.l_partkey
-              |                        AND l2.l_suppkey = lineitem.l_suppkey))""".stripMargin))
+              |                        AND l2.l_suppkey = lineitem.l_suppkey))""".stripMargin)),
+
+    // TPC-H Q21-style waiting suppliers: EXISTS + NOT EXISTS over the SAME
+    // table with a non-equi residual (same order, DIFFERENT supplier) —
+    // the double-correlated rung past q75. Spark side: both subqueries
+    // decorrelate to semi/anti joins on the order key with the
+    // supplier-inequality as residual condition (equality key present, so
+    // no nested-loop product; PlanSpec would catch a BNLJ). "Late" is a
+    // ship-date cutoff (the fixture carries no receipt/commit dates).
+    // Deterministic top-10: (numwait DESC, s_suppkey ASC) is total.
+    QueryDef("q78_waiting_suppliers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val late = li.filter(
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-05-01 00:00:00")))
+        val others = li.select(col("l_orderkey").alias("__o2"), col("l_suppkey").alias("__s2"))
+          .distinct()
+        val lateOthers = late.select(col("l_orderkey").alias("__o3"), col("l_suppkey").alias("__s3"))
+          .distinct()
+        late
+          .join(others,
+            col("l_orderkey") === col("__o2") && col("l_suppkey") =!= col("__s2"), "left_semi")
+          .join(lateOthers,
+            col("l_orderkey") === col("__o3") && col("l_suppkey") =!= col("__s3"), "left_anti")
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).alias("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey").asc)
+          .limit(10)
+      },
+      Some("""WITH late AS (SELECT * FROM lineitem
+             |              WHERE l_shipdate >= TIMESTAMP '1998-05-01 00:00:00')
+             |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+             |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY s_suppkey, s_name
+             |ORDER BY numwait DESC, s_suppkey ASC
+             |LIMIT 10""".stripMargin))
   )
 }

@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("[codegen id :"), s"corpus side fell out of codegen:\n$p")
   }
 
+  test("q78 double-correlated semi/anti joins keep their equality keys (no product plan)") {
+    // EXISTS/NOT EXISTS with a same-order different-supplier residual must
+    // plan as equi semi/anti joins on l_orderkey with the inequality as
+    // residual — a BNLJ or cartesian here is quadratic in lineitem
+    val p = plan("q78_waiting_suppliers")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated exists degenerated to a product plan:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"missing semi/anti joins:\n$p")
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
