@@ -34,22 +34,11 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
-  /** Per-rep job/scan meter (round-4 verdict: a wall-second alone is not
-    * attributable — record the scale-invariant costs next to it so a
-    * regression is diagnosable from the JSON: same jobs+bytes but more
-    * seconds = measurement/JIT noise; more jobs or bytes = a plan change).
+  /** One rep's record: elapsed seconds, jobs launched, bytes scanned
+    * (metered by the shared [[JobMeter]] — round-4 verdict: a wall-second
+    * alone is not attributable; same jobs+bytes but more seconds =
+    * measurement/JIT noise, more jobs or bytes = a plan change).
     */
-  private final class Meter extends org.apache.spark.scheduler.SparkListener {
-    val jobs = new java.util.concurrent.atomic.AtomicLong
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-      jobs.incrementAndGet()
-    override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
-    def reset(): Unit = { jobs.set(0); bytes.set(0) }
-  }
-
-  /** One rep's record: elapsed seconds, jobs launched, bytes scanned. */
   private final case class Rep(sec: Double, jobs: Long, scanBytes: Long, ok: Boolean)
 
   def main(args: Array[String]): Unit = {
@@ -78,7 +67,7 @@ object Bench {
       } else ""
     sweep(spark)
 
-    val meter = new Meter
+    val meter = new JobMeter
     spark.sparkContext.addSparkListener(meter)
 
     // One timed+metered rep; failure is recorded, never masked (a crashed
@@ -117,9 +106,9 @@ object Bench {
       case Some(sub) => SparkEntry.queries.filter(_._1.contains(sub))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> runMedian(fn)
-    }
+    val results =
+      try selected.toSeq.sortBy(_._1).map { case (name, fn) => name -> runMedian(fn) }
+      finally spark.sparkContext.removeSparkListener(meter)
     // Per-query record is [sec, jobs, scan_mb] (round-4 verdict: wall
     // seconds alone make regressions unattributable) — sec negative on
     // failure. The capture of this line is TAIL-truncated downstream, so
@@ -138,9 +127,13 @@ object Bench {
     val line = String.format(java.util.Locale.ROOT,
       """{"metric":"total","unit":"sec","reps":%d,"legend":"queries: name -> [median_sec, jobs, scan_mb]","failures":%s,"queries":%s%s,"value":%.3f,"sf":"%s"}""",
       Int.box(Reps), failures, qs, shape, Double.box(total), sfDir)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      line.getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // only a FULL run may replace the committed record — a substring-
+    // filtered iteration (`runMain graft.Bench q44`) or shape-only run
+    // would clobber the 78-query file with a partial one
+    if (args.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        line.getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
   }

@@ -9,6 +9,23 @@ import graft.ops.Validation
 import graft.pipeline.{Gold, Silver}
 import graft.queries.MedallionQueries
 
+/** Jobs-launched / bytes-scanned listener shared by [[ShapeBench]] (per
+  * shape) and [[Bench]] (per query rep): the scale-invariant cost of a
+  * plan — wall time at sf0.1 is dominated by per-job constants, but jobs
+  * and bytes read grow with data. One implementation so the shape
+  * comparison and the per-query records can never diverge in what they
+  * count.
+  */
+final class JobMeter extends org.apache.spark.scheduler.SparkListener {
+  val jobs = new java.util.concurrent.atomic.AtomicLong
+  val bytes = new java.util.concurrent.atomic.AtomicLong
+  override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+    jobs.incrementAndGet()
+  override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+  def reset(): Unit = { jobs.set(0); bytes.set(0) }
+}
+
 /** Matched-scale benchmark: the reference pipeline's LITERAL plan shapes
   * vs this library's plan shapes, on the SAME fixture-derived frames, the
   * SAME hardware, producing the SAME deliverables (4 Silver parquet
@@ -36,26 +53,15 @@ object ShapeBench {
   final case class ShapeResult(sec: Double, profileRows: Long, portfolioRows: Long,
                                jobs: Long = 0, scanBytes: Long = 0)
 
-  /** Counts Spark jobs and input bytes scanned while `body` runs — the
-    * scale-invariant cost of a plan shape: wall time at sf0.1 is dominated
-    * by per-job constants, but jobs launched and bytes read off storage
-    * grow linearly with data, so their ratio is what a 100 TB run feels.
-    */
+  /** Meters jobs/bytes while `body` runs (see [[JobMeter]]). */
   private def instrumented(spark: SparkSession)(body: => ShapeResult): ShapeResult = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
-    val jobs = new java.util.concurrent.atomic.AtomicLong
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
-    }
-    spark.sparkContext.addSparkListener(listener)
+    val meter = new JobMeter
+    spark.sparkContext.addSparkListener(meter)
     try {
       val r = body
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
-      r.copy(jobs = jobs.get, scanBytes = bytes.get)
-    } finally spark.sparkContext.removeSparkListener(listener)
+      r.copy(jobs = meter.jobs.get, scanBytes = meter.bytes.get)
+    } finally spark.sparkContext.removeSparkListener(meter)
   }
 
   private def freshDir(tag: String): String =

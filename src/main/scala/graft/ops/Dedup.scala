@@ -589,14 +589,25 @@ object LshParams {
     */
   def hyperplaneTopK(neighborCosine: Double, targetRecall: Double = 0.9,
                      maxBits: Int = 64): (Int, Int) = {
-    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, neighborCosine))) / math.Pi
+    // loud bounds: a cosine or recall outside its domain is a caller bug
+    // (e.g. legacy positional (planes, bands) ints widened into these
+    // doubles) — silently proceeding would hand back a degenerate layout
+    require(neighborCosine >= -1.0 && neighborCosine <= 1.0,
+      s"neighborCosine must be in [-1, 1], got $neighborCosine")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val p = 1.0 - math.acos(neighborCosine) / math.Pi
     def collide(r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), b)
     val layouts = for {
       r <- maxBits to 1 by -1
       b = (1 to maxBits / r).find(collide(r, _) >= targetRecall)
       if b.isDefined
     } yield (r, b.get)
-    layouts.headOption.getOrElse((1, 1))
+    // when no layout meets the target within the bit budget, return the
+    // highest-recall one the budget allows (1 plane × maxBits bands) —
+    // the documented recall contract is best-effort-maximal, never a
+    // silent selectivity-first fallback
+    layouts.headOption.getOrElse((1, maxBits))
   }
 
   /** Hyperplane banding: per-plane agreement prob for cosine c is

@@ -306,6 +306,10 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               neighborCosine: Double = 0.5, targetRecall: Double = 0.9): DataFrame = {
+    // hyperplaneTopK bounds-checks both doubles, so a legacy positional
+    // call in the old (planes: Int, bands: Int) style fails loudly here
+    // instead of silently widening 6 → cosine 6.0 (use lshTopKWith for an
+    // explicit layout)
     val (planes, bands) = LshParams.hyperplaneTopK(neighborCosine, targetRecall)
     lshTopKWith(queries, corpus, idCol, vecCol, k, dim, planes, bands)
   }

@@ -123,7 +123,7 @@ class DedupSpec extends SparkSpec {
     // exactly the pairs within hamming 3 — provable by O(n²) comparison on
     // the self-similar documents fixture (the q49 exactness trick for
     // SimHash; 500 docs → 125k brute pairs, trivial at test scale)
-    val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val df = graft.sources.Tables.documents(spark, sf01)
     val banded = Dedup.simHashNearDup(df, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val sig = df.select(col("doc_id"),
