@@ -320,24 +320,31 @@ object Similarity {
     * provably equals [[bruteForceTopK]] — the correctness gate for the
     * banding/candidate/rank machinery (q74 carries q50's oracle through
     * it, the same trick q71 plays for IVF).
+    *
+    * Each band keys on its OWN hyperplane slice (a native codegen'd
+    * `planes`-dot sketch per band), so `planes · bands` is NOT capped at
+    * one 64-bit word — at corpus scale, `planes ≈ log2(n / targetBucket)`
+    * keeps expected bucket occupancy constant while `bands` restores
+    * recall, the layout a fixed 64-bit budget could not express (the
+    * round-4 fan-in finding). Layouts fitting one word produce bit-
+    * identical keys to the former packed-word formulation.
     */
   def lshTopKWith(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int, dim: Int,
                   planes: Int, bands: Int): DataFrame = {
-    require(planes >= 0 && bands >= 1 && planes * bands <= 64,
-      "band keys must fit one 64-bit sketch word")
+    require(planes >= 0 && planes <= 64 && bands >= 1 && planes * bands <= 512,
+      "per-band keys are one sketch word; total plane budget capped at 512")
     val hp = Hyperplanes.generate(seed = 7L, nPlanes = planes * bands, dim = dim)
     def banded(df: DataFrame, id: String, v: String) = {
       val base = df.select(col(idCol).alias(id), col(vecCol).alias(v))
       if (planes == 0) // exhaustive: one global bucket, no sketch to compute
         base.select(col(id), col(v), lit(0).alias("__band"), lit(0L).alias("__key"))
       else
-        base.withColumn("__sketch", VectorFunctions.hyperplaneSketch(col(v), hp))
-          .select(col(id), col(v),
-            posexplode(array((0 until bands).map(b =>
-              shiftrightunsigned(col("__sketch"), b * planes)
-                .bitwiseAND(lit((1L << planes) - 1))): _*))
-              .as(Seq("__band", "__key")))
+        base.select(col(id), col(v),
+          posexplode(array((0 until bands).map(b =>
+            VectorFunctions.hyperplaneSketch(
+              col(v), hp.slice(b * planes, (b + 1) * planes))): _*))
+            .as(Seq("__band", "__key")))
     }
 
     val qb = banded(queries, "query_id", "__qv")

@@ -111,6 +111,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (design cosine $cMin)")
   }
 
+  test("lshTopKWith wide layout (128 bits, beyond one sketch word) stays correct") {
+    // planes=16 × bands=8 = 128 plane bits — inexpressible under the old
+    // one-word cap; exact copies still collide in every band (identical
+    // per-band sketches) and every emitted cosine must match brute force
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.lshTopKWith(q, emb, "vec_id", "embedding", 1, dim = 64,
+      planes = 16, bands = 8).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "top-1 must be the identical vector")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.lshTopKWith(q, emb, "vec_id", "embedding", 5, dim = 64,
+      planes = 16, bands = 8).collect().foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(exp => assert(math.abs(r.getDouble(2) - exp) < 1e-9))
+    }
+  }
+
   test("lshTopK results are a subset of brute-force candidates with correct cosines") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 5)
