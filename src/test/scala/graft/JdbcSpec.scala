@@ -83,6 +83,40 @@ class JdbcSpec extends SparkSpec {
     assert(rows == Set((1L, "MEDIUM", 12.0), (2L, "LOW", 5.0), (3L, "LOW", 7.0)))
   }
 
+  test("streaming jdbcUpsertSink resumes from checkpoint across restarts, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[(Long, String, Double)]
+    def start() = graft.streaming.StreamingOps.jdbcUpsertSink(
+      in.toDF().toDF("id", "segment", "exposure"),
+      url, "datamart_restart", keyCols = Seq("id"), props = props)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try { in.addData((1L, "HIGH", 10.0), (2L, "LOW", 5.0)); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // data arriving while the query is DOWN + an update to an existing key;
+    // the restarted query must pick up from the committed offsets — no
+    // re-application of batch 0, no loss of the offline rows
+    in.addData((2L, "MEDIUM", 6.0), (3L, "LOW", 7.0))
+    val q2 = start()
+    try { in.addData((4L, "HIGH", 9.0)); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val rows = Tables.jdbc(spark, url, "datamart_restart", props)
+      .collect().map(r => (
+        r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("segment")),
+        r.getDouble(r.fieldIndex("exposure")))).toSet
+    assert(rows == Set((1L, "HIGH", 10.0), (2L, "MEDIUM", 6.0),
+      (3L, "LOW", 7.0), (4L, "HIGH", 9.0)))
+  }
+
   // ---------------------------------------------------------------------
   // PostgreSQL-dialect coverage (round-4 verdict item 2). The reference's
   // real datamart is Postgres (gold/datamart_extended.py:78-103,141-144);
