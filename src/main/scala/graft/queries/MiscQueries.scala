@@ -148,6 +148,58 @@ object MiscQueries {
              |                  hive_partitioning=true)
              |WHERE year = 1995 AND month >= 7""".stripMargin)),
 
+    // Path-encoded partition sink round-trip (SURVEY §2.1 S7, reference
+    // spark/bronze/feeder_postgres.py:94-105: the partition value is baked
+    // into the PATH, not written via partitionBy): write customers into
+    // `.../ingest_date=2026-08-12`, read the TABLE ROOT back so the
+    // directory name surfaces as a partition column, and oracle via DuckDB
+    // hive_partitioning over the same files — pinning that the path
+    // encoding produces a real, readable hive layout.
+    QueryDef("q79_path_partition_roundtrip",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val base = s"/root/repo/target/graft_pathpart/$sfName"
+        graft.sources.Sinks.parquetIntoPartitionDir(
+          Tables.customer(s, d), base, "customer", ("ingest_date", "2026-08-12"))
+        s.read.parquet(s"$base/customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("ingest_date").cast("string").alias("ingest_date"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |  CAST(ingest_date AS VARCHAR) AS ingest_date
+             |FROM parquet_scan('/root/repo/target/graft_pathpart/sf0.01/customer/**/*.parquet',
+             |                  hive_partitioning=true)""".stripMargin)),
+
+    // Live JDBC round-trip as a DRIVER query (SURVEY §2.1 S2+S8,
+    // reference gold/processor.py:284-313 write + bronze/feeder_postgres
+    // read): the orders fixture is written to an embedded Derby database
+    // (drop+recreate overwrite, 2 connections) and read back through the
+    // JDBC source. The oracle is simply the source table — hash equality
+    // proves the write+read pipeline preserved every row and type
+    // through a real SQL database's storage and JDBC type mapping.
+    QueryDef("q80_jdbc_roundtrip",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val url = s"jdbc:derby:/root/repo/target/graft_derby_q80/$sfName;create=true"
+        val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+        // bounded: the gate pins write+read correctness through a real SQL
+        // database; a single-node embedded DB is not a throughput surface,
+        // so larger SFs round-trip the same 15k rows instead of scaling
+        val src = Tables.orders(s, d).filter(col("o_orderkey") < 15000).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        graft.sources.Sinks.jdbcOverwrite(src, url, "orders_rt", "app", "pw",
+          numPartitions = 2, props = props)
+        Tables.jdbc(s, url, "orders_rt", props + ("user" -> "app", "password" -> "pw"))
+          .select(col("o_orderkey").cast("long").alias("o_orderkey"),
+            col("o_custkey").cast("long").alias("o_custkey"),
+            col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            col("o_totalprice").cast("double").alias("o_totalprice"),
+            col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders WHERE o_orderkey < 15000""".stripMargin)),
+
     // EXCEPT: customers with finished orders but no open ones.
     QueryDef("q46_except",
       (s, d) => {
