@@ -41,6 +41,43 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt scale path)") {
+    // salting (Skew.saltedJoin) is the manual fix; the plan-level fix this
+    // library leans on at scale is AQE's OptimizeSkewedJoin — prove it
+    // fires: one key holds ~95% of the left side, thresholds are lowered
+    // to fixture scale, broadcast is disabled so the join is sort-merge,
+    // and the executed plan must carry the skew=true marker.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select((when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id"))).alias("k"),
+          concat(lit("payload_"), col("id")).alias("v"))
+      val right = spark.range(2000).select(col("id").alias("k"),
+        concat(lit("dim_"), col("id")).alias("w"))
+      // count() would spawn its own QueryExecution — collect() executes
+      // THIS frame's plan, which is where AQE finalizes the skew split
+      val joined = left.join(right, "k")
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the skewed partition:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("bucketed tables join without exchange or sort") {
     val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
     Bucketing.writeBucketed(Tables.orders(spark, sf001), spark,
