@@ -584,8 +584,11 @@ object LshParams {
     * planes-per-band (buckets per band = 2^planes, i.e. exponentially
     * smaller buckets) whose S-curve still recalls a true neighbor at
     * `neighborCosine` with probability ≥ `targetRecall`, then the fewest
-    * bands that get there. Returns (planes, bands) with
-    * planes·bands ≤ `maxBits` (the band keys share one sketch word).
+    * bands that get there. Returns (planes, bands) with planes ≤ 64 (a
+    * band key is one sketch word) and planes·bands ≤ `maxBits` — the
+    * total sketch-compute budget; raise it past 64 to buy more selective
+    * layouts at large corpus sizes (each band keys on its own plane
+    * slice, see [[Similarity.lshTopKWith]]).
     */
   def hyperplaneTopK(neighborCosine: Double, targetRecall: Double = 0.9,
                      maxBits: Int = 64): (Int, Int) = {
@@ -599,7 +602,7 @@ object LshParams {
     val p = 1.0 - math.acos(neighborCosine) / math.Pi
     def collide(r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), b)
     val layouts = for {
-      r <- maxBits to 1 by -1
+      r <- math.min(64, maxBits) to 1 by -1
       b = (1 to maxBits / r).find(collide(r, _) >= targetRecall)
       if b.isDefined
     } yield (r, b.get)
@@ -607,7 +610,7 @@ object LshParams {
     // highest-recall one the budget allows (1 plane × maxBits bands) —
     // the documented recall contract is best-effort-maximal, never a
     // silent selectivity-first fallback
-    layouts.headOption.getOrElse((1, maxBits))
+    layouts.headOption.getOrElse((1, math.min(512, maxBits)))
   }
 
   /** Hyperplane banding: per-plane agreement prob for cosine c is

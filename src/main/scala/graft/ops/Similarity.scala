@@ -305,12 +305,15 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              neighborCosine: Double = 0.5, targetRecall: Double = 0.9): DataFrame = {
+              neighborCosine: Double = 0.5, targetRecall: Double = 0.9,
+              maxPlaneBits: Int = 64): DataFrame = {
     // hyperplaneTopK bounds-checks both doubles, so a legacy positional
     // call in the old (planes: Int, bands: Int) style fails loudly here
     // instead of silently widening 6 → cosine 6.0 (use lshTopKWith for an
-    // explicit layout)
-    val (planes, bands) = LshParams.hyperplaneTopK(neighborCosine, targetRecall)
+    // explicit layout). maxPlaneBits is the sketch-compute budget: raise
+    // it past 64 at large corpus sizes to buy more planes per band
+    // (exponentially smaller buckets) at the same recall target.
+    val (planes, bands) = LshParams.hyperplaneTopK(neighborCosine, targetRecall, maxPlaneBits)
     lshTopKWith(queries, corpus, idCol, vecCol, k, dim, planes, bands)
   }
 

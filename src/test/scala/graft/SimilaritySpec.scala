@@ -89,6 +89,12 @@ class SimilaritySpec extends SparkSpec {
       val better = (1 to 64 / (r + 1)).exists(b2 => collide(c, r + 1, b2) >= 0.9)
       assert(!better, s"($r,$b) at c=$c: planes=${r + 1} would also meet recall")
     }
+    // a larger sketch budget buys strictly more planes per band (smaller
+    // buckets) at the same recall — the corpus-scaling knob
+    val (r64, _) = LshParams.hyperplaneTopK(0.5, maxBits = 64)
+    val (r128, b128) = LshParams.hyperplaneTopK(0.5, maxBits = 128)
+    assert(r128 > r64, s"128-bit budget should out-select 64-bit: $r128 vs $r64")
+    assert(r128 * b128 <= 128 && collide(0.5, r128, b128) >= 0.9)
   }
 
   test("lshTopKWith exhaustive layout equals brute force; auto layout recalls >= 0.9") {
