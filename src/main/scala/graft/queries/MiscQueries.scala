@@ -170,6 +170,30 @@ object MiscQueries {
              |FROM parquet_scan('/root/repo/target/graft_pathpart/sf0.01/customer/**/*.parquet',
              |                  hive_partitioning=true)""".stripMargin)),
 
+    // JSONL round-trip: the documents corpus written as JSON lines (the
+    // LLM-training-data interchange format) and read back with an
+    // EXPLICIT schema, oracled by DuckDB's independent JSON reader over
+    // the same files — quoting/escaping of real document text (unicode,
+    // newlines, quotes) is pinned across two engines' JSON codecs.
+    // Parallel write; oracle globs *.json like q72.
+    QueryDef("q81_jsonl_roundtrip",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_jsonl/$sfName/documents"
+        Tables.documents(s, d).write.mode("overwrite").json(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars", LongType)))
+        Tables.jsonl(s, out, Some(schema))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM read_json_auto('/root/repo/target/graft_jsonl/sf0.01/documents/*.json',
+             |                    format='newline_delimited')""".stripMargin)),
+
     // Live JDBC round-trip as a DRIVER query (SURVEY §2.1 S2+S8,
     // reference gold/processor.py:284-313 write + bronze/feeder_postgres
     // read): the orders fixture is written to an embedded Derby database

@@ -54,6 +54,18 @@ object Tables {
     }
   }
 
+  /** JSON-lines source — the de-facto interchange format for LLM training
+    * corpora (one JSON document per line, splittable, append-friendly).
+    * Explicit schema for production paths (inference scans the data and is
+    * sample-dependent — at 100 TB always pass the schema); inference
+    * overload for exploration.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+
   /** JDBC source (SURVEY §2.1 S2 — reference: spark/bronze/feeder_postgres.py:68-77).
     * `partitionColumn`/bounds enable parallel reads; a single-connection JDBC
     * scan is a driver-side bottleneck at scale.
