@@ -371,6 +371,171 @@ object AnalyticsQueries {
              |                    AND l3.l_suppkey <> l1.l_suppkey)
              |GROUP BY s_suppkey, s_name
              |ORDER BY numwait DESC, s_suppkey ASC
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q18-style large-volume orders: IN over a GROUP BY + HAVING
+    // aggregate subquery. Spark side computes the per-order quantity sum
+    // ONCE and joins it back — the subquery and the outer projection need
+    // the same aggregate, so the decorrelated form halves the lineitem
+    // scans vs a literal semi join + re-aggregation. Decimal-accumulated
+    // sum on both sides keeps the HAVING threshold engine-independent.
+    QueryDef("q83_large_volume_orders",
+      (s, d) => {
+        val qty = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(exactSum(col("l_quantity")).alias("total_qty"))
+          .filter(col("total_qty") > 250.0)
+        Tables.orders(s, d)
+          .join(qty, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      },
+      Some(s"""WITH qty AS (
+              |  SELECT l_orderkey, ${exactSumSql("l_quantity")} AS total_qty
+              |  FROM lineitem GROUP BY l_orderkey
+              |  HAVING ${exactSumSql("l_quantity")} > 250.0)
+              |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+              |FROM orders JOIN qty ON o_orderkey = l_orderkey
+              |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // TPC-H Q19-style disjunctive revenue: OR-of-ANDs mixing part and
+    // lineitem columns. The scale point is pushdown through the
+    // disjunction: every disjunct constrains p_brand, so the part scan
+    // can be pre-filtered with the UNION of the brand predicates
+    // (manual CNF extraction — lossless, each disjunct implies its
+    // brand) and broadcast; the residual OR is evaluated post-join.
+    QueryDef("q84_disjunctive_revenue",
+      (s, d) => {
+        val brands = Seq("Brand#12", "Brand#23", "Brand#3")
+        val p = Tables.part(s, d)
+          .filter(col("p_brand").isin(brands: _*) && col("p_size") >= 1)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size") <= 15 &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size") <= 25 &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size") <= 35 &&
+              col("l_quantity").between(20, 30)))
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .alias("revenue"),
+            count(lit(1)).alias("n_lines"))
+      },
+      Some(s"""SELECT ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q13-style order-count distribution: LEFT OUTER join with a
+    // predicate INSIDE the join condition (customers keep their row even
+    // when every order is filtered away — a WHERE would drop them), then
+    // a count-of-counts re-aggregation. Two shuffles minimum: one on the
+    // join/group key, one on the tiny count domain.
+    QueryDef("q85_order_count_distribution",
+      (s, d) => {
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).alias("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).alias("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H Q15-style top supplier: a scalar subquery over the SAME
+    // aggregate the outer query projects (revenue per supplier = max of
+    // revenues). The aggregated frame is materialized ONCE
+    // (localCheckpoint — |suppliers| rows, tiny next to the lineitem
+    // scan) so the max and the equality filter both read it without a
+    // second corpus scan; the 1-row max is broadcast. Equality on a
+    // decimal-accumulated sum is deterministic across engines.
+    QueryDef("q86_top_revenue_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("total_rev"))
+          .localCheckpoint(true)
+        val maxRev = rev.agg(max(col("total_rev")).alias("max_rev"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(maxRev))
+          .filter(col("total_rev") === col("max_rev"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey,
+              |    ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS total_rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_rev
+              |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin)),
+
+    // TPC-H Q7-style volume shipping: revenue between a nation PAIR in
+    // either direction. The disjunction couples the two nation columns,
+    // but each disjunct implies membership in the pair set — so both
+    // dimension legs are pre-filtered to the two nations (manual CNF
+    // extraction again) and the residual (a,b)|(b,a) check runs after.
+    // At scale that prunes lineitem by the supplier leg BEFORE the
+    // orders shuffle (~2/25 of suppliers survive) instead of carrying
+    // the full fact table through every join.
+    QueryDef("q87_volume_shipping",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").alias("sn_key"), col("n_name").alias("supp_nation"))
+        val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").alias("cn_key"), col("n_name").alias("cust_nation"))
+        val suppN = Tables.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val custN = Tables.customer(s, d)
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("cust_nation"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(custN, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .withColumn("l_year", year(col("l_shipdate")).cast(LongType))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("revenue"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+              |  ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |GROUP BY 1, 2, 3""".stripMargin))
   )
 }

@@ -194,6 +194,25 @@ object MiscQueries {
              |FROM read_json_auto('/root/repo/target/graft_jsonl/sf0.01/documents/*.json',
              |                    format='newline_delimited')""".stripMargin)),
 
+    // ORC round-trip: the orders fixture written to ORC (Spark's native
+    // second columnar format) and read back through the ORC scan. The
+    // oracle is the SOURCE parquet table — hash equality proves the ORC
+    // write+read preserved every row and type (long/string/double/
+    // timestamp) through a different columnar codec. Parallel write, no
+    // coalesce; the read keeps full pushdown/pruning freedom.
+    QueryDef("q82_orc_roundtrip",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_orc/$sfName/orders"
+        Tables.orders(s, d).write.mode("overwrite").orc(out)
+        Tables.orc(s, out).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders""".stripMargin)),
+
     // Live JDBC round-trip as a DRIVER query (SURVEY §2.1 S2+S8,
     // reference gold/processor.py:284-313 write + bronze/feeder_postgres
     // read): the orders fixture is written to an embedded Derby database

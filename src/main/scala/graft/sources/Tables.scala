@@ -66,6 +66,14 @@ object Tables {
       case None    => spark.read.json(path)
     }
 
+  /** ORC source — the second columnar format the engine round-trips
+    * (Spark ships the ORC reader/writer natively). Same pushdown/pruning
+    * properties as parquet: predicates and column selection reach the
+    * stripe reader, so a narrow projection never pays for unread columns.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC source (SURVEY §2.1 S2 — reference: spark/bronze/feeder_postgres.py:68-77).
     * `partitionColumn`/bounds enable parallel reads; a single-connection JDBC
     * scan is a driver-side bottleneck at scale.
