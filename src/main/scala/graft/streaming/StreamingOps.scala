@@ -135,6 +135,96 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream attribution join: each click is matched to same-user
+    * signups that happened AT OR BEFORE the click, within `maxDelay`. The
+    * event-time interval condition plus watermarks on BOTH sides is what
+    * lets Spark bound the join state: a signup row can be dropped once the
+    * watermark passes `signup.ts + maxDelay` (no future click can match
+    * it), and a click row once the watermark passes its own timestamp —
+    * without the interval bound, stream-stream join state grows forever.
+    */
+  def attributionJoin(clicks: DataFrame, signups: DataFrame,
+                      maxDelay: String = "1 hour",
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").alias("click_id"),
+      col("user_id"), col("ts").alias("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val s = signups.select(col("event_id").alias("signup_id"),
+      col("user_id").alias("s_user_id"), col("ts").alias("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("click_ts") &&
+        col("signup_ts") >= col("click_ts") - expr(s"INTERVAL $maxDelay"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Long, total: Double)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp,
+                                 n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization that emits a session only when it CLOSES —
+    * the flatMapGroupsWithState + event-time-timeout pattern that
+    * session_window cannot express when the consumer needs exactly one
+    * final row per session (e.g. feeding the JDBC upsert sink). State per
+    * user is one open session; the timeout fires once the watermark
+    * passes `session end + gap`, at which point the session is emitted
+    * and its state dropped — bounded state on an infinite stream.
+    *
+    * Within a micro-batch, events are sorted by event time before
+    * folding (micro-batch iterators carry no order guarantee).
+    */
+  def closedSessions(events: DataFrame, gapSeconds: Long = 1800,
+                     watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionAcc]) =>
+          def close(s: SessionAcc) = ClosedSession(user,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+            s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = Iterator.single(close(state.get))
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionAcc(s.startMs, math.max(s.endMs, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) => // gap exceeded within the batch — close inline
+                  closed += close(s)
+                  cur = Some(SessionAcc(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit strictly beyond the current watermark;
+              // a session already older than the watermark fires next batch
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

@@ -111,6 +111,92 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("stream-stream attribution join matches within the interval, drops outside it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val signups = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.attributionJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      signups.toDF().toDF("event_id", "user_id", "ts"),
+      maxDelay = "1 hour")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_out").start()
+    try {
+      signups.addData((100L, 1L, ts(10, 0)), (101L, 2L, ts(10, 5)))
+      clicks.addData(
+        (200L, 1L, ts(10, 30)), // within 1h of signup 100 → matches
+        (201L, 1L, ts(12, 0)),  // 2h after signup 100 → outside interval
+        (202L, 3L, ts(10, 15))) // no signup for user 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_out")
+      .select("click_id", "signup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((200L, 100L)))
+  }
+
+  test("closedSessions emits one final row per session once the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingOps.closedSessions(
+      in.toDF().toDF("user_id", "ts", "value"), gapSeconds = 1800, watermark = "1 hour")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("closed_out").start()
+    try {
+      // user 1: two events 10 min apart = one session
+      in.addData((1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_out").count() == 0,
+        "session emitted before the watermark closed it")
+      // an unrelated late-hour event pushes the watermark to 13:00 - 1h =
+      // 12:00, past user 1's timeout at 10:10 + 30 min → session closes
+      in.addData((9L, ts(13, 0), 0.0))
+      q.processAllAvailable()
+      // one more empty-ish advance so the timed-out state is processed
+      in.addData((9L, ts(13, 1), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("closed_out")
+      .filter(col("user_id") === 1L)
+      .select("session_start", "session_end", "n_events", "total_value").collect()
+    assert(closed.length == 1, s"expected exactly one closed session, got ${closed.length}")
+    val r = closed.head
+    assert(r.getTimestamp(0) == ts(10, 0) && r.getTimestamp(1) == ts(10, 10))
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 3.0)
+  }
+
+  test("closedSessions splits a gap-exceeding batch into separate sessions inline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingOps.closedSessions(
+      in.toDF().toDF("user_id", "ts", "value"), gapSeconds = 1800, watermark = "1 hour")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("split_out").start()
+    try {
+      // both sessions for user 1 arrive in ONE batch, 2h apart: the first
+      // closes inline (gap exceeded within the fold), no watermark needed
+      in.addData((1L, ts(9, 0), 1.0), (1L, ts(9, 5), 1.0), (1L, ts(11, 30), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("split_out").filter(col("user_id") === 1L)
+      .select("session_start", "n_events", "total_value").collect()
+    assert(closed.length == 1)
+    assert(closed.head.getTimestamp(0) == ts(9, 0))
+    assert(closed.head.getLong(1) == 2L && closed.head.getDouble(2) == 2.0)
+  }
+
   test("batch session_window agrees with lag-gap sessionization (q57 vs q23)") {
     val events = graft.sources.Tables.events(spark, sf001)
     val native = TimeSeries.sessionWindowAgg(events, "user_id", "ts", 1800)
