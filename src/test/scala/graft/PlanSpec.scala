@@ -120,6 +120,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"missing semi/anti joins:\n$p")
   }
 
+  test("q83 IN-over-HAVING computes the per-order aggregate on one lineitem scan") {
+    // the subquery and the outer projection share the same aggregate —
+    // a literal semi-join translation would scan and aggregate twice
+    val p = plan("q83_large_volume_orders")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
+  }
+
+  test("q84 disjunctive filter pushes the extracted brand predicate into the part scan") {
+    // every disjunct constrains p_brand; the manual CNF extraction must
+    // surface as a pushed In/Or filter on the broadcast part side
+    val p = plan("q84_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part side not broadcast:\n$p")
+    assert(p.contains("In(p_brand") || p.contains("EqualTo(p_brand"),
+      s"brand predicate not pushed to the part scan:\n$p")
+  }
+
+  test("q86 scalar-subquery max shares the materialized aggregate (one lineitem scan)") {
+    val p = plan("q86_top_revenue_supplier")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans <= 1, s"revenue aggregate recomputed from the corpus ($scans scans):\n$p")
+  }
+
+  test("q87 nation-pair join broadcasts the pruned supplier leg, no product plan") {
+    val p = plan("q87_volume_shipping")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair-disjunction degenerated to a product plan:\n$p")
+    assert(p.contains("In(n_name") || p.contains("EqualTo(n_name"),
+      s"nation prefilter not pushed into the nation scan:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected broadcast dimension legs, got $broadcasts:\n$p")
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
