@@ -91,6 +91,57 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + lit(3)) / lit(4))))
   }
 
+  /** Repetition signals (the Gopher-style quality filters): fraction of
+    * DUPLICATED word n-grams per document — high values flag boilerplate
+    * and degenerate generations. Gram arrays are built WITHOUT dedup
+    * (unlike [[TextFunctions.shingles]]) because the duplicate mass IS
+    * the signal; tokens are bound to a column first so element_at walks
+    * an attribute, not a re-evaluated expression tree. Null fraction for
+    * docs too short to form a gram.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams(t: Column, k: Int): Column =
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(lit(null))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).alias("__t"))
+      .withColumn("__g2", grams(col("__t"), 2))
+      .withColumn("__g3", grams(col("__t"), 3))
+      .select(col(idCol),
+        size(col("__t")).cast("long").alias("n_tokens"),
+        dupFrac(col("__g2")).alias("dup_2gram_frac"),
+        dupFrac(col("__g3")).alias("dup_3gram_frac"))
+  }
+
+  /** Corpus vocabulary with document frequencies — the first step of
+    * vocabulary/BPE training and of IDF weighting. One explode→aggregate
+    * pass: collection frequency (cf) and document frequency (df) in a
+    * single shuffle on the token (map-side combined); doc_frac = df over
+    * the corpus size (broadcast 1-row count — derive IDF as -ln(doc_frac)
+    * downstream; the ratio is emitted instead of the log because double
+    * ln is the one step libm implementations disagree on in the last
+    * ulp). Top-k selection is a TakeOrdered on the TOTAL order
+    * (cf desc, token asc) — deterministic, no global sort.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 topK: Int = 25): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).alias("__n_docs"))
+    df.select(col(idCol).alias("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).alias("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).alias("cf"), countDistinct(col("__doc")).alias("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("doc_frac", round(col("df").cast("double") / col("__n_docs"), 6))
+      .drop("__n_docs")
+      .orderBy(col("cf").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Content fingerprint: min-k sketch over hashed word 3-gram shingles
     * (hash-shingle path — no string building; see
     * TextFunctions.shingleHashesFromTokenHashes).

@@ -76,7 +76,46 @@ object TextQueries {
     QueryDef("q33_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d), "text")
         .select("doc_id", "fingerprint"),
-      None)
+      None),
+
+    // Gopher-style repetition fractions: duplicated 2-/3-gram mass per
+    // doc. The oracle builds the SAME raw (non-deduped) gram lists with
+    // DuckDB list functions.
+    QueryDef("q88_repetition_stats",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+              |  CASE WHEN len(tk) >= 2 THEN list_transform(range(len(tk) - 1),
+              |    i -> concat_ws(' ', tk[i+1], tk[i+2]))
+              |  ELSE CAST([] AS VARCHAR[]) END AS g2,
+              |  CASE WHEN len(tk) >= 3 THEN list_transform(range(len(tk) - 2),
+              |    i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))
+              |  ELSE CAST([] AS VARCHAR[]) END AS g3
+              |  FROM t)
+              |SELECT doc_id, n_tokens,
+              |  CASE WHEN len(g2) > 0 THEN
+              |    round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+              |  ELSE NULL END AS dup_2gram_frac,
+              |  CASE WHEN len(g3) > 0 THEN
+              |    round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+              |  ELSE NULL END AS dup_3gram_frac
+              |FROM g""".stripMargin)),
+
+    // Corpus vocabulary top-k by collection frequency (explode→aggregate;
+    // ties broken by token for a total order).
+    QueryDef("q89_vocabulary_topk",
+      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text", topK = 25),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest($toks) AS token FROM documents),
+              |g AS (SELECT token, COUNT(*) AS cf,
+              |        COUNT(DISTINCT doc_id) AS df
+              |      FROM t GROUP BY token),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+              |SELECT token, cf, df,
+              |  round(CAST(df AS DOUBLE) / n_docs, 6) AS doc_frac
+              |FROM g, n
+              |ORDER BY cf DESC, token ASC
+              |LIMIT 25""".stripMargin))
   )
 
   /** Argmax-with-priority CASE chain, mirroring

@@ -41,6 +41,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("repetitionStats: fully repeated doc ≈ 1, all-distinct doc = 0, short docs null") {
+    val df = docs(
+      1L -> "spam spam spam spam spam",   // 4 identical 2-grams → 3/4 dup
+      2L -> "one two three four five",    // all grams distinct → 0
+      3L -> "solo",                       // no 2-gram → null
+      4L -> "")                           // empty-ish (one "" token) → null
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(2)).map(_.asInstanceOf[Double]),
+          Option(x.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(r(1L)._1.contains(0.75))
+    assert(r(1L)._2.contains(0.666667)) // round(1 - 1/3, 6)
+    assert(r(2L) == (Some(0.0), Some(0.0)))
+    assert(r(3L) == (None, None))
+    assert(r(4L) == (None, None))
+  }
+
+  test("vocabulary counts cf/df and orders by the total (cf, token) key") {
+    val df = docs(
+      1L -> "alpha beta alpha",
+      2L -> "beta gamma",
+      3L -> "alpha")
+    val rows = TextAnalysis.vocabulary(df, "doc_id", "text", topK = 10)
+      .select("token", "cf", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head == ("alpha", 3L, 2L)) // highest cf first
+    assert(rows.toSet == Set(("alpha", 3L, 2L), ("beta", 2L, 2L), ("gamma", 1L, 1L)))
+    // ties on cf must order by token: construct a tie and check
+    val tie = TextAnalysis.vocabulary(docs(1L -> "b a"), "doc_id", "text", topK = 1)
+      .select("token").head().getString(0)
+    assert(tie == "a", "tie on cf must break by token ascending")
+  }
+
   test("fingerprints are deterministic and content-sensitive") {
     val df = graft.sources.Tables.documents(spark, sf001).limit(100)
     val a = TextAnalysis.fingerprints(df, "text").select("doc_id", "fingerprint")
