@@ -63,6 +63,46 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** [[stratifiedSample]] with an engine-PORTABLE keep decision: the
+    * per-row draw is `md5(id || ":" || seed)` compared lexicographically
+    * against a per-stratum 32-digit hex threshold — any engine with a
+    * standard md5 reproduces the exact same sample (lowercase-hex string
+    * order == numeric order on the 128-bit space), which is what makes a
+    * corpus mixture auditable across systems. Same contract otherwise:
+    * deterministic, single pass, zero shuffle, stable under
+    * repartitioning. xxhash64 ([[stratifiedSample]]) is cheaper per row;
+    * use this when cross-engine reproducibility matters more than the
+    * hash cost.
+    */
+  def portableStratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                               fractions: Map[String, Double],
+                               seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === stratum && h < lit(hexThreshold(f)))
+    }
+    df.filter(keep)
+  }
+
+  /** Fraction → 32-digit lowercase-hex threshold on the md5 space.
+    * frac = 1 maps to "g" (greater than every hex string of any length
+    * that starts with [0-9a-f], so it keeps all rows).
+    */
+  private[graft] def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of range: $frac")
+    if (frac >= 1.0) "g"
+    else {
+      // exact arithmetic: scala.math.BigDecimal's default DECIMAL128
+      // context rounds 2^128 to 34 significant digits, skewing thresholds
+      val t = new java.math.BigDecimal(frac)
+        .multiply(new java.math.BigDecimal((BigInt(1) << 128).bigInteger))
+        .toBigInteger
+      val s = BigInt(t).toString(16)
+      "0" * (32 - s.length) + s
+    }
+  }
+
   /** S11: preview action — row count, schema DDL, first rows. */
   final case class Preview(rowCount: Long, schemaDdl: String, rows: Seq[Row])
 

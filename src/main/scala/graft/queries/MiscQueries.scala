@@ -243,6 +243,32 @@ object MiscQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
              |FROM orders WHERE o_orderkey < 15000""".stripMargin)),
 
+    // Portable stratified mixture sample (O2's oracle-exact companion —
+    // the q71/q74 pattern applied to sampling): the keep decision is an
+    // md5-threshold draw any engine reproduces bit-for-bit, so the
+    // sampled ROW SET itself is hash-verified against DuckDB computing
+    // the same mixture independently. Heavier sources at 0.6, tail at
+    // 0.2 — the reproducible-corpus-mixture primitive at 100 TB (zero
+    // shuffle, stable across repartitioning).
+    QueryDef("q90_mixture_sample",
+      (s, d) => {
+        val fracs = (0 until 20).map(i => s"src$i" -> (if (i < 10) 0.6 else 0.2)).toMap
+        graft.ops.Sampling.portableStratifiedSample(
+          Tables.documents(s, d), "source", "doc_id", fracs)
+          .select(col("doc_id"), col("source"))
+      },
+      Some {
+        val t06 = graft.ops.Sampling.hexThreshold(0.6)
+        val t02 = graft.ops.Sampling.hexThreshold(0.2)
+        val heavy = (0 until 10).map(i => s"'src$i'").mkString(", ")
+        val tail = (10 until 20).map(i => s"'src$i'").mkString(", ")
+        s"""SELECT doc_id, source FROM documents
+           |WHERE (source IN ($heavy)
+           |       AND md5(CAST(doc_id AS VARCHAR) || ':42') < '$t06')
+           |   OR (source IN ($tail)
+           |       AND md5(CAST(doc_id AS VARCHAR) || ':42') < '$t02')""".stripMargin
+      }),
+
     // EXCEPT: customers with finished orders but no open ones.
     QueryDef("q46_except",
       (s, d) => {

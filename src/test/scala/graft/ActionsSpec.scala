@@ -102,6 +102,34 @@ class ActionsSpec extends SparkSpec {
       Map("click" -> 0.5, "error" -> 0.1)).count() == sampled.count())
   }
 
+  test("portableStratifiedSample is repartition-stable with exact edge fractions") {
+    import graft.ops.Sampling
+    val events = graft.sources.Tables.events(spark, sf001)
+    val fracs = Map("click" -> 0.5, "error" -> 1.0, "view" -> 0.0)
+    val sampled = Sampling.portableStratifiedSample(events, "event_type", "event_id", fracs)
+    val got = sampled.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("error", 0L) == base("error"), "frac 1.0 must keep every row")
+    assert(!got.contains("view"), "frac 0.0 must keep none")
+    assert(math.abs(got("click").toDouble / base("click") - 0.5) < 0.1)
+    // the kept ID SET (not just counts) survives repartitioning
+    val again = Sampling.portableStratifiedSample(
+      events.repartition(7), "event_type", "event_id", fracs)
+    assert(again.select("event_id").exceptAll(sampled.select("event_id")).count() == 0)
+    assert(again.count() == sampled.count())
+  }
+
+  test("hexThreshold maps fractions onto the md5 hex space monotonically") {
+    import graft.ops.Sampling
+    assert(Sampling.hexThreshold(0.0) == "0" * 32)
+    assert(Sampling.hexThreshold(1.0) == "g")
+    assert(Sampling.hexThreshold(0.5).startsWith("8"))
+    assert(Sampling.hexThreshold(0.5).length == 32)
+    assert(Sampling.hexThreshold(0.25) < Sampling.hexThreshold(0.75))
+  }
+
   test("xlsx export writes a valid workbook with typed cells") {
     import spark.implicits._
     val df = Seq(
