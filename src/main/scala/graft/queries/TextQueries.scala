@@ -101,6 +101,31 @@ object TextQueries {
               |  ELSE NULL END AS dup_3gram_frac
               |FROM g""".stripMargin)),
 
+    // Context-window chunking: every doc split into 40-token windows
+    // starting each 32 tokens (8-token overlap). The oracle rebuilds the
+    // same windows with DuckDB list slicing over the same token arrays.
+    QueryDef("q91_chunk_documents",
+      (s, d) => graft.ops.Packing.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text", maxTokens = 40, stride = 32),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              |c AS (SELECT doc_id, tk,
+              |        unnest(range(greatest(CAST(ceil(len(tk) / 32.0) AS BIGINT), 1)))
+              |          AS chunk_ix
+              |      FROM t)
+              |SELECT doc_id, chunk_ix,
+              |  CAST(len(tk[chunk_ix*32+1 : chunk_ix*32+40]) AS BIGINT) AS n_chunk_tokens,
+              |  array_to_string(tk[chunk_ix*32+1 : chunk_ix*32+40], ' ') AS chunk_text
+              |FROM c""".stripMargin)),
+
+    // Token-budget bin packing (rows-only: bin assignment depends on the
+    // engine's partitioning, no SQL oracle; the packing invariants —
+    // budget respected, every doc packed exactly once, determinism —
+    // are property-pinned in PackingSpec).
+    QueryDef("q92_pack_sequences",
+      (s, d) => graft.ops.Packing.packSequences(
+        Tables.documents(s, d), "doc_id", "text", budget = 256),
+      None),
+
     // Corpus vocabulary top-k by collection frequency (explode→aggregate;
     // ties broken by token for a total order).
     QueryDef("q89_vocabulary_topk",
