@@ -109,6 +109,78 @@ object Dedup {
     out
   }
 
+  /** MinHash signature frame (`__id`, `__sh`, `__sig`, `__n`) — the
+    * per-document state an incremental dedup pipeline PERSISTS next to
+    * the corpus so new batches join against it without re-hashing
+    * history (see [[minHashNearDupAgainst]]). Same derivation as the
+    * batch path: hashed k-gram shingles from bound token hashes, then
+    * the XXH64-chained signature.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame =
+    df.select(
+      col(idCol).alias("__id"),
+      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
+      .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
+      .drop("__th")
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
+      .withColumn("__n", size(col("__sh")))
+
+  /** Incremental near-dup: (new_id, corpus_id, jaccard ≥ threshold) pairs
+    * between a NEW batch and an EXISTING corpus signature frame
+    * ([[minHashSignatures]], typically loaded from storage). This is the
+    * 100 TB shape of continuous dedup: only the batch is hashed and
+    * banded per run, the corpus index is joined as-is, and the band join
+    * is asymmetric (batch × corpus), so its cost scales with the BATCH,
+    * not the corpus. The same size-ratio and signature-estimate
+    * prefilters as [[minHashNearDup]] run before the exact-Jaccard
+    * verification.
+    */
+  def minHashNearDupAgainst(corpusSig: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.5, shingleK: Int = 3,
+                            bands: Int = 8, rowsPerBand: Int = 4,
+                            estMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newSig = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sig: DataFrame) = sig.select(col("__id"),
+      posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
+        .as(Seq("__band", "__key")))
+    val candidates = banded(newSig).alias("a")
+      .join(banded(corpusSig).alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
+      .distinct()
+    val sa = newSig.select(col("__id").alias("new_id"),
+      col("__sig").alias("__siga"), col("__n").alias("__na"))
+    val sb = corpusSig.select(col("__id").alias("corpus_id"),
+      col("__sig").alias("__sigb"), col("__n").alias("__nb"))
+    val estMatches = aggregate(
+      zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val prefiltered = candidates
+      .join(sa, "new_id").join(sb, "corpus_id")
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .filter(estMatches >= (threshold - estMargin) * numHashes)
+      .select(col("new_id"), col("corpus_id"))
+    import graft.functions.JaccardSortedExpr
+    val shA = newSig.select(col("__id").alias("new_id"),
+      array_sort(col("__sh")).alias("__sha"))
+    val shB = corpusSig.select(col("__id").alias("corpus_id"),
+      array_sort(col("__sh")).alias("__shb"))
+    val verified = prefiltered.join(shA, "new_id").join(shB, "corpus_id")
+      .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    val out = verified.localCheckpoint(true)
+    newSig.unpersist(false)
+    out
+  }
+
   /** [[minHashNearDup]] with the band layout chosen by [[LshParams]] for
     * the given threshold (recall ≥ 0.9 at the threshold, bounded noise)
     * instead of the fixed 8×4 layout (whose S-curve midpoint ~0.59 gives

@@ -85,6 +85,32 @@ object DedupQueries {
              |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9""".stripMargin)),
 
+    // Incremental near-dup with the q49 exactness-grade layout: every
+    // 25th doc plays the NEW batch, the rest are the indexed corpus.
+    // Banding miss ≈ 8.6e-10 ⇒ the asymmetric LSH join provably equals
+    // the brute-force new×corpus pair set, which DuckDB states directly.
+    QueryDef("q93_incremental_neardup",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        val corpusSig = Dedup.minHashSignatures(
+          all.filter(col("doc_id") % 25 =!= 0), "doc_id", "text",
+          shingleK = 1, numHashes = 48)
+        Dedup.minHashNearDupAgainst(corpusSig,
+          all.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+          threshold = 0.9, shingleK = 1, bands = 16, rowsPerBand = 3,
+          estMargin = 0.35)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             |  FROM documents)
+             |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id % 25 = 0 AND b.doc_id % 25 <> 0
+             |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9""".stripMargin)),
+
     // Benchmark decontamination: training docs surviving an exact-match
     // anti join against a (fixture-derived) eval set. The engine matches
     // on the normalized-content hash; the oracle states the same predicate

@@ -216,6 +216,27 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("incremental near-dup equals the new×corpus restriction of the full pair set") {
+    val all = graft.sources.Tables.documents(spark, sf001).filter(col("doc_id") < 300)
+    val isNew = (id: Long) => id % 25 == 0
+    val full = Dedup.minHashNearDup(all, "doc_id", "text",
+      threshold = 0.9, shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // full emits id_a < id_b once; incremental emits (new, corpus) pairs
+    val expected = full.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)).collect { case (x, y, jj) if isNew(x) && !isNew(y) => (x, y, jj) }
+    }.toSet
+    val corpusSig = Dedup.minHashSignatures(
+      all.filter(col("doc_id") % 25 =!= 0), "doc_id", "text", shingleK = 1, numHashes = 48)
+    val inc = Dedup.minHashNearDupAgainst(corpusSig,
+      all.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+      threshold = 0.9, shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == expected,
+      s"missed=${expected.diff(inc).take(5)} extra=${inc.diff(expected).take(5)}")
+    assert(inc.nonEmpty, "vacuous fixture: no new×corpus near-dup pairs")
+  }
+
   test("decontaminateExact drops exact normalized matches only") {
     val train = docs(
       1L -> "The Quick  Brown Fox",   // normalizes to eval doc
