@@ -197,6 +197,52 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.getLong(1) == 2L && closed.head.getDouble(2) == 2.0)
   }
 
+  test("streaming corpus ingest: dedup then chunk matches the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    // a micro-corpus arriving over two batches, with a cross-batch dup
+    val b1 = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" "), ts(0)),
+      (2L, "short doc here", ts(1)))
+    val b2 = Seq((3L, (1 to 50).map(i => s"w$i").mkString(" "), ts(2)), // dup of 1
+      (4L, (1 to 70).map(i => s"x$i").mkString(" "), ts(3)))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // the streaming face of the batch prep pipeline: watermarked exact
+    // dedup, then context-window chunking on the surviving docs — the
+    // chunk expressions compose onto the stream unchanged because
+    // chunkDocuments is pure per-row projection (no shuffle, no state)
+    val deduped = StreamingOps.dedupStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    val chunked = graft.ops.Packing.chunkDocuments(
+      deduped, "doc_id", "text", maxTokens = 16, stride = 16)
+    val q = chunked.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ingest_out").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ingest_out")
+      .select("doc_id", "chunk_ix", "n_chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    // batch reference: same dedup (keep first id per normalized content)
+    // then same chunking over the kept docs
+    val all = (b1 ++ b2).toDF("doc_id", "text", "ts")
+    val kept = all.withColumn("__k",
+        xxhash64(graft.functions.TextFunctions.normalizeText(col("text"))))
+      .groupBy("__k").agg(min("doc_id").alias("keep"))
+      .join(all, col("keep") === col("doc_id"))
+      .select("doc_id", "text")
+    val batch = graft.ops.Packing.chunkDocuments(kept, "doc_id", "text", 16, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 2L, 4L), "doc 3 must dedup away")
+    assert(streamed.count(_._1 == 4L) == 5, "70 tokens at window 16 → 5 chunks")
+  }
+
   test("batch session_window agrees with lag-gap sessionization (q57 vs q23)") {
     val events = graft.sources.Tables.events(spark, sf001)
     val native = TimeSeries.sessionWindowAgg(events, "user_id", "ts", 1800)
