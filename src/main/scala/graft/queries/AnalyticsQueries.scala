@@ -536,6 +536,53 @@ object AnalyticsQueries {
               |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
               |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
               |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-              |GROUP BY 1, 2, 3""".stripMargin))
+              |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Distribution window functions (ntile / percent_rank / cume_dist)
+    // over a TOTAL order — rank arithmetic is rational, so round(…, 6)
+    // is engine-independent.
+    QueryDef("q94_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast(LongType).alias("quartile"),
+          round(percent_rank().over(w), 6).alias("pct_rank"),
+          round(cume_dist().over(w), 6).alias("cume"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin)),
+
+    // Temporal scalar-function parity: truncation, field extraction,
+    // day arithmetic and interval addition — the calendar operations the
+    // reference's partition handling leans on, stated identically in
+    // both engines (all casts pinned to avoid int32/int64 drift).
+    QueryDef("q95_temporal_functions",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).alias("month_start"),
+        year(col("o_orderdate")).cast(LongType).alias("yr"),
+        quarter(col("o_orderdate")).cast(LongType).alias("qtr"),
+        month(col("o_orderdate")).cast(LongType).alias("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).alias("dom"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast(LongType).alias("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).alias("plus_30d")),
+      Some("""SELECT o_orderkey,
+             |  date_trunc('month', o_orderdate) AS month_start,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             |    AS days_since,
+             |  o_orderdate + INTERVAL 30 DAY AS plus_30d
+             |FROM orders""".stripMargin))
   )
 }
