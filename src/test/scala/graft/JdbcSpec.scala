@@ -57,6 +57,31 @@ class JdbcSpec extends SparkSpec {
       s"expected pushed filter in JDBC scan:\n$plan")
   }
 
+  test("S2: DSv2 JDBC catalog pushes aggregates into the database") {
+    // at scale the difference between COUNT/SUM computed in the database
+    // and computed after transferring every row is the whole ballgame for
+    // JDBC sources — the v2 catalog path plants the aggregate in the
+    // remote query (PushedAggregates), v1 reads raw rows
+    val df = (1L to 1000L).map(i => (i, i % 7, i.toDouble / 2)).toDF("id", "grp", "v")
+    Sinks.jdbcOverwrite(df, url, "agg_push", "app", "pw", props = props)
+    spark.conf.set("spark.sql.catalog.graftjdbc",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftjdbc.url", url)
+    spark.conf.set("spark.sql.catalog.graftjdbc.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set("spark.sql.catalog.graftjdbc.user", "app")
+    spark.conf.set("spark.sql.catalog.graftjdbc.password", "pw")
+    spark.conf.set("spark.sql.catalog.graftjdbc.pushDownAggregate", "true")
+    // Derby folds the unquoted CREATE to uppercase, and the v2 catalog
+    // matches remote identifiers case-sensitively
+    val agg = spark.sql(
+      """SELECT COUNT(*) AS n, MAX(ID) AS max_id FROM graftjdbc.APP.AGG_PUSH""")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregate not pushed to the JDBC source:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 1000L)
+  }
+
   test("streaming jdbcUpsertSink merges micro-batches exactly-once by key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
