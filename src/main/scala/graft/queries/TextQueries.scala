@@ -126,6 +126,40 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text", budget = 256),
       None),
 
+    // String scalar-function parity: slicing, padding, replacement,
+    // translation, edit distance — the text-wrangling surface, stated
+    // identically in both engines. Patterns always match (^\w+) so
+    // no-match semantics never enter the comparison.
+    QueryDef("q96_string_functions",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        substring(col("text"), 1, 20).alias("head20"),
+        expr("replace(text, 'table', 'TBL')").alias("replaced"),
+        lpad(col("lang"), 5, "_").alias("lang_pad"),
+        rpad(col("source"), 8, ".").alias("src_pad"),
+        reverse(col("source")).alias("src_rev"),
+        levenshtein(col("lang"), col("source")).cast("long").alias("edit_dist"),
+        expr("left(text, 10)").alias("left10"),
+        expr("right(text, 10)").alias("right10"),
+        repeat(col("lang"), 2).alias("lang2"),
+        concat_ws("-", col("lang"), col("source")).alias("tagged"),
+        translate(col("text"), "aeiou", "AEIOU").alias("unvoweled"),
+        regexp_extract(col("text"), "^(\\w+)", 1).alias("first_word")),
+      Some("""SELECT doc_id,
+             |  substring(text, 1, 20) AS head20,
+             |  replace(text, 'table', 'TBL') AS replaced,
+             |  lpad(lang, 5, '_') AS lang_pad,
+             |  rpad(source, 8, '.') AS src_pad,
+             |  reverse(source) AS src_rev,
+             |  CAST(levenshtein(lang, source) AS BIGINT) AS edit_dist,
+             |  left(text, 10) AS left10,
+             |  right(text, 10) AS right10,
+             |  repeat(lang, 2) AS lang2,
+             |  concat_ws('-', lang, source) AS tagged,
+             |  translate(text, 'aeiou', 'AEIOU') AS unvoweled,
+             |  regexp_extract(text, '^(\w+)', 1) AS first_word
+             |FROM documents""".stripMargin)),
+
     // Corpus vocabulary top-k by collection frequency (explode→aggregate;
     // ties broken by token for a total order).
     QueryDef("q89_vocabulary_topk",
