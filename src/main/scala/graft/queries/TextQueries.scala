@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.TextAnalysis
-import graft.functions.TextFunctions.tokensSql
+import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.Aggregations.exactAvgSql
+import graft.functions.TextFunctions.{normalizeTextSql, tokensSql}
 
 /** Text-analysis queries over the `documents` fixture. Oracles reproduce
   * the exact integer token statistics and the deterministic double
@@ -160,6 +161,11 @@ object TextQueries {
              |  regexp_extract(text, '^(\w+)', 1) AS first_word
              |FROM documents""".stripMargin)),
 
+    // The end-to-end curation chain (see corpusCuration scaladoc).
+    QueryDef("q97_corpus_curation",
+      (s, d) => corpusCuration(s, d),
+      Some(corpusCurationSql)),
+
     // Corpus vocabulary top-k by collection frequency (explode→aggregate;
     // ties broken by token for a total order).
     QueryDef("q89_vocabulary_topk",
@@ -176,6 +182,69 @@ object TextQueries {
               |ORDER BY cf DESC, token ASC
               |LIMIT 25""".stripMargin))
   )
+
+  /** The full curation pipeline as ONE query (the LLM-corpus analog of
+    * q60's medallion chain): quality gate → repetition gate → exact-dedup
+    * keepers → benchmark decontamination → per-(lang, source) rollup.
+    * Every stage is an operator with its own oracle-exact query
+    * (q31/q88/q40/q68); this pins that they COMPOSE — same DuckDB CTE
+    * chain, bit-exact rollup. Registered in [[all]] below as
+    * q97_corpus_curation.
+    */
+  private def corpusCuration(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val quality = TextAnalysis.qualityScore(docs, "text")
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("dup_2gram_frac"))
+    val keepers = Dedup.exactDedup(docs, "doc_id", "text").select(col("keeper_id"))
+    val evalSet = docs.filter(col("doc_id") % 31 === 0)
+    val curated = quality
+      .join(rep, "doc_id")
+      .filter(col("quality_score") >= 0.5 &&
+        (col("dup_2gram_frac").isNull || col("dup_2gram_frac") <= 0.2))
+      .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")
+    Dedup.decontaminateExact(curated, evalSet, "doc_id", "text")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("total_tokens"),
+        round(graft.ops.Aggregations.exactAvg(col("quality_score")), 6)
+          .alias("avg_quality"))
+  }
+
+  private lazy val corpusCurationSql: String =
+    s"""WITH t AS (SELECT doc_id, text, lang, source, $toks AS tk FROM documents),
+       |stats AS (SELECT doc_id, lang, source,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+       |  CAST(length(text) AS BIGINT) AS char_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+       |    AS punct,
+       |  CASE WHEN len(tk) >= 2 THEN list_transform(range(len(tk) - 1),
+       |    i -> concat_ws(' ', tk[i+1], tk[i+2]))
+       |  ELSE CAST([] AS VARCHAR[]) END AS g2
+       |  FROM t),
+       |q AS (SELECT doc_id, lang, source, n_tokens,
+       |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+       |    + 0.4 * (CASE WHEN n_tokens > 0
+       |             THEN CAST(n_uniq AS DOUBLE) / n_tokens ELSE 0.0 END)
+       |    + 0.2 * (1.0 - (CASE WHEN char_len > 0
+       |             THEN least(CAST(punct AS DOUBLE) * 10.0 / char_len, 1.0)
+       |             ELSE 0.0 END)), 6) AS quality_score,
+       |  CASE WHEN len(g2) > 0 THEN
+       |    round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+       |  ELSE NULL END AS dup2
+       |  FROM stats),
+       |norm AS (SELECT doc_id, $normalizeTextSql AS nt FROM documents),
+       |filtered AS (
+       |  SELECT q.* FROM q
+       |  WHERE quality_score >= 0.5 AND (dup2 IS NULL OR dup2 <= 0.2)
+       |    AND doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
+       |    AND doc_id IN (SELECT doc_id FROM norm
+       |                   WHERE nt NOT IN (SELECT nt FROM norm WHERE doc_id % 31 = 0)))
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS total_tokens,
+       |  round(${exactAvgSql("quality_score")}, 6) AS avg_quality
+       |FROM filtered GROUP BY lang, source""".stripMargin
 
   /** Argmax-with-priority CASE chain, mirroring
     * [[TextAnalysis.languageId]]'s first-maximum semantics exactly.
