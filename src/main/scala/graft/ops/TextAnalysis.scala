@@ -43,17 +43,39 @@ object TextAnalysis {
     * diversity + punctuation sanity. Deterministic double arithmetic over
     * integer stats → exactly reproducible in the oracle.
     */
-  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
-    val s = tokenStats(df, textCol)
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    tokenStats(df, textCol).withColumn("quality_score", qualityExpr)
+
+  /** The quality formula over the tokenStats columns — one definition so
+    * [[qualityScore]] and the fused [[curationSignals]] can never drift.
+    */
+  private def qualityExpr: Column = {
     val lenScore = least(col("n_tokens").cast("double") / 50.0, lit(1.0))
     val diversity = when(col("n_tokens") > 0,
       col("n_uniq_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0))
     val punctPenalty = when(col("char_len") > 0,
       least(col("punct_count").cast("double") * 10.0 / col("char_len"), lit(1.0)))
       .otherwise(lit(0.0))
-    s.withColumn("quality_score",
-      round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - punctPenalty), 6))
+    round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * (lit(1.0) - punctPenalty), 6)
   }
+
+  /** One-pass curation signals: the quality stats AND the duplicate-2-gram
+    * fraction computed from a single bound token array — quality and
+    * repetition gating cost ONE corpus scan instead of two scans plus a
+    * join on the doc id (what composing [[qualityScore]] with
+    * [[repetitionStats]] would plan). Column semantics are identical to
+    * the standalone operators (shared expression definitions).
+    */
+  def curationSignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__tk")).cast("long"))
+      .withColumn("n_uniq_tokens", size(array_distinct(col("__tk"))).cast("long"))
+      .withColumn("char_len", length(col(textCol)).cast("long"))
+      .withColumn("punct_count", (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,;:!?]", ""))).cast("long"))
+      .withColumn("quality_score", qualityExpr)
+      .withColumn("dup_2gram_frac", dupFrac(grams(col("__tk"), 2)))
+      .drop("__tk")
 
   /** Stopword-lexicon language ID: score = |distinct tokens ∩ lexicon| per
     * language; argmax with fixed priority order on ties. Emits
@@ -99,16 +121,18 @@ object TextAnalysis {
     * an attribute, not a re-evaluated expression tree. Null fraction for
     * docs too short to form a gram.
     */
+  private[ops] def grams(t: Column, k: Int): Column =
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  private[ops] def dupFrac(g: Column): Column =
+    when(size(g) > 0,
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+      .otherwise(lit(null))
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def grams(t: Column, k: Int): Column =
-      when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-    def dupFrac(g: Column): Column =
-      when(size(g) > 0,
-        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
-        .otherwise(lit(null))
     df.select(col(idCol), TextFunctions.tokens(col(textCol)).alias("__t"))
       .withColumn("__g2", grams(col("__t"), 2))
       .withColumn("__g3", grams(col("__t"), 3))

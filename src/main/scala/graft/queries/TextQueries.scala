@@ -193,13 +193,12 @@ object TextQueries {
     */
   private def corpusCuration(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
-    val quality = TextAnalysis.qualityScore(docs, "text")
-    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
-      .select(col("doc_id"), col("dup_2gram_frac"))
     val keepers = Dedup.exactDedup(docs, "doc_id", "text").select(col("keeper_id"))
     val evalSet = docs.filter(col("doc_id") % 31 === 0)
-    val curated = quality
-      .join(rep, "doc_id")
+    // quality + repetition signals come from ONE fused corpus scan
+    // (curationSignals) — composing the standalone operators would scan
+    // twice and shuffle a join on doc_id; PlanSpec pins the scan count
+    val curated = TextAnalysis.curationSignals(docs, "text")
       .filter(col("quality_score") >= 0.5 &&
         (col("dup_2gram_frac").isNull || col("dup_2gram_frac") <= 0.2))
       .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")

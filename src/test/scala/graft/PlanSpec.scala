@@ -153,6 +153,15 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected broadcast dimension legs, got $broadcasts:\n$p")
   }
 
+  test("q97 curation pipeline fuses quality+repetition into one signal scan (≤3 total)") {
+    // fused signals (1) + dedup-keeper aggregation (1) + pruned eval-set
+    // scan for the broadcast decontamination keys (1); a 4th scan means
+    // the quality/repetition fusion regressed to a self-join
+    val p = plan("q97_corpus_curation")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans <= 3, s"expected ≤3 documents scans, got $scans:\n$p")
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
