@@ -61,6 +61,30 @@ object Projections {
   def guardedDiv(num: Column, den: Column, default: Column = lit(null)): Column =
     when(den > 0, num / den).otherwise(default)
 
+  /** Filter that is PINNED above the projections defining its inputs.
+    *
+    * Catalyst's filter pushdown substitutes a predicate's attribute
+    * references with their defining expressions and pushes the result
+    * below the projection — for predicates over cheap columns that is
+    * pure win, but when the column is an expensive derivation (a token
+    * split feeding a per-element lambda), substitution re-evaluates the
+    * derivation inside the lambda body and turns a linear projection
+    * into a quadratic filter (measured 10× on the curation pipeline,
+    * 3 s → 30 s at sf0.1). Conjunct splitting defeats a simple
+    * barrier-column AND, so the whole condition is wrapped into ONE
+    * expression gated on a nondeterministic column: non-splittable and
+    * non-pushable, evaluated as a plain filter over the projected
+    * attributes. Stays inside whole-stage codegen — no typed-filter
+    * deserialization fence.
+    */
+  def pinnedFilter(df: DataFrame, cond: Column): DataFrame =
+    // the gate must not be constant-foldable: monotonically_increasing_id
+    // is non-nullable (isNotNull folds to true and the wrapper dissolves),
+    // but its VALUE is unknown to the optimizer, so `>= 0` survives
+    df.withColumn("__pin", monotonically_increasing_id())
+      .filter(when(col("__pin") >= 0, cond).otherwise(lit(false)))
+      .drop("__pin")
+
   /** P14: threshold-bucket case expression (reference risk segmentation,
     * gold/processor.py:184-200). `thresholds` are (label, predicate) pairs
     * evaluated in order; `default` labels the rest.

@@ -197,9 +197,15 @@ object TextQueries {
     val evalSet = docs.filter(col("doc_id") % 31 === 0)
     // quality + repetition signals come from ONE fused corpus scan
     // (curationSignals) — composing the standalone operators would scan
-    // twice and shuffle a join on doc_id; PlanSpec pins the scan count
-    val curated = TextAnalysis.curationSignals(docs, "text")
-      .filter(col("quality_score") >= 0.5 &&
+    // twice and shuffle a join on doc_id; PlanSpec pins the scan count.
+    // The gates go through pinnedFilter: ordinary filter pushdown would
+    // substitute the whole signal derivation (tokens → grams → distinct)
+    // into the predicate below the projection and evaluate it per
+    // element — measured 10× slower at sf0.1 (3 s → 30 s). PlanSpec
+    // pins the filter to consume computed attributes.
+    val curated = graft.ops.Projections.pinnedFilter(
+      TextAnalysis.curationSignals(docs, "text"),
+      col("quality_score") >= 0.5 &&
         (col("dup_2gram_frac").isNull || col("dup_2gram_frac") <= 0.2))
       .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")
     Dedup.decontaminateExact(curated, evalSet, "doc_id", "text")

@@ -153,6 +153,18 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected broadcast dimension legs, got $broadcasts:\n$p")
   }
 
+  test("q97 curation gates stay above the signal projection (no substituted split)") {
+    // filter pushdown substitutes attribute references with their
+    // defining expressions; for the curation gates that inlines the
+    // token split into the gram lambda — quadratic per row, measured
+    // 10× at sf0.1. pinnedFilter must keep the predicate consuming the
+    // PROJECTED attributes: no Filter node may contain the split call.
+    val p = plan("q97_corpus_curation")
+    val badFilter = p.linesIterator.exists(l =>
+      l.contains("Filter ") && l.contains("split("))
+    assert(!badFilter, s"signal derivation substituted into a filter:\n$p")
+  }
+
   test("q97 curation pipeline fuses quality+repetition into one signal scan (≤3 total)") {
     // fused signals (1) + dedup-keeper aggregation (1) + pruned eval-set
     // scan for the broadcast decontamination keys (1); a 4th scan means
