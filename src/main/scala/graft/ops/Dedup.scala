@@ -55,14 +55,7 @@ object Dedup {
     // the 32-hash MinHash three times. Shingles are HASHED k-grams built
     // from a bound token-hash column (no string concat, no O(n²)
     // element_at reuse — see TextFunctions.shingleHashesFromTokenHashes).
-    val sig = df.select(
-      col(idCol).alias("__id"),
-      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
-      .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
-      .drop("__th")
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
-      .withColumn("__n", size(col("__sh")))
+    val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("__id"),
@@ -118,12 +111,17 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int): DataFrame =
-    df.select(
-      col(idCol).alias("__id"),
-      TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
-      .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
-      .drop("__th")
-      .filter(size(col("__sh")) > 0)
+    // the empty-shingle filter goes through pinnedFilter: pushed below
+    // the projection it would substitute the whole token-hash → shingle
+    // chain into the predicate and evaluate it twice per row (the q97
+    // lesson, ops/Projections.pinnedFilter)
+    Projections.pinnedFilter(
+      df.select(
+        col(idCol).alias("__id"),
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
+        .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
+        .drop("__th"),
+      size(col("__sh")) > 0)
       .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
       .withColumn("__n", size(col("__sh")))
 
