@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.ops.Projections
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (builder brief: brute-force cosine top-k baseline + bucketed scale
@@ -26,9 +27,12 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull) // zero-norm vectors have no defined similarity
+    // pinnedFilter: a pushed-down isNotNull would substitute the cosine
+    // expression into the predicate and run every dot product twice
+    val scored = Projections.pinnedFilter(
+      c.crossJoin(broadcast(q))
+        .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv"))),
+      col("cosine").isNotNull) // zero-norm vectors have no defined similarity
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -49,11 +53,12 @@ object Similarity {
     import spark.implicits._
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .select(col("query_id"),
-        col("neighbor_id"),
-        VectorFunctions.cosine(col("__qv"), col("__cv")).alias("cosine"))
-      .filter(col("cosine").isNotNull) // keep degenerate-vector semantics identical to bruteForceTopK
+    val scored = Projections.pinnedFilter(
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"),
+          col("neighbor_id"),
+          VectorFunctions.cosine(col("__qv"), col("__cv")).alias("cosine")),
+      col("cosine").isNotNull) // keep degenerate-vector semantics identical to bruteForceTopK
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(k).toColumn
     scored.groupByKey(_._1)
@@ -138,9 +143,13 @@ object Similarity {
     val coarseCos = when(col("__qvn") > 0 && col("__cvn") > 0,
       dotInt / (col("__qvn") * col("__cvn"))).otherwise(lit(null))
 
-    val survivors = c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8d"), col("__qvn"))))
-      .select(col("query_id"), col("neighbor_id"), coarseCos.alias("coarse"))
-      .filter(col("coarse").isNotNull)
+    // pinnedFilter: substitution would run the coarse integer dot TWICE
+    // over the full cross product — the pass this operator exists to keep
+    // cheap
+    val survivors = Projections.pinnedFilter(
+      c8.crossJoin(broadcast(q8.select(col("query_id"), col("__qv8d"), col("__qvn"))))
+        .select(col("query_id"), col("neighbor_id"), coarseCos.alias("coarse")),
+      col("coarse").isNotNull)
       .groupBy(col("query_id"))
       .agg(TopKPairsAgg(col("neighbor_id"), col("coarse"), rerankK).alias("__top"))
       .select(col("query_id"), explode(col("__top.neighbor_id")).alias("neighbor_id"))
@@ -152,10 +161,10 @@ object Similarity {
       .join(broadcast(queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))),
         "query_id")
       .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull)
+    val rerFiltered = Projections.pinnedFilter(rer, col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rer.withColumn("rank", row_number().over(w).cast("long"))
+    rerFiltered.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
         col("rank"))
@@ -280,9 +289,10 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    assigned.join(broadcast(probed), Seq("__cell"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull)
+    Projections.pinnedFilter(
+      assigned.join(broadcast(probed), Seq("__cell"))
+        .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv"))),
+      col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
@@ -364,8 +374,9 @@ object Similarity {
         "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull)
+    Projections.pinnedFilter(
+      cand.withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv"))),
+      col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
