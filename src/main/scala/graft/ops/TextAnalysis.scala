@@ -68,14 +68,20 @@ object TextAnalysis {
     */
   def curationSignals(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      // the gram ARRAY is bound before dupFrac consumes it: dupFrac
+      // references its argument three times (two sizes + distinct), and
+      // inlining grams there would build the array thrice per row — and
+      // hand CollapseProject an excuse to substitute the token split
+      // into every element_at (the O(n²) trap TextFunctions documents)
+      .withColumn("__g2", grams(col("__tk"), 2))
       .withColumn("n_tokens", size(col("__tk")).cast("long"))
       .withColumn("n_uniq_tokens", size(array_distinct(col("__tk"))).cast("long"))
       .withColumn("char_len", length(col(textCol)).cast("long"))
       .withColumn("punct_count", (length(col(textCol)) -
         length(regexp_replace(col(textCol), "[.,;:!?]", ""))).cast("long"))
       .withColumn("quality_score", qualityExpr)
-      .withColumn("dup_2gram_frac", dupFrac(grams(col("__tk"), 2)))
-      .drop("__tk")
+      .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
+      .drop("__tk", "__g2")
 
   /** Stopword-lexicon language ID: score = |distinct tokens ∩ lexicon| per
     * language; argmax with fixed priority order on ties. Emits

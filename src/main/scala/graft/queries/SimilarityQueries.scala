@@ -31,6 +31,38 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Array higher-order-function parity over the float embedding
+    // column: size, max, filter-count, sequential fold (L1 norm),
+    // descending sort + slice, existence — each stated with the DuckDB
+    // list function of identical semantics (floats widened to double
+    // before arithmetic on BOTH sides; folds run in list order, so
+    // accumulation order matches).
+    QueryDef("q98_array_functions",
+      (s, d) => {
+        val v = col("embedding")
+        val vd = transform(v, x => x.cast("double"))
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          size(v).cast("long").alias("n_dims"),
+          round(array_max(vd), 6).alias("vmax"),
+          size(filter(v, x => x > 0)).cast("long").alias("n_pos"),
+          round(aggregate(vd, lit(0.0), (acc, x) => acc + abs(x)), 6).alias("l1"),
+          round(aggregate(slice(sort_array(vd, asc = false), 1, 3),
+            lit(0.0), (acc, x) => acc + x), 6).alias("top3_sum"),
+          exists(v, x => x < 0).alias("any_neg"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS n_dims,
+             |  round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vmax,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  round(list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+             |                    (a, b) -> a + b), 6) AS l1,
+             |  round(list_reduce(
+             |          list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'DESC')[1:3],
+             |          (a, b) -> a + b), 6) AS top3_sum,
+             |  len(list_filter(embedding, x -> x < 0)) > 0 AS any_neg
+             |FROM embeddings""".stripMargin)),
+
     QueryDef("q50_ann_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
