@@ -583,6 +583,52 @@ object AnalyticsQueries {
              |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
              |    AS days_since,
              |  o_orderdate + INTERVAL 30 DAY AS plus_30d
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // GROUPING SETS beyond rollup (q29): explicit subtotal combinations
+    // + grouping() indicators distinguishing "null data" from "subtotal
+    // row" — stated as the identical SQL in both engines.
+    QueryDef("q99_grouping_sets",
+      (s, d) => {
+        graft.sources.Tables.registerAll(s, d)
+        // Spark spells the decimal→double hop AS STRING where DuckDB's
+        // mirror (exactSumSql) says AS VARCHAR — same exact semantics
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+                |  COUNT(*) AS n_orders,
+                |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS STRING) AS DOUBLE)
+                |    AS total_price
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+              |  COUNT(*) AS n_orders,
+              |  ${exactSumSql("o_totalprice")} AS total_price
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // Conditional / boolean aggregates: count_if, every/any (bool_and /
+    // bool_or), the SQL-standard FILTER clause, distinct count.
+    QueryDef("q100_conditional_aggs",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("count_if(o_totalprice > 100000)").cast("long").alias("n_big"),
+          expr("every(o_totalprice > 0)").alias("all_pos"),
+          expr("any(o_orderpriority = '1-URGENT')").alias("has_urgent"),
+          expr("count(*) FILTER (WHERE o_orderpriority = '5-LOW')").alias("n_low"),
+          countDistinct(col("o_custkey")).alias("n_cust")),
+      Some("""SELECT o_orderstatus,
+             |  CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+             |  bool_and(o_totalprice > 0) AS all_pos,
+             |  bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+             |  COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderstatus""".stripMargin))
   )
 }
