@@ -88,6 +88,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pinnedFilter selects exactly the rows of a plain filter and leaves no helper column") {
+    import graft.ops.Projections
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val cond = length(col("text")) > 200 && col("lang") =!= "de"
+    val pinned = Projections.pinnedFilter(docs, cond)
+    val plain = docs.filter(cond)
+    assert(pinned.columns.toSeq == docs.columns.toSeq, "helper column leaked")
+    assert(pinned.select("doc_id").exceptAll(plain.select("doc_id")).count() == 0)
+    assert(plain.select("doc_id").exceptAll(pinned.select("doc_id")).count() == 0)
+    assert(pinned.count() == plain.count() && pinned.count() > 0)
+    // null-condition rows are dropped, like a plain filter
+    val withNull = Seq((1L, "x"), (2L, null)).toDF("id", "s")
+    assert(Projections.pinnedFilter(withNull, col("s") === "x").count() == 1)
+  }
+
   test("int8 quantization reconstruction error is bounded by scale/2 for any vector") {
     import graft.functions.VectorFunctions
     import org.scalacheck.Gen
