@@ -174,6 +174,18 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 3, s"expected ≤3 documents scans, got $scans:\n$p")
   }
 
+  test("PlanAudit flags product joins and passes the broadcast star join") {
+    import graft.ops.PlanAudit
+    val df = SparkEntry.queries("q12_star_enrich")(spark, sf001)
+    PlanAudit.assertScalable(df) // broadcast star join: no ERROR findings
+    // a genuine cartesian must be flagged and thrown
+    val a = spark.range(10).toDF("a")
+    val b = spark.range(10).toDF("b")
+    val product = a.crossJoin(b)
+    assert(PlanAudit.audit(product).exists(_.severity == "ERROR"))
+    intercept[IllegalStateException](PlanAudit.assertScalable(product))
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
