@@ -629,6 +629,34 @@ object AnalyticsQueries {
              |  bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
              |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
              |  COUNT(DISTINCT o_custkey) AS n_cust
-             |FROM orders GROUP BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // FULL OUTER join — the one join type the suite did not yet
+    // exercise: customers holding account balance vs customers with
+    // 1998+ order revenue, keeping rows present on EITHER side (nulls
+    // where the other side is absent). Plans as a sort-merge full outer
+    // (no side can be broadcast for full-outer semantics).
+    QueryDef("q101_full_outer_join",
+      (s, d) => {
+        val bal = Tables.customer(s, d)
+          .filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").alias("bal_key"), col("c_acctbal"))
+        val rev = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .groupBy(col("o_custkey"))
+          .agg(exactSum(col("o_totalprice")).alias("revenue"))
+        bal.join(rev, col("bal_key") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("bal_key"), col("o_custkey")).alias("custkey"),
+            col("c_acctbal"), col("revenue"))
+      },
+      Some(s"""WITH bal AS (
+              |  SELECT c_custkey AS bal_key, c_acctbal FROM customer WHERE c_acctbal > 9000),
+              |rev AS (
+              |  SELECT o_custkey, ${exactSumSql("o_totalprice")} AS revenue
+              |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              |  GROUP BY o_custkey)
+              |SELECT coalesce(bal_key, o_custkey) AS custkey, c_acctbal, revenue
+              |FROM bal FULL OUTER JOIN rev ON bal_key = o_custkey""".stripMargin))
   )
 }
