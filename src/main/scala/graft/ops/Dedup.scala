@@ -170,9 +170,12 @@ object Dedup {
       array_sort(col("__sh")).alias("__sha"))
     val shB = corpusSig.select(col("__id").alias("corpus_id"),
       array_sort(col("__sh")).alias("__shb"))
-    val verified = prefiltered.join(shA, "new_id").join(shB, "corpus_id")
-      .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6))
-      .filter(col("jaccard") >= threshold)
+    // pinnedFilter: substitution would run the merge-pass Jaccard twice
+    // per candidate (predicate + projection) — see Projections.pinnedFilter
+    val verified = Projections.pinnedFilter(
+      prefiltered.join(shA, "new_id").join(shB, "corpus_id")
+        .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
+      col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
     val out = verified.localCheckpoint(true)
     newSig.unpersist(false)
@@ -204,9 +207,10 @@ object Dedup {
       array_sort(col("__sh")).alias("__sha"))
     val sb = shingleSets.select(col("__id").alias("id_b"),
       array_sort(col("__sh")).alias("__shb"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6))
-      .filter(col("jaccard") >= threshold)
+    Projections.pinnedFilter(
+      pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
+      col("jaccard") >= threshold) // pinned: else the merge pass runs twice per pair
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -367,9 +371,10 @@ object Dedup {
         TextFunctions.tokens(col(textCol))))).alias("__toks"))
     val a = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
     val b = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6))
-      .filter(col("jaccard") >= threshold)
+    Projections.pinnedFilter(
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6)),
+      col("jaccard") >= threshold) // pinned: else the merge pass runs twice per pair
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -497,12 +502,13 @@ object Dedup {
       col("__n").alias("__na"))
     val b = sh.select(col("__id").alias("id_b"), col("__sh").alias("__sb"),
       col("__n").alias("__nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= threshold)
-      .withColumn("jaccard",
-        round(graft.functions.JaccardSortedExpr(col("__sa"), col("__sb")), 6))
-      .filter(col("jaccard") >= threshold)
+    Projections.pinnedFilter(
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(least(col("__na"), col("__nb")).cast("double") /
+          greatest(col("__na"), col("__nb")) >= threshold)
+        .withColumn("jaccard",
+          round(graft.functions.JaccardSortedExpr(col("__sa"), col("__sb")), 6)),
+      col("jaccard") >= threshold) // pinned: else the merge pass runs twice per pair
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
