@@ -607,12 +607,13 @@ object Dedup {
       col("__nrm").alias("__na"))
     val vb = base.select(col("__id").alias("id_b"), col("__v").alias("__vb"),
       col("__nrm").alias("__nb"))
-    prefiltered.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", round(
-        when(col("__na") > 0 && col("__nb") > 0,
-          VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-          .otherwise(lit(null)), 6))
-      .filter(col("cosine") >= threshold)
+    Projections.pinnedFilter(
+      prefiltered.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", round(
+          when(col("__na") > 0 && col("__nb") > 0,
+            VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+            .otherwise(lit(null)), 6)),
+      col("cosine") >= threshold) // pinned: else the dot runs twice per pair
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
