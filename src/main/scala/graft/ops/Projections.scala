@@ -76,6 +76,12 @@ object Projections {
     * non-pushable, evaluated as a plain filter over the projected
     * attributes. Stays inside whole-stage codegen — no typed-filter
     * deserialization fence.
+    *
+    * Tradeoff: the nondeterministic column is also a barrier for
+    * UNRELATED predicates applied downstream — they stop short of it
+    * instead of reaching the scan. Place pinnedFilter as close to the
+    * expensive projection as the semantics allow, with any cheap,
+    * scan-pushable filters applied UPSTREAM of it.
     */
   def pinnedFilter(df: DataFrame, cond: Column): DataFrame =
     // the gate must not be constant-foldable: monotonically_increasing_id
