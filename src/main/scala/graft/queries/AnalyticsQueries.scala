@@ -657,6 +657,51 @@ object AnalyticsQueries {
               |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
               |  GROUP BY o_custkey)
               |SELECT coalesce(bal_key, o_custkey) AS custkey, c_acctbal, revenue
-              |FROM bal FULL OUTER JOIN rev ON bal_key = o_custkey""".stripMargin))
+              |FROM bal FULL OUTER JOIN rev ON bal_key = o_custkey""".stripMargin)),
+
+    // TPC-H Q14-style promo revenue share: conditional-ratio aggregate
+    // over a broadcast part join (promo = p_type prefix). Numerator and
+    // denominator accumulate in decimal; the final ratio divides two
+    // exact doubles — engine-independent.
+    QueryDef("q102_promo_revenue",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+          .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(lit(100.0) *
+              exactSum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0))) /
+              exactSum(rev), 6).alias("promo_share"),
+            count(lit(1)).alias("n_lines"))
+      },
+      Some(s"""SELECT
+              |  round(100.0 * ${exactSumSql(
+                  "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+              |    / ${exactSumSql("l_extendedprice * (1 - l_discount)")}, 6) AS promo_share,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)),
+
+    // TPC-H Q6-style forecast revenue: a pure scan-filter-agg whose three
+    // range predicates must ALL reach the parquet scan (PlanSpec pins
+    // PushedFilters) — the query shape where pushdown IS the plan.
+    QueryDef("q103_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(exactSum(col("l_extendedprice") * col("l_discount")).alias("revenue"),
+          count(lit(1)).alias("n_lines")),
+      Some(s"""SELECT ${exactSumSql("l_extendedprice * l_discount")} AS revenue,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              |  AND l_discount BETWEEN 0.05 AND 0.07
+              |  AND l_quantity < 24""".stripMargin))
   )
 }

@@ -174,6 +174,18 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 3, s"expected ≤3 documents scans, got $scans:\n$p")
   }
 
+  test("q103 pushes all three range predicates into the lineitem scan") {
+    // formatted mode prints the full PushedFilters list (toString
+    // truncates long field lists)
+    val p = SparkEntry.queries("q103_forecast_revenue")(spark, sf001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"), s"no pushed filters:\n$p")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"GreaterThanOrEqual($c") || p.contains(s"LessThan($c") ||
+        p.contains(s"GreaterThan($c"), s"$c predicate not pushed:\n$p")
+  }
+
   test("PlanAudit flags product joins and passes the broadcast star join") {
     import graft.ops.PlanAudit
     val df = SparkEntry.queries("q12_star_enrich")(spark, sf001)
