@@ -702,6 +702,33 @@ object AnalyticsQueries {
               |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               |  AND l_discount BETWEEN 0.05 AND 0.07
-              |  AND l_quantity < 24""".stripMargin))
+              |  AND l_quantity < 24""".stripMargin)),
+
+    // Correlated scalar subquery in the SELECT list (not the WHERE — the
+    // decorrelation variant q65-q67/q75 don't cover): every customer with
+    // their open-order count and latest order date. Spark side
+    // decorrelates as a LEFT join against the grouped subquery; absent
+    // groups surface as count 0 / null date, exactly the scalar
+    // subquery's empty-result semantics.
+    QueryDef("q104_scalar_select_subquery",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).alias("open_orders"),
+            max(col("o_orderdate")).alias("latest_order"))
+        Tables.customer(s, d)
+          .join(counts, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("open_orders"), lit(0L)).alias("open_orders"),
+            col("latest_order"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  coalesce((SELECT COUNT(*) FROM orders
+             |            WHERE o_custkey = c_custkey AND o_orderstatus = 'O'), 0)
+             |    AS open_orders,
+             |  (SELECT MAX(o_orderdate) FROM orders
+             |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS latest_order
+             |FROM customer""".stripMargin))
   )
 }
