@@ -269,6 +269,30 @@ object MiscQueries {
            |       AND md5(CAST(doc_id AS VARCHAR) || ':42') < '$t02')""".stripMargin
       }),
 
+    // INTERSECT ALL / EXCEPT ALL — the MULTISET variants (q45/q46 are
+    // the distinct set forms): duplicates survive with min/difference
+    // multiplicity. Customer ids repeat per order, so the two semantics
+    // genuinely diverge on this data.
+    QueryDef("q105_multiset_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val f = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").alias("customer_id"))
+        val open = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").alias("customer_id"))
+        f.intersectAll(open).withColumn("op", lit("both"))
+          .unionByName(f.exceptAll(open).withColumn("op", lit("only_f")))
+      },
+      Some("""WITH f AS (SELECT o_custkey AS customer_id FROM orders
+             |           WHERE o_orderstatus = 'F'),
+             |o AS (SELECT o_custkey AS customer_id FROM orders
+             |      WHERE o_orderstatus = 'O')
+             |SELECT customer_id, 'both' AS op FROM (
+             |  SELECT customer_id FROM f INTERSECT ALL SELECT customer_id FROM o)
+             |UNION ALL
+             |SELECT customer_id, 'only_f' AS op FROM (
+             |  SELECT customer_id FROM f EXCEPT ALL SELECT customer_id FROM o)""".stripMargin)),
+
     // EXCEPT: customers with finished orders but no open ones.
     QueryDef("q46_except",
       (s, d) => {

@@ -45,6 +45,20 @@ object StreamingOps {
       .select(col("window.start").alias("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** SLIDING window aggregation: each event lands in windowSize/slide
+    * overlapping windows (window() emits one row per covering window —
+    * state per (window × key), watermark-evicted like the tumbling case).
+    */
+  def slidingAgg(events: DataFrame, windowSize: String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowSize, slide), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Event-time sessionization with the built-in session_window (gap-based
     * merging windows; state bounded by the watermark).
     */

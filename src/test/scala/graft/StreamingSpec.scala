@@ -47,6 +47,34 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("streaming sliding windows match the batch window() expansion exactly") {
+    val stream = StreamingOps.eventsStream(spark, eventsPath)
+    val q = StreamingOps.slidingAgg(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sliding_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sliding_out")
+
+    // batch reference: the same window(size, slide) expansion
+    val batch = Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n_events"))
+    val joined = got.alias("s").join(batch.alias("b"),
+      col("s.window_start") === col("b.window_start") &&
+        col("s.event_type") === col("b.event_type"))
+    assert(got.count() > 0, "no sliding windows finalized")
+    assert(joined.count() == got.count(), "streaming window missing from batch result")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+    // sliding windows must outnumber the tumbling hour windows (overlap);
+    // tumbling_out only exists when the tumbling test ran in this session
+    if (spark.catalog.tableExists("tumbling_out")) {
+      val tumbling = spark.table("tumbling_out")
+      if (tumbling.count() > 0) assert(got.count() > tumbling.count())
+    }
+  }
+
   test("streaming session_window agrees with batch lag-gap sessionization on session count") {
     val stream = StreamingOps.eventsStream(spark, eventsPath)
     val q = StreamingOps.sessionAgg(stream)
