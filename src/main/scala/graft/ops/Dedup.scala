@@ -141,6 +141,13 @@ object Dedup {
                             bands: Int = 8, rowsPerBand: Int = 4,
                             estMargin: Double = 0.2): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // A corpus index built with a different hash count would band into
+    // different keys and the join would silently find nothing — fail loud.
+    corpusSig.select(size(col("__sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"corpusSig signature length ${r.getInt(0)} != bands*rowsPerBand = $numHashes; " +
+          "rebuild the index or pass the layout it was built with")
+    }
     val newSig = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(sig: DataFrame) = sig.select(col("__id"),

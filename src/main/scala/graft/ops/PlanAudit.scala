@@ -48,7 +48,12 @@ object PlanAudit {
       case _ => ()
     }
 
-    val exchanges = "Exchange".r.findAllIn(plan).length
+    // count only SHUFFLE exchanges: BroadcastExchange moves a bounded
+    // frame and ReusedExchange is free — a broadcast-heavy star join must
+    // not trip the deep-shuffle warning
+    val exchanges =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(plan).length
     if (exchanges > maxExchanges)
       warns += Finding("WARN",
         s"$exchanges Exchange nodes (> $maxExchanges): deep shuffle chain — " +

@@ -247,7 +247,7 @@ object TextQueries {
        |    AND doc_id IN (SELECT doc_id FROM norm
        |                   WHERE nt NOT IN (SELECT nt FROM norm WHERE doc_id % 31 = 0)))
        |SELECT lang, source, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS total_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  round(${exactAvgSql("quality_score")}, 6) AS avg_quality
        |FROM filtered GROUP BY lang, source""".stripMargin
 

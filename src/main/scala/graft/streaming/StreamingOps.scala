@@ -211,23 +211,31 @@ object StreamingOps {
             state.remove()
             out
           } else {
-            val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionAcc(s.startMs, math.max(s.endMs, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) => // gap exceeded within the batch — close inline
-                  closed += close(s)
-                  cur = Some(SessionAcc(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionAcc(t, t, 1L, e.value))
+            // Interval-gap merge over the open session (if any) plus this
+            // batch's events, all treated as [start,end] atoms sorted by
+            // start time. This keeps late cross-batch events honest: an
+            // event within `gap` BEFORE the open session extends
+            // session_start backward (min), and an event more than `gap`
+            // before it forms its own earlier session instead of being
+            // silently absorbed — the exact case the watermark allowance
+            // admits.
+            val atoms = (state.getOption.toIndexedSeq ++
+              rows.map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+              .sortBy(a => (a.startMs, a.endMs))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+            atoms.foreach { a =>
+              merged.lastOption match {
+                case Some(p) if a.startMs <= p.endMs + gapMs =>
+                  merged(merged.size - 1) = SessionAcc(p.startMs,
+                    math.max(p.endMs, a.endMs), p.n + a.n, p.total + a.total)
+                case _ => merged += a
               }
             }
-            cur.foreach { s =>
+            // Every session but the last is followed by a > gap silence
+            // before a LATER observed event, so it is definitively over —
+            // close inline. The last stays open in state.
+            val closed = merged.dropRight(1).map(close)
+            merged.lastOption.foreach { s =>
               state.update(s)
               // the timeout must sit strictly beyond the current watermark;
               // a session already older than the watermark fires next batch

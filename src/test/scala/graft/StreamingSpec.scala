@@ -225,6 +225,45 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.getLong(1) == 2L && closed.head.getDouble(2) == 2.0)
   }
 
+  test("closedSessions handles late cross-batch events: extends start within gap, separates beyond gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingOps.closedSessions(
+      in.toDF().toDF("user_id", "ts", "value"), gapSeconds = 1800, watermark = "2 hours")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1 opens a session at 10:00
+      in.addData((1L, ts(10, 0), 1.0))
+      q.processAllAvailable()
+      // batch 2 delivers two LATE events: 9:45 is within the 30-min gap
+      // BEFORE the open session (must extend session_start backward);
+      // 8:30 is > gap before it (must become its own earlier session,
+      // not be absorbed into [10:00, …]) and sits safely inside the
+      // watermark allowance (the operator drops rows at/below watermark)
+      in.addData((1L, ts(9, 45), 2.0), (1L, ts(8, 30), 4.0))
+      q.processAllAvailable()
+      // advance watermark past 10:00 + gap to close the open session
+      in.addData((9L, ts(13, 0), 0.0))
+      q.processAllAvailable()
+      in.addData((9L, ts(13, 1), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("late_out").filter(col("user_id") === 1L)
+      .select("session_start", "session_end", "n_events", "total_value")
+      .orderBy("session_start").collect()
+    assert(closed.length == 2, s"expected 2 sessions, got ${closed.length}")
+    assert(closed(0).getTimestamp(0) == ts(8, 30) && closed(0).getTimestamp(1) == ts(8, 30))
+    assert(closed(0).getLong(2) == 1L && closed(0).getDouble(3) == 4.0)
+    assert(closed(1).getTimestamp(0) == ts(9, 45) && closed(1).getTimestamp(1) == ts(10, 0),
+      "late event within gap must extend session_start backward")
+    assert(closed(1).getLong(2) == 2L && closed(1).getDouble(3) == 3.0)
+  }
+
   test("streaming corpus ingest: dedup then chunk matches the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
