@@ -15,6 +15,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def norm_type(t) -> str:
+    """Canonical form of an arrow type for Spark-vs-DuckDB dtype parity.
+
+    The q97 bug class: a bare SUM(BIGINT) in DuckDB yields HUGEINT
+    (arrow decimal128(38,0)) while Spark yields int64 — values can be
+    equal yet the driver's canonical-value hash diverges. Any oracle
+    whose column types don't map 1:1 onto the Spark schema is a latent
+    hash mismatch, so dtype parity is checked as part of the gate.
+    """
+    import pyarrow as pa
+    s = str(t)
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if s in ("string", "large_string"):
+        return "string"
+    if s in ("binary", "large_binary"):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return s
+
+
+def dtype_mismatches(spark_schema, duck_schema):
+    got = {f.name: norm_type(f.type) for f in spark_schema}
+    exp = {f.name: norm_type(f.type) for f in duck_schema}
+    return [f"{c}: spark={got[c]} oracle={exp[c]}"
+            for c in sorted(set(got) & set(exp)) if got[c] != exp[c]]
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamp cols to int64 micros for robust compare
@@ -44,9 +77,17 @@ def main():
             n_noql += 1
             continue
         try:
-            exp = con.execute(oracles[name]).df()
+            exp_tbl = con.execute(oracles[name]).arrow()
+            exp = exp_tbl.to_pandas()
         except Exception as e:
             print(f"✗ {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        import pyarrow.parquet as pq
+        spark_schema = pq.read_schema(sorted(glob.glob(f"{d}/*.parquet"))[0])
+        bad_types = dtype_mismatches(spark_schema, exp_tbl.schema)
+        if bad_types:
+            print(f"✗ {name}: dtype parity: " + "; ".join(bad_types))
             n_fail += 1
             continue
         g, e = norm(got), norm(exp)

@@ -575,7 +575,7 @@ object AnalyticsQueries {
           .cast(LongType).alias("days_since"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).alias("plus_30d")),
       Some("""SELECT o_orderkey,
-             |  date_trunc('month', o_orderdate) AS month_start,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
              |  CAST(year(o_orderdate) AS BIGINT) AS yr,
              |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
              |  CAST(month(o_orderdate) AS BIGINT) AS mo,

@@ -198,6 +198,35 @@ class PlanSpec extends SparkSpec {
     intercept[IllegalStateException](PlanAudit.assertScalable(product))
   }
 
+  test("registry sweep: no query plans a product join or unbounded shape") {
+    import graft.ops.PlanAudit
+    // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
+    // unbounded in general; these queries use it with a PROVABLY BOUNDED
+    // broadcast side and are allowlisted with the reason:
+    //  - q50/q55/q64: ANN — the tiny query set is broadcast, the corpus
+    //    never shuffles; cost is |corpus| × |queries|, the designed shape
+    //  - q77: near-decontamination — the benchmark set is the broadcast side
+    //  - q67/q89: 1-row scalar aggregate frame crossed in for a ratio
+    //  - q41/q59/q74/q76: degenerate exhaustive oracle twins of the
+    //    banded/bucketed primary paths, documented as not-for-scale
+    val degenerateByDesign = Set(
+      "q50_ann_bruteforce", "q55_ann_topk_agg", "q64_ann_quantized",
+      "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
+      "q41_token_jaccard_pairs", "q59_ngram_jaccard",
+      "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if degenerateByDesign(name) => None
+      case (name, fn) =>
+        val errors =
+          try PlanAudit.audit(fn(spark, sf001)).filter(_.severity == "ERROR")
+          catch { case e: Exception => Seq(PlanAudit.Finding("ERROR", s"build failed: $e")) }
+        if (errors.isEmpty) None else Some(s"$name: ${errors.mkString("; ")}")
+    }
+    assert(failures.isEmpty,
+      s"scale audit ERRORs in ${failures.size} quer${if (failures.size == 1) "y" else "ies"}:\n" +
+        failures.mkString("\n"))
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
