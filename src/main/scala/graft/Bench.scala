@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   *    timing must not depend on what the previous query leaked.
   */
 object Bench {
-  private val Reps = 3
+  private val Reps = 5
 
   /** Sweep session state a query may have left behind: CacheManager
     * entries and directly-persisted RDDs (localCheckpoint blocks backing a
@@ -86,13 +86,16 @@ object Bench {
     }
 
     // The rep with the MEDIAN wall time (its jobs/bytes ride along, so the
-    // reported triple is one real run, not a mix); a single failed rep
-    // marks the query failed — crashes must stay visible, not be medianed
-    // away.
-    def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+    // reported triple is one real run, not a mix), plus the MIN wall time:
+    // identical jobs/bytes with median >> min is self-evidently environment
+    // noise, not a plan regression (round-5 verdict: the closing-run
+    // environment inflated a handful of queries 2-6× at unchanged plans).
+    // A single failed rep marks the query failed — crashes must stay
+    // visible, not be medianed away.
+    def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Rep, Double) = {
       val reps = Seq.fill(Reps)(runOne(fn))
       val med = reps.sortBy(_.sec).apply(Reps / 2)
-      med.copy(ok = reps.forall(_.ok))
+      (med.copy(ok = reps.forall(_.ok)), reps.map(_.sec).min)
     }
 
     // warmup: touch every fixture table once (scan + codegen warm)
@@ -109,23 +112,24 @@ object Bench {
     val results =
       try selected.toSeq.sortBy(_._1).map { case (name, fn) => name -> runMedian(fn) }
       finally spark.sparkContext.removeSparkListener(meter)
-    // Per-query record is [sec, jobs, scan_mb] (round-4 verdict: wall
-    // seconds alone make regressions unattributable) — sec negative on
+    // Per-query record is [median_sec, min_sec, jobs, scan_mb] (round-4
+    // verdict: wall seconds alone make regressions unattributable; round-5
+    // verdict: min exposes environment noise) — median negative on
     // failure. The capture of this line is TAIL-truncated downstream, so
     // the headline numbers (shape comparison, total) go at the END where
     // they always survive, and the full record is also written to
     // BENCH_DETAIL.json.
-    val qs = results.map { case (k, r) =>
-      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%d,%d]""",
-        k, Double.box(if (r.ok) r.sec else -r.sec), Long.box(r.jobs),
-        Long.box(r.scanBytes / 1048576))
+    val qs = results.map { case (k, (r, minSec)) =>
+      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d]""",
+        k, Double.box(if (r.ok) r.sec else -r.sec), Double.box(minSec),
+        Long.box(r.jobs), Long.box(r.scanBytes / 1048576))
     }.mkString("{", ",", "}")
-    val failures = results.collect { case (k, r) if !r.ok => "\"" + k + "\"" }
+    val failures = results.collect { case (k, (r, _)) if !r.ok => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, r) if r.ok => r.sec }.sum
+    val total = results.collect { case (_, (r, _)) if r.ok => r.sec }.sum
 
     val line = String.format(java.util.Locale.ROOT,
-      """{"metric":"total","unit":"sec","reps":%d,"legend":"queries: name -> [median_sec, jobs, scan_mb]","failures":%s,"queries":%s%s,"value":%.3f,"sf":"%s"}""",
+      """{"metric":"total","unit":"sec","reps":%d,"legend":"queries: name -> [median_sec, min_sec, jobs, scan_mb]","failures":%s,"queries":%s%s,"value":%.3f,"sf":"%s"}""",
       Int.box(Reps), failures, qs, shape, Double.box(total), sfDir)
     // only a FULL run may replace the committed record — a substring-
     // filtered iteration (`runMain graft.Bench q44`) or shape-only run
