@@ -118,14 +118,23 @@ object TextQueries {
               |  array_to_string(tk[chunk_ix*32+1 : chunk_ix*32+40], ' ') AS chunk_text
               |FROM c""".stripMargin)),
 
-    // Token-budget bin packing (rows-only: bin assignment depends on the
-    // engine's partitioning, no SQL oracle; the packing invariants —
-    // budget respected, every doc packed exactly once, determinism —
-    // are property-pinned in PackingSpec).
+    // Concat-and-split token packing (GPT-style layout): bin = the
+    // budget-boundary slot of each doc's first token in the id-ordered
+    // virtual token stream. A pure function of (data, budget), so the
+    // oracle recomputes it as a window prefix sum; the budget-capped
+    // greedy variant (Packing.packSequences) stays property-pinned in
+    // PackingSpec.
     QueryDef("q92_pack_sequences",
-      (s, d) => graft.ops.Packing.packSequences(
+      (s, d) => graft.ops.Packing.packConcatSplit(
         Tables.documents(s, d), "doc_id", "text", budget = 256),
-      None),
+      Some(s"""WITH t AS (SELECT doc_id, $nTok AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |        SUM(n_tokens) OVER (ORDER BY doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |      FROM t)
+              |SELECT doc_id, n_tokens,
+              |  CAST((cum - n_tokens) // 256 AS BIGINT) AS bin_id
+              |FROM c""".stripMargin)),
 
     // String scalar-function parity: slicing, padding, replacement,
     // translation, edit distance — the text-wrangling surface, stated

@@ -46,6 +46,33 @@ class PackingSpec extends SparkSpec {
     assert(bins < corpus.count() / 2, s"degenerate packing: $bins bins")
   }
 
+  test("packConcatSplit matches the global prefix-sum layout at any bucket count") {
+    val corpus = Tables.documents(spark, sf001)
+    val packed = Packing.packConcatSplit(corpus, "doc_id", "text", budget = 256)
+    // reference: single-threaded global prefix sum in id order
+    val sizes = packed.orderBy("doc_id")
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val expected = sizes.map { case (id, n) =>
+      val bin = cum / 256; cum += n; (id, bin)
+    }.toMap
+    val got = packed.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == expected, "distributed prefix sum diverged from the sequential layout")
+    // bin ids must be independent of the bucket parallelism parameter
+    // and of the input's physical partitioning
+    val alt = Packing.packConcatSplit(corpus.repartition(7), "doc_id", "text",
+      budget = 256, buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(alt == got, "bin assignment changed with bucket count/partitioning")
+    // concat-split overhang is bounded: a bin holds at most
+    // budget + (max doc tokens - 1) tokens
+    val maxDoc = sizes.map(_._2).max
+    val over = packed.groupBy("bin_id").agg(sum("n_tokens").alias("t"))
+      .filter(col("t") >= 256 + maxDoc)
+    assert(over.count() == 0)
+  }
+
   test("packSequences is deterministic and gives oversized docs their own bin") {
     val df = docs(
       1L -> (1 to 300).map(_ => "w").mkString(" "), // 300 tokens > budget 256
