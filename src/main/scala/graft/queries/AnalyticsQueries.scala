@@ -21,6 +21,29 @@ object AnalyticsQueries {
 
   private val ship = "TIMESTAMP '1998-09-02 00:00:00'"
 
+  /** TPC-H Q21 re-expressed on the fixture (ship-date cutoff stands in
+    * for receipt>commit — the fixture carries no receipt/commit dates),
+    * runnable verbatim on Spark SQL and DuckDB. (numwait DESC, s_name)
+    * is total: supplier names are unique.
+    */
+  private lazy val waitingSuppliersQ21Sql =
+    """WITH late AS (SELECT * FROM lineitem
+      |              WHERE l_shipdate >= TIMESTAMP '1998-05-01 00:00:00')
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM late l1
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name ASC
+      |LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // TPC-H Q1-style pricing summary (scan→filter→wide agg).
@@ -372,6 +395,20 @@ object AnalyticsQueries {
              |GROUP BY s_suppkey, s_name
              |ORDER BY numwait DESC, s_suppkey ASC
              |LIMIT 10""".stripMargin)),
+
+    // Full TPC-H Q21 stated through the SQL SURFACE: where q78 hand-
+    // decorrelates the same shape into semi/anti joins, q107 hands
+    // Catalyst the correlated EXISTS + NOT EXISTS text (plus the
+    // order-status and nation legs of the official query) and relies on
+    // RewritePredicateSubquery to produce the hash semi/anti plan —
+    // PlanSpec pins that no nested-loop survives the rewrite. Identical
+    // text runs on DuckDB as the oracle.
+    QueryDef("q107_q21_sql_surface",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(waitingSuppliersQ21Sql)
+      },
+      Some(waitingSuppliersQ21Sql)),
 
     // TPC-H Q18-style large-volume orders: IN over a GROUP BY + HAVING
     // aggregate subquery. Spark side computes the per-order quantity sum

@@ -55,6 +55,33 @@ object RelationalQueries {
               |  CAST(SUM(CASE WHEN $customerRulesSql THEN 1 ELSE 0 END) AS BIGINT) AS passed_rows
               |FROM customer""".stripMargin)),
 
+    // The observe-telemetry variant of q03: the same per-rule metrics
+    // ride as an Observation on the validated frame's OWN action — zero
+    // extra scans, the engine's answer to the reference's one count()
+    // job per rule (silver/processor.py:147-153) — and are surfaced
+    // here as a one-row frame so the driver hash-checks them.
+    QueryDef("q106_observed_metrics",
+      (s, d) => {
+        val (validated, obs) =
+          Validation.validateObserved(Tables.customer(s, d), customerRules)
+        validated.write.mode("overwrite").format("noop").save()
+        val m = obs.get
+        val names = customerRules.map(r => s"fail_${r.name}") ++
+          Seq("total_rows", "passed_rows")
+        s.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(names.map(n => m(n).asInstanceOf[Long]))),
+          org.apache.spark.sql.types.StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n, LongType, nullable = false))))
+      },
+      Some(s"""SELECT
+              |  ${customerRulesSqlList.map { case (n, p) =>
+                   s"CAST(SUM(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS fail_$n"
+                 }.mkString(",\n  ")},
+              |  COUNT(*) AS total_rows,
+              |  CAST(SUM(CASE WHEN $customerRulesSql THEN 1 ELSE 0 END) AS BIGINT) AS passed_rows
+              |FROM customer""".stripMargin)),
+
     // P6/P7: conditional value map + safe cast + timestamp extraction.
     QueryDef("q04_conditional_map_cast",
       (s, d) => Projections.mapValue(Tables.orders(s, d), "o_orderstatus", "P", "PENDING")

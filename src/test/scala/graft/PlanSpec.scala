@@ -198,6 +198,14 @@ class PlanSpec extends SparkSpec {
     intercept[IllegalStateException](PlanAudit.assertScalable(product))
   }
 
+  test("q107 correlated EXISTS/NOT EXISTS decorrelates to hash semi/anti joins") {
+    val p = plan("q107_q21_sql_surface")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation fell back to a nested loop:\n$p")
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
