@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** Accuracy bounds of the approximate paths, measured at sf0.1 — 10× the
+  * oracle-gate fixture — so the tuning math (HLL rsd, the LSH S-curve
+  * layout, IVF probe coverage) is validated beyond toy scale. The
+  * approximate queries themselves are rows-only for the driver (engine-
+  * specific estimates); these properties are their accuracy gate.
+  */
+class ApproxBoundsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  test("sf0.1 HLL estimate stays within 4x the configured rsd of the exact count") {
+    val li = Tables.lineitem(spark, sf)
+    val rsd = 0.05
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey"), rsd).alias("a_ord"),
+      countDistinct(col("l_orderkey")).alias("e_ord"),
+      approx_count_distinct(col("l_partkey"), rsd).alias("a_part"),
+      countDistinct(col("l_partkey")).alias("e_part")).head()
+    def relErr(a: Long, e: Long) = math.abs(a - e).toDouble / e
+    val errOrd = relErr(r.getLong(0), r.getLong(1))
+    val errPart = relErr(r.getLong(2), r.getLong(3))
+    // rsd is one standard deviation of the HLL++ estimator; 4σ is a
+    // comfortably deterministic bound for a fixed dataset + seed
+    assert(errOrd <= 4 * rsd, s"l_orderkey HLL error $errOrd > ${4 * rsd}")
+    assert(errPart <= 4 * rsd, s"l_partkey HLL error $errPart > ${4 * rsd}")
+  }
+
+  test("sf0.1 LSH layout recalls >= 0.9 of true neighbors at the design cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 25)
+    val c = emb.filter(col("vec_id") >= 25)
+    val bruteRows = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 10).collect()
+    val brute = bruteRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the S-curve promise is per-pair AT the design cosine: design the
+    // layout for the weakest true neighbor present in this fixture
+    val cMin = bruteRows.map(_.getDouble(2)).min
+    val got = Similarity.lshTopK(q, c, "vec_id", "embedding", 10, dim = 64,
+      neighborCosine = cMin, targetRecall = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"sf0.1 LSH recall $recall < 0.9 (design cosine $cMin)")
+  }
+
+  test("sf0.1 IVF recall beats probed-mass fraction, grows with probes, exact at full probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 25)
+    val c = emb.filter(col("vec_id") >= 25)
+    val brute = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(q, c, "vec_id", "embedding", 10,
+        nCentroids = 16, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect brute).size.toDouble / brute.size
+    }
+    // full probe (nProbe = nCentroids) is exhaustive by construction —
+    // the sf0.1 form of q71's exactness gate
+    assert(recallAt(16) == 1.0, "full-probe IVF must equal brute force")
+    // the fixture embeddings are near-uniform (no planted clusters), the
+    // worst case for IVF: recall cannot reach clustered-data levels, but
+    // probing the QUERY'S CLOSEST cells must still beat the uniform-mass
+    // fraction nProbe/nCentroids (else cell assignment is broken), and
+    // recall must grow with probe count. Measured on this fixture:
+    // recall(8) ≈ 0.77 vs the 0.5 mass fraction.
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 > 8.0 / 16, s"half-probe recall $r8 does not beat the probed-mass fraction")
+    assert(r2 > 2.0 / 16, s"2-probe recall $r2 does not beat the probed-mass fraction")
+    assert(r8 >= r2, s"recall not monotone in probe count: recall(8)=$r8 < recall(2)=$r2")
+  }
+}
