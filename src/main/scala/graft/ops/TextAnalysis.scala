@@ -172,6 +172,32 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document top-k terms by TF·IDF, with idf stated as the RATIONAL
+    * n_docs/df (no logarithm: ln's last-ulp varies across libm builds and
+    * would break cross-engine hash equality; ranking is order-isomorphic
+    * to the log form). One explode→(doc,token) aggregate, a token-keyed
+    * join against the document frequencies derived from it, a broadcast
+    * 1-row n_docs frame, and a per-doc window — every shuffle is on a
+    * natural key, nothing global.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).alias("__n_docs"))
+    val tf = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).alias("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * col("__n_docs") / col("df"), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Content fingerprint: min-k sketch over hashed word 3-gram shingles
     * (hash-shingle path — no string building; see
     * TextFunctions.shingleHashesFromTokenHashes).

@@ -189,8 +189,84 @@ object TextQueries {
               |  round(CAST(df AS DOUBLE) / n_docs, 6) AS doc_frac
               |FROM g, n
               |ORDER BY cf DESC, token ASC
-              |LIMIT 25""".stripMargin))
+              |LIMIT 25""".stripMargin)),
+
+    // PII scrubbing. The fixture corpus is PII-free word salad, so both
+    // engines first synthesize identical PII (emails / URLs / IPv4 /
+    // phone shapes derived from doc_id) onto the text, then the redaction
+    // chain runs for real: category counts on the progressively-redacted
+    // text plus the scrubbed output, hash-compared end to end. The
+    // patterns live once in Redaction.rules; the oracle chain below is
+    // generated from them so the two engines cannot drift.
+    QueryDef("q108_pii_redaction",
+      (s, d) => graft.ops.Redaction.scrub(
+        Tables.documents(s, d).select(col("doc_id"), piiSynth.alias("text")),
+        "doc_id", "text"),
+      Some(piiRedactionSql)),
+
+    // Per-document top-3 TF·IDF terms: corpus statistics (df, n_docs)
+    // joined back onto per-doc term frequencies. idf is the rational
+    // n_docs/df — no ln, whose last-ulp drift across libm builds would
+    // break the hash compare (ranking is order-isomorphic).
+    QueryDef("q109_tfidf_topterms",
+      (s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", topK = 3),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+              |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+              |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+              |        round(tf.tf * n.n_docs / dfq.df, 6) AS tfidf,
+              |        row_number() OVER (PARTITION BY tf.doc_id
+              |          ORDER BY round(tf.tf * n.n_docs / dfq.df, 6) DESC, tf.token ASC) AS rn
+              |      FROM tf JOIN dfq USING (token), n)
+              |SELECT doc_id, token, tf, df, tfidf FROM s WHERE rn <= 3""".stripMargin))
   )
+
+  /** Deterministic synthetic PII appended to each document, stated
+    * identically in Spark ([[piiSynth]]) and DuckDB (inside
+    * [[piiRedactionSql]]): an email on 2 of 3 docs, a URL and an IPv4 on
+    * every doc, a phone shape on even docs.
+    */
+  private def piiSynth: org.apache.spark.sql.Column = {
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    concat(
+      col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" user"), s(col("doc_id")), lit("@example.com"))).otherwise(lit("")),
+      lit(" https://site"), s(col("doc_id") % 7),
+      lit(".example.org/p?id="), s(col("doc_id")),
+      lit(" ip 10.0."), s(col("doc_id") % 256), lit("."), s((col("doc_id") * 7) % 256),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" tel 555-"), lpad(s(col("doc_id") % 10000), 4, "0"))).otherwise(lit("")))
+  }
+
+  private lazy val piiRedactionSql: String = {
+    // single line: this is interpolated into a template whose OWN
+    // stripMargin would otherwise eat a pipe from a line-leading ||
+    val synth = Seq(
+      "text || CASE WHEN doc_id % 3 <> 0",
+      "    THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END",
+      "  || ' https://site' || CAST(doc_id % 7 AS VARCHAR)",
+      "  || '.example.org/p?id=' || CAST(doc_id AS VARCHAR)",
+      "  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)",
+      "  || CASE WHEN doc_id % 2 = 0",
+      "    THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END")
+      .map(_.trim).mkString(" ")
+    // one CTE per rule, counting on the text redacted by all PRIOR rules
+    // — generated from Redaction.rules so Spark and oracle stay in sync
+    val stages = graft.ops.Redaction.rules.zipWithIndex.map {
+      case ((name, re, repl), i) =>
+        val prev = if (i == 0) "s" else s"c$i"
+        val carried = graft.ops.Redaction.rules.take(i).map { case (n, _, _) => s"n_$n," }.mkString(" ")
+        s"""c${i + 1} AS (SELECT doc_id, $carried
+           |  CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_$name,
+           |  regexp_replace(t, '$re', '$repl', 'g') AS t FROM $prev)""".stripMargin
+    }
+    val names = graft.ops.Redaction.rules.map { case (n, _, _) => s"n_$n" }.mkString(", ")
+    s"""WITH s AS (SELECT doc_id, $synth AS t FROM documents),
+       |${stages.mkString(",\n")}
+       |SELECT doc_id, $names, t AS redacted FROM c${graft.ops.Redaction.rules.size}""".stripMargin
+  }
 
   /** The full curation pipeline as ONE query (the LLM-corpus analog of
     * q60's medallion chain): quality gate → repetition gate → exact-dedup

@@ -74,6 +74,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie == "a", "tie on cf must break by token ascending")
   }
 
+  test("redaction applies rules in order: URL digits are not re-counted as IP/phone") {
+    import graft.ops.Redaction
+    val df = docs(
+      1L -> "mail me at bob.smith+x@corp.example.co or see https://h.example.com/a?x=10.0.0.1 from 10.1.2.3 call 555-0199",
+      2L -> "no pii here at all")
+    val r = Redaction.scrub(df, "doc_id", "text").orderBy("doc_id").collect()
+    val row1 = r(0)
+    assert(row1.getLong(1) == 1L, "one URL")        // n_url
+    assert(row1.getLong(2) == 1L, "one email")      // n_email
+    assert(row1.getLong(3) == 1L,                   // n_ipv4
+      "the IP inside the URL must be consumed by URL redaction, not counted again")
+    assert(row1.getLong(4) == 1L, "one phone")      // n_phone
+    val red = row1.getString(5)
+    assert(red == "mail me at <EMAIL> or see <URL> from <IP> call <PHONE>", red)
+    assert(r(1).getString(5) == "no pii here at all")
+    assert((1 to 4).forall(i => r(1).getLong(i) == 0L))
+  }
+
+  test("tfIdfTopTerms ranks corpus-rare terms above common ones") {
+    val df = docs(
+      1L -> "common common rare1",
+      2L -> "common rare2 rare2",
+      3L -> "common other")
+    val top = TextAnalysis.tfIdfTopTerms(df, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc (df=3, idf=1); the doc-unique terms
+    // carry idf=3 and must win even at lower tf
+    assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "other"))
+  }
+
   test("fingerprints are deterministic and content-sensitive") {
     val df = graft.sources.Tables.documents(spark, sf001).limit(100)
     val a = TextAnalysis.fingerprints(df, "text").select("doc_id", "fingerprint")
