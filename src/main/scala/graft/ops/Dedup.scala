@@ -400,6 +400,34 @@ object Dedup {
       .drop("__hash")
   }
 
+  /** N-gram-collision decontamination (the GPT-3 report's discipline):
+    * drop every training document that shares ANY word n-gram with the
+    * eval set — stricter than whole-document equality
+    * ([[decontaminateExact]]) and than a Jaccard threshold
+    * ([[decontaminateNear]]): one leaked passage poisons the document.
+    * Grams are chained 64-bit hashes ([[TextFunctions
+    * .shingleHashesFromTokenHashes]]), so the collision set equals string
+    * n-grams up to ~1e-13/pair. Scale shape: only the BOUNDED eval side's
+    * gram set is broadcast; the corpus explodes grams into a broadcast
+    * semi-probe and is never shuffled — contaminated ids come back as a
+    * small anti-join key set.
+    */
+  def decontaminateNgram(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    require(n >= 1, "n must be positive")
+    def grams(df: DataFrame) = df.select(
+      col(idCol).alias("__gid"),
+      explode(TextFunctions.shingleHashesFromTokenHashes(
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n))
+        .alias("__gram"))
+    val evalGrams = grams(evalSet).select(col("__gram")).distinct()
+    val contaminated = grams(train)
+      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .select(col("__gid")).distinct()
+    train.join(contaminated, col(idCol) === col("__gid"), "left_anti")
+  }
+
   /** [[decontaminateExact]] via a broadcast Bloom filter — the layout for
     * when the eval set is too large to broadcast as raw keys but its Bloom
     * filter still fits (~1.2 bytes/key at 1% fpp vs 8+ bytes for the key

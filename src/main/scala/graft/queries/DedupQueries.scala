@@ -126,6 +126,29 @@ object DedupQueries {
               |SELECT doc_id FROM n
               |WHERE nt NOT IN (SELECT nt FROM n WHERE doc_id % 31 = 0)""".stripMargin)),
 
+    // N-gram-collision decontamination (GPT-3 style): any shared word
+    // 5-gram with the eval set drops the training doc — catches partial
+    // leaks that whole-document equality (q68) misses. Engine matches on
+    // chained gram hashes; the oracle states the same predicate on string
+    // 5-grams — identical up to 2^-64 collisions.
+    QueryDef("q110_ngram_decontaminate",
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        Dedup.decontaminateNgram(all, all.filter(col("doc_id") % 31 === 0),
+            "doc_id", "text", n = 5)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+              |          FROM documents),
+              |g AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 4),
+              |        i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5])))
+              |        AS gram
+              |      FROM t),
+              |bad AS (SELECT DISTINCT doc_id FROM g
+              |        WHERE gram IN (SELECT gram FROM g WHERE doc_id % 31 = 0))
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)),
+
     // Bloom-filter decontamination: same output as an exact anti join (the
     // bloom's false positives are exactly re-verified; negatives are
     // provably clean), but the corpus meets only a broadcast bloom — the

@@ -269,6 +269,37 @@ object MiscQueries {
            |       AND md5(CAST(doc_id AS VARCHAR) || ':42') < '$t02')""".stripMargin
       }),
 
+    // Token-budget mixture (q90's companion for TOKEN-denominated
+    // mixing, how training-set recipes are actually stated): within each
+    // source, docs are drawn in portable md5 order until the source's
+    // token budget fills. Per-source window prefix sum — parallel across
+    // sources, no global ordering; the same draw is reproducible on any
+    // engine, so the selected rows hash-verify.
+    QueryDef("q111_token_budget_mixture",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("__key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d).select(
+            col("doc_id"), col("source"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast(LongType).alias("n_tokens"),
+            md5(concat(col("doc_id").cast("string"), lit(":mix"))).alias("__key"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 800)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |  CAST(len(${graft.functions.TextFunctions.tokensSql}) AS BIGINT) AS n_tokens,
+              |  md5(CAST(doc_id AS VARCHAR) || ':mix') AS k FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              |  FROM t)
+              |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+              |WHERE cum_tokens <= 800""".stripMargin)),
+
     // INTERSECT ALL / EXCEPT ALL — the MULTISET variants (q45/q46 are
     // the distinct set forms): duplicates survive with min/difference
     // multiplicity. Customer ids repeat per order, so the two semantics
