@@ -59,7 +59,20 @@ object PlanAudit {
         s"$exchanges Exchange nodes (> $maxExchanges): deep shuffle chain — " +
           "look for a reusable partitioning or a pre-aggregation")
 
-    if (!plan.contains("WholeStageCodegen") && plan.contains("FileScan"))
+    // Codegen spans only materialize in AQE's FINAL plan (per query
+    // stage, at execution); on an unexecuted adaptive plan the check
+    // would warn on everything. Assess it only when the plan is final
+    // (non-adaptive, or adaptive after an action).
+    val codegenAssessable =
+      !plan.contains("AdaptiveSparkPlan") || plan.contains("isFinalPlan=true")
+    // the compact toString renders a codegen stage as a "*(n) " operator
+    // prefix; the literal node name only appears in other explain formats
+    val hasCodegen = plan.contains("WholeStageCodegen") || plan.contains("*(")
+    // a bare scan (no compute operator) has nothing to fuse — not a miss
+    val hasCompute = lines.exists(l =>
+      l.contains("Filter ") || l.contains("Project ") || l.contains("Aggregate") ||
+        l.contains("Join") || l.contains("Window"))
+    if (codegenAssessable && !hasCodegen && hasCompute && plan.contains("FileScan"))
       warns += Finding("WARN",
         "no WholeStageCodegen span: the hot path is interpreted — check for " +
           "non-codegen expressions or object-typed operators")
