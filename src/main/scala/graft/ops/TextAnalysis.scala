@@ -210,6 +210,26 @@ object TextAnalysis {
           transform(slice(array_sort(col("__sh")), 1, k), x => x.cast("string")))))
       .drop("__th", "__sh")
 
+  /** [[fingerprints]] with a PORTABLE hash (md5 over string 3-gram
+    * shingles, sketch = first k sorted hex digests joined): any engine
+    * reproduces it bit-for-bit, so the min-k sketch machinery carries a
+    * hash-exact oracle (q112) — the exactness-twin pattern (q49/q71/q74)
+    * applied to fingerprinting. The xxhash64 form ([[fingerprints]])
+    * stays the production path: no string building, one word per gram.
+    */
+  def fingerprintsPortable(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val grams = when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ",
+          element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol),
+      concat_ws(",", slice(array_sort(transform(grams, g => md5(g))), 1, k))
+        .alias("fingerprint"))
+  }
+
   // ---- oracle SQL fragments ---------------------------------------------
 
   def langScoreSql(lang: String): String = {

@@ -79,6 +79,24 @@ object TextQueries {
         .select("doc_id", "fingerprint"),
       None),
 
+    // q33's exactness twin: the same min-k shingle sketch with a
+    // PORTABLE hash (md5 hex over string 3-grams), so the sketch
+    // machinery itself is oracle-gated — the q49/q71/q74 pattern
+    // applied to fingerprinting.
+    QueryDef("q112_fingerprint_portable",
+      (s, d) => TextAnalysis.fingerprintsPortable(
+        Tables.documents(s, d), "doc_id", "text", k = 8),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              |g AS (SELECT doc_id,
+              |  CASE WHEN len(tk) >= 3 THEN
+              |    list_distinct(list_transform(range(len(tk) - 2),
+              |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])))
+              |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t)
+              |SELECT doc_id,
+              |  array_to_string(list_sort(list_transform(grams, g -> md5(g)))[1:8], ',')
+              |    AS fingerprint
+              |FROM g""".stripMargin)),
+
     // Gopher-style repetition fractions: duplicated 2-/3-gram mass per
     // doc. The oracle builds the SAME raw (non-deduped) gram lists with
     // DuckDB list functions.
