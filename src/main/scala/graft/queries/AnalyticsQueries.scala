@@ -622,6 +622,38 @@ object AnalyticsQueries {
              |  o_orderdate + INTERVAL 30 DAY AS plus_30d
              |FROM orders""".stripMargin)),
 
+    // Math + conditional scalar-function parity, restricted to the
+    // cross-engine-EXACT subset: abs/ceil/floor/sign/mod/greatest/least
+    // are integer-or-IEEE-exact and sqrt is correctly rounded by both
+    // engines; ln/exp/pow are deliberately absent (libm last-ulp drift —
+    // the same reason the TF-IDF oracle is rational). nullif/coalesce
+    // cover the conditional surface.
+    QueryDef("q113_math_functions",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        abs(col("l_discount") - 0.05).alias("abs_disc"),
+        ceil(col("l_extendedprice") / 100.0).cast(LongType).alias("price_ceil"),
+        floor(col("l_extendedprice") / 100.0).cast(LongType).alias("price_floor"),
+        (col("l_orderkey") % 97).alias("key_mod"),
+        signum(col("l_quantity") - 25.0).cast(LongType).alias("qty_sign"),
+        greatest(col("l_tax"), col("l_discount")).alias("max_rate"),
+        least(col("l_tax"), col("l_discount")).alias("min_rate"),
+        round(sqrt(col("l_extendedprice")), 6).alias("price_sqrt"),
+        (col("l_quantity") * col("l_quantity")).alias("qty_sq"),
+        coalesce(nullif(col("l_linestatus"), lit("F")), lit("FINAL")).alias("status_x")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  abs(l_discount - 0.05) AS abs_disc,
+             |  CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS price_ceil,
+             |  CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_floor,
+             |  l_orderkey % 97 AS key_mod,
+             |  CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign,
+             |  greatest(l_tax, l_discount) AS max_rate,
+             |  least(l_tax, l_discount) AS min_rate,
+             |  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+             |  l_quantity * l_quantity AS qty_sq,
+             |  coalesce(nullif(l_linestatus, 'F'), 'FINAL') AS status_x
+             |FROM lineitem""".stripMargin)),
+
     // GROUPING SETS beyond rollup (q29): explicit subtotal combinations
     // + grouping() indicators distinguishing "null data" from "subtotal
     // row" — stated as the identical SQL in both engines.
