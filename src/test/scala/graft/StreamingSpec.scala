@@ -264,6 +264,30 @@ class StreamingSpec extends SparkSpec {
     assert(closed(1).getLong(2) == 2L && closed(1).getDouble(3) == 3.0)
   }
 
+  test("incrementalParquetIngest processes only new files, exactly once per run") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("incr_ingest")
+    val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"doc number $i body")).toDF("doc_id", "text")
+    val schema = docs(0 until 1).schema
+    def ingest(): Unit = StreamingOps.incrementalParquetIngest(
+      spark, src, dest, ckpt, schema)(
+      df => df.select(col("doc_id"), length(col("text")).alias("n_chars")))
+
+    docs(0 until 100).write.mode("append").parquet(src)
+    ingest()
+    assert(spark.read.parquet(dest).count() == 100)
+    // second batch of files: ONLY these are processed on the next run
+    docs(100 until 150).write.mode("append").parquet(src)
+    ingest()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 150, "second run must append exactly the new files")
+    assert(out.select("doc_id").distinct().count() == 150, "no row ingested twice")
+    // no new files → a run is a no-op, not a re-ingest
+    ingest()
+    assert(spark.read.parquet(dest).count() == 150)
+  }
+
   test("streaming corpus ingest: dedup then chunk matches the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
