@@ -126,4 +126,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("redaction is complete: no rule pattern survives in scrubbed output") {
+    import graft.ops.Redaction
+    val word: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "data")
+    val pii: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(1, 999999).map(n => s"user$n@mail.example.com"),
+      Gen.chooseNum(1, 9999).map(n => s"https://ex.org/p/$n?q=$n"),
+      for (a <- Gen.chooseNum(0, 255); b <- Gen.chooseNum(0, 255)) yield s"10.$a.$b.7",
+      Gen.chooseNum(0, 9999).map(n => f"555-$n%04d"))
+    val doc: Gen[String] =
+      Gen.listOfN(12, Gen.frequency(3 -> word, 2 -> pii)).map(_.mkString(" "))
+    forAll(Gen.listOfN(20, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Redaction.scrub(df, "doc_id", "text")
+      // after scrubbing, no rule's pattern may match anywhere
+      val leftovers = Redaction.rules.map { case (name, re, _) =>
+        name -> out.filter(regexp_count(col("redacted"), lit(re)) > 0).count()
+      }.filter(_._2 > 0)
+      assert(leftovers.isEmpty, s"unredacted PII remains: $leftovers")
+      // every doc is preserved and counts are consistent with injections
+      assert(out.count() == texts.size)
+    }
+  }
+
+  test("packConcatSplit bins are contiguous, start at 0, and cover every doc") {
+    import graft.ops.Packing
+    val sizes: Gen[List[Int]] =
+      Gen.listOfN(60, Gen.chooseNum(1, 40))
+    forAll(sizes) { ns =>
+      val df = ns.zipWithIndex
+        .map { case (n, i) => (i.toLong * 3 + 1, (1 to n).map(j => s"t$j").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = Packing.packConcatSplit(df, "doc_id", "text", budget = 64, buckets = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.length == ns.size, "every doc packed exactly once")
+      val bins = out.map(_._3)
+      assert(bins.min == 0L, "first bin must be 0")
+      val distinct = bins.distinct.sorted
+      assert(distinct.zip(distinct.tail).forall { case (a, b) => b == a + 1 },
+        s"bin ids must be contiguous: ${distinct.toList}")
+      // total layout: last bin index == floor((total_tokens - last_doc)/budget)
+      val total = out.map(_._2).sum
+      assert(bins.max <= total / 64, "bin index beyond the token stream length")
+    }
+  }
 }
