@@ -16,6 +16,12 @@ import graft.queries.MedallionQueries
   * comparison and the per-query records can never diverge in what they
   * count.
   */
+/** Jobs + bytes-read meter. `bytesRead` is the stage input metric, which
+  * counts CACHED-block re-reads as well as file scans — an iterative
+  * query (e.g. connected components) re-reading its persisted edge frame
+  * each round accumulates scan_mb without touching parquet. Interpret
+  * scan_mb as "bytes entering tasks", not file I/O.
+  */
 final class JobMeter extends org.apache.spark.scheduler.SparkListener {
   val jobs = new java.util.concurrent.atomic.AtomicLong
   val bytes = new java.util.concurrent.atomic.AtomicLong

@@ -126,6 +126,79 @@ object EventQueries {
               |         ts + INTERVAL 30 MINUTE AS w_end
               |  FROM ev WHERE event_type = 'error' AND event_id % 101 = 0)
               |SELECT i.incident_id, e.event_id, e.user_id, e.event_type
-              |FROM inc i JOIN ev e ON e.ts >= i.w_start AND e.ts < i.w_end""".stripMargin))
+              |FROM inc i JOIN ev e ON e.ts >= i.w_start AND e.ts < i.w_end""".stripMargin)),
+
+    // Funnel analysis: signup → first LATER click → first LATER purchase
+    // per user; stage = furthest step reached. Each stage is a
+    // conditional-min aggregation thresholded by the previous stage's
+    // timestamp (strict event ordering, not mere presence) — three
+    // narrow key-joins, each over the 150-key user dimension.
+    QueryDef("q114_funnel_stages",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", col("ts"))).alias("signup_ts"))
+        val s2 = e.join(s1, Seq("user_id"))
+          .groupBy(col("user_id"), col("signup_ts"))
+          .agg(min(when(col("event_type") === "click" && col("ts") > col("signup_ts"),
+            col("ts"))).alias("click_ts"))
+        val s3 = e.join(s2, Seq("user_id"))
+          .groupBy(col("user_id"), col("signup_ts"), col("click_ts"))
+          .agg(min(when(col("event_type") === "purchase" && col("ts") > col("click_ts"),
+            col("ts"))).alias("purchase_ts"))
+        s3.select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
+          when(col("signup_ts").isNull, 0L)
+            .when(col("click_ts").isNull, 1L)
+            .when(col("purchase_ts").isNull, 2L)
+            .otherwise(3L).alias("stage"))
+      },
+      Some(s"""WITH $evCte,
+              |s1 AS (SELECT user_id,
+              |         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+              |       FROM ev GROUP BY user_id),
+              |s2 AS (SELECT ev.user_id, s1.signup_ts,
+              |         min(CASE WHEN event_type = 'click' AND ev.ts > s1.signup_ts
+              |             THEN ev.ts END) AS click_ts
+              |       FROM ev JOIN s1 USING (user_id)
+              |       GROUP BY ev.user_id, s1.signup_ts),
+              |s3 AS (SELECT ev.user_id, s2.signup_ts, s2.click_ts,
+              |         min(CASE WHEN event_type = 'purchase' AND ev.ts > s2.click_ts
+              |             THEN ev.ts END) AS purchase_ts
+              |       FROM ev JOIN s2 USING (user_id)
+              |       GROUP BY ev.user_id, s2.signup_ts, s2.click_ts)
+              |SELECT user_id, signup_ts, click_ts, purchase_ts,
+              |  CAST(CASE WHEN signup_ts IS NULL THEN 0
+              |            WHEN click_ts IS NULL THEN 1
+              |            WHEN purchase_ts IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage
+              |FROM s3""".stripMargin)),
+
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per (cohort, week offset) — the classic growth-analytics
+    // rollup. Week truncation is ISO-Monday in both engines; offsets are
+    // exact day-difference multiples of 7.
+    QueryDef("q115_cohort_retention",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val cohort = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).alias("cohort_week"))
+        val active = e.select(col("user_id"),
+          date_trunc("week", col("ts")).alias("week")).distinct()
+        active.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("week").cast("date"), col("cohort_week").cast("date")) / 7)
+              .cast(LongType).alias("week_offset"))
+          .agg(countDistinct(col("user_id")).alias("n_users"))
+      },
+      Some(s"""WITH $evCte,
+              |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+              |        AS cohort_week FROM ev GROUP BY user_id),
+              |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+              |        AS week FROM ev)
+              |SELECT cohort_week,
+              |  CAST(datediff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7
+              |    AS BIGINT) AS week_offset,
+              |  COUNT(DISTINCT a.user_id) AS n_users
+              |FROM a JOIN f USING (user_id)
+              |GROUP BY 1, 2""".stripMargin))
   )
 }
