@@ -300,6 +300,32 @@ object MiscQueries {
               |SELECT doc_id, source, n_tokens, cum_tokens FROM c
               |WHERE cum_tokens <= 800""".stripMargin)),
 
+    // Equal-width histogram (the data-profiling companion to q47/q38):
+    // 20 buckets spanning [min, max], bucket edges derived from the same
+    // 1-row min/max frame both engines compute — floor arithmetic on
+    // identical IEEE doubles, so the bucketing is bit-reproducible.
+    QueryDef("q116_histogram",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_extendedprice").alias("v"))
+        val mm = li.agg(min(col("v")).alias("lo"), max(col("v")).alias("hi"))
+        li.crossJoin(broadcast(mm))
+          .select(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 20.0)),
+            lit(19.0)).cast(LongType).alias("bucket"),
+            col("v"), col("lo"), col("hi"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).alias("n"),
+            round(first(col("lo")) + col("bucket") * ((first(col("hi")) - first(col("lo"))) / 20.0), 6)
+              .alias("bucket_lo"))
+      },
+      Some("""WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |            FROM lineitem),
+             |b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)),
+             |        19.0) AS BIGINT) AS bucket, lo, hi
+             |      FROM lineitem, mm)
+             |SELECT bucket, COUNT(*) AS n,
+             |  round(min(lo) + bucket * ((min(hi) - min(lo)) / 20.0), 6) AS bucket_lo
+             |FROM b GROUP BY bucket""".stripMargin)),
+
     // INTERSECT ALL / EXCEPT ALL — the MULTISET variants (q45/q46 are
     // the distinct set forms): duplicates survive with min/difference
     // multiplicity. Customer ids repeat per order, so the two semantics

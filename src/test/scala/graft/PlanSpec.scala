@@ -214,13 +214,13 @@ class PlanSpec extends SparkSpec {
     //  - q50/q55/q64: ANN — the tiny query set is broadcast, the corpus
     //    never shuffles; cost is |corpus| × |queries|, the designed shape
     //  - q77: near-decontamination — the benchmark set is the broadcast side
-    //  - q67/q89/q109: 1-row scalar aggregate frame crossed in for a ratio
+    //  - q67/q89/q109/q116: 1-row scalar aggregate frame crossed in
     //  - q41/q59/q74/q76: degenerate exhaustive oracle twins of the
     //    banded/bucketed primary paths, documented as not-for-scale
     val degenerateByDesign = Set(
       "q50_ann_bruteforce", "q55_ann_topk_agg", "q64_ann_quantized",
       "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
-      "q109_tfidf_topterms",
+      "q109_tfidf_topterms", "q116_histogram",
       "q41_token_jaccard_pairs", "q59_ngram_jaccard",
       "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
