@@ -206,6 +206,16 @@ class PlanSpec extends SparkSpec {
       s"decorrelation fell back to a nested loop:\n$p")
   }
 
+  test("q112 tokenizes once: the gram lambda references a bound attribute, not split()") {
+    // an unbound tokens(text) inside the transform lambda re-runs the
+    // split per element_at — 12× slower at sf0.1; CollapseProject must
+    // not inline __tk back (it is referenced 5 times, which blocks the
+    // rule). One split( in the plan = one tokenization per row.
+    val p = plan("q112_fingerprint_portable")
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected exactly one split() in the plan, got $splits:\n$p")
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
