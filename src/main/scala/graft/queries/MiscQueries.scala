@@ -300,6 +300,46 @@ object MiscQueries {
               |SELECT doc_id, source, n_tokens, cum_tokens FROM c
               |WHERE cum_tokens <= 800""".stripMargin)),
 
+    // Temperature-weighted mixture (α = 0.5): source draw fractions
+    // proportional to src_tokens^α — up-weights small sources, the
+    // Pile/GPT-3 mixing recipe. sqrt is the one correctly-rounded power
+    // (general pow has libm drift), the normalizer accumulates in
+    // decimal, and the draw is a portable integer hash, so the fractions
+    // — and therefore the drawn row set — are bit-identical across
+    // engines.
+    QueryDef("q117_temperature_mixture",
+      (s, d) => {
+        val nTokC = size(graft.functions.TextFunctions.tokens(col("text"))).cast(LongType)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), nTokC.alias("n_tokens"))
+        val stats = docs.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).alias("src_tokens"))
+        val z = stats.agg(
+          graft.ops.Aggregations.exactSum(sqrt(col("src_tokens"))).alias("z"))
+        val fr = stats.crossJoin(broadcast(z))
+          .select(col("source"),
+            least(lit(1.0),
+              lit(10000.0) * (sqrt(col("src_tokens")) / col("z")) / col("src_tokens"))
+              .alias("frac"))
+        docs.join(broadcast(fr), Seq("source"))
+          .filter(((col("doc_id") * 2654435761L) % 1000000007L).cast("double") <
+            col("frac") * 1000000007.0)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |  CAST(len(${graft.functions.TextFunctions.tokensSql}) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+              |      FROM t GROUP BY source),
+              |z AS (SELECT ${exactSumSql("sqrt(src_tokens)")} AS z FROM s),
+              |f AS (SELECT source,
+              |        least(1.0, 10000.0 * (sqrt(src_tokens) / z.z) / src_tokens) AS frac
+              |      FROM s, z)
+              |SELECT t.doc_id, t.source, t.n_tokens
+              |FROM t JOIN f USING (source)
+              |WHERE CAST((t.doc_id * 2654435761) % 1000000007 AS DOUBLE) <
+              |      f.frac * 1000000007.0""".stripMargin)),
+
     // Equal-width histogram (the data-profiling companion to q47/q38):
     // 20 buckets spanning [min, max], bucket edges derived from the same
     // 1-row min/max frame both engines compute — floor arithmetic on

@@ -230,7 +230,7 @@ class PlanSpec extends SparkSpec {
     val degenerateByDesign = Set(
       "q50_ann_bruteforce", "q55_ann_topk_agg", "q64_ann_quantized",
       "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
-      "q109_tfidf_topterms", "q116_histogram",
+      "q109_tfidf_topterms", "q116_histogram", "q117_temperature_mixture",
       "q41_token_jaccard_pairs", "q59_ngram_jaccard",
       "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
