@@ -385,6 +385,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT threshold-Jaccard self-join via prefix filtering (the
+    * PPJoin-family principle) — the deterministic scale path where
+    * MinHash banding is the probabilistic one. For J(x,y) ≥ t the
+    * required overlap is ≥ t·max(|x|,|y|), so if the two token sets are
+    * laid out in one GLOBAL total order (ascending 64-bit token hash —
+    * any consistent order is correct), the first |x| − ⌈t·|x|⌉ + 1
+    * elements of x and the first |y| − ⌈t·|y|⌉ + 1 of y must share a
+    * token (miss both prefixes and the overlap is already too small).
+    * Candidates therefore come from an equi-join on exploded PREFIX
+    * tokens only — never all-pairs, and the prefix shrinks as t grows
+    * (t = 0.9 → ~10% of each set). Survivors are exact-verified with the
+    * merge-pass Jaccard. Output is provably EQUAL to the brute-force
+    * join (q118 carries q49's oracle), with no recall parameter at all.
+    */
+  def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import graft.functions.JaccardSortedExpr
+    val t = df.select(col(idCol).alias("__id"),
+        array_sort(array_distinct(TextFunctions.tokenHashes(
+          TextFunctions.tokens(col(textCol))))).alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__pref", slice(col("__toks"), lit(1),
+        (col("__n") - ceil(col("__n") * threshold) + 1).cast("int")))
+    val a = t.select(col("__id").alias("id_a"), col("__n").alias("__na"),
+      explode(col("__pref")).alias("__tok"))
+    val b = t.select(col("__id").alias("id_b"), col("__n").alias("__nb"),
+      explode(col("__pref")).alias("__tok"))
+    // prefix-token equi-join + size-ratio prune, then ids only through
+    // the distinct (arrays re-attach by key afterwards — never shuffled
+    // through the candidate dedup)
+    val cand = a.join(b, Seq("__tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    val ta = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
+    val tb = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
+    Projections.pinnedFilter(
+      cand.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6)),
+      col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Benchmark decontamination: drop training documents whose normalized
     * content equals ANY document of the eval/benchmark set — an anti join
     * on the 64-bit content hash (the eval set is tiny relative to the

@@ -126,6 +126,26 @@ object DedupQueries {
               |SELECT doc_id FROM n
               |WHERE nt NOT IN (SELECT nt FROM n WHERE doc_id % 31 = 0)""".stripMargin)),
 
+    // EXACT threshold-Jaccard join via prefix filtering: the
+    // deterministic scale path (no recall parameter) next to q42's
+    // probabilistic MinHash banding — candidates from a global-order
+    // prefix-token equi-join, never all-pairs. Carries the same
+    // brute-force oracle as q49: the output is provably equal.
+    QueryDef("q118_jaccard_join_prefix",
+      (s, d) => Dedup.jaccardJoinPrefix(
+        Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+        threshold = 0.9),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             |  FROM documents WHERE doc_id < 500)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |            len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9""".stripMargin)),
+
     // N-gram-collision decontamination (GPT-3 style): any shared word
     // 5-gram with the eval set drops the training doc — catches partial
     // leaks that whole-document equality (q68) misses. Engine matches on

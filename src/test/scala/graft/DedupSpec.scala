@@ -354,4 +354,19 @@ class DedupSpec extends SparkSpec {
     // remain — the wide signature cache must be gone
     assert(leaked.size <= 2, s"leaked persistent RDDs: $leaked")
   }
+
+  test("jaccardJoinPrefix equals the brute-force join at every threshold") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // completeness is threshold-dependent (the prefix shrinks as t
+    // grows) — prove equality at a loose AND a tight threshold
+    Seq(0.5, 0.9).foreach { t =>
+      val brute = pairs(Dedup.tokenJaccardPairs(docs, "doc_id", "text", t))
+      val prefix = pairs(Dedup.jaccardJoinPrefix(docs, "doc_id", "text", t))
+      assert(prefix == brute,
+        s"t=$t: prefix join diverged from brute force " +
+          s"(missing=${(brute -- prefix).size}, extra=${(prefix -- brute).size})")
+    }
+  }
 }
