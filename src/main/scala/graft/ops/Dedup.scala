@@ -407,11 +407,27 @@ object Dedup {
         array_sort(array_distinct(TextFunctions.tokenHashes(
           TextFunctions.tokens(col(textCol))))).alias("__toks"))
       .withColumn("__n", size(col("__toks")))
-      .withColumn("__pref", slice(col("__toks"), lit(1),
-        (col("__n") - ceil(col("__n") * threshold) + 1).cast("int")))
-    val a = t.select(col("__id").alias("id_a"), col("__n").alias("__na"),
+    // The global prefix order is ASCENDING DOCUMENT FREQUENCY (ties by
+    // hash): any consistent total order is CORRECT, but frequency order
+    // puts the rarest tokens in every prefix, so a hot token (a stopword
+    // in natural text) never lands in millions of prefixes and the
+    // candidate equi-join stays narrow — the difference between linear
+    // and quadratic on skewed vocabularies. Costs one df aggregation +
+    // one re-sort join; the verify arrays stay hash-sorted for the
+    // merge-pass Jaccard.
+    val freq = t.select(explode(col("__toks")).alias("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).alias("__df"))
+    val ranked = t.select(col("__id"), col("__n"), explode(col("__toks")).alias("__tok"))
+      .join(freq, "__tok")
+      .groupBy(col("__id"), col("__n"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__tok")))).alias("__byfreq"))
+      .withColumn("__pref",
+        transform(slice(col("__byfreq"), lit(1),
+          (col("__n") - ceil(col("__n") * threshold) + 1).cast("int")),
+          s => s.getField("__tok")))
+    val a = ranked.select(col("__id").alias("id_a"), col("__n").alias("__na"),
       explode(col("__pref")).alias("__tok"))
-    val b = t.select(col("__id").alias("id_b"), col("__n").alias("__nb"),
+    val b = ranked.select(col("__id").alias("id_b"), col("__n").alias("__nb"),
       explode(col("__pref")).alias("__tok"))
     // prefix-token equi-join + size-ratio prune, then ids only through
     // the distinct (arrays re-attach by key afterwards — never shuffled
