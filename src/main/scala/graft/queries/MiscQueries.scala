@@ -29,6 +29,18 @@ object MiscQueries {
              |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Approximate percentiles (GK sketch via approx_percentile) — the
+    // single-pass mergeable path next to q38's exact sort-based one
+    // (the q36/q37 pairing applied to quantiles). Engine-specific
+    // estimate → rows-only; the rank-error bound is pinned at sf0.1 in
+    // ApproxBoundsSpec.
+    QueryDef("q119_approx_percentiles",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_price")),
+      None),
+
     // JSON extraction from the props column: row-level typed value +
     // per-type rollup of the extracted ints.
     QueryDef("q39_json_extract",

@@ -32,6 +32,19 @@ class ApproxBoundsSpec extends SparkSpec {
     assert(errPart <= 4 * rsd, s"l_partkey HLL error $errPart > ${4 * rsd}")
   }
 
+  test("sf0.1 approx_percentile rank error stays within the configured accuracy") {
+    val li = Tables.lineitem(spark, sf).select(col("l_extendedprice").alias("v"))
+    val n = li.count()
+    val accuracy = 1000 // GK guarantee: rank error <= n / accuracy
+    Seq(0.5, 0.99).foreach { p =>
+      val est = li.agg(expr(s"approx_percentile(v, $p, $accuracy)")).head().getDouble(0)
+      val rank = li.filter(col("v") <= est).count()
+      val err = math.abs(rank - p * n)
+      assert(err <= n.toDouble / accuracy + 1,
+        s"p=$p: rank error $err exceeds n/accuracy = ${n / accuracy}")
+    }
+  }
+
   test("sf0.1 LSH layout recalls >= 0.9 of true neighbors at the design cosine") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 25)
