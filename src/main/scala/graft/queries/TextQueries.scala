@@ -243,7 +243,9 @@ object TextQueries {
   /** Deterministic synthetic PII appended to each document, stated
     * identically in Spark ([[piiSynth]]) and DuckDB (inside
     * [[piiRedactionSql]]): an email on 2 of 3 docs, a URL and an IPv4 on
-    * every doc, a phone shape on even docs.
+    * every doc, a phone shape on even docs. All hosts use the RFC 2606
+    * reserved documentation domains (example.com/example.org) and the
+    * 10.0.0.0/8 private range — synthetic fixtures, nothing external.
     */
   private def piiSynth: org.apache.spark.sql.Column = {
     def s(c: org.apache.spark.sql.Column) = c.cast("string")
