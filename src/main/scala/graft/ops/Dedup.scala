@@ -713,6 +713,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Persistable embedding index: (`__id`, `__v`, `__nrm`, `__ws`) — the
+    * per-row state an incremental embedding-dedup pipeline stores next to
+    * the corpus so new batches join against it without re-sketching
+    * history (the embedding analog of [[minHashSignatures]]). Hyperplanes
+    * are seed-fixed, so an index built today bands identically tomorrow.
+    */
+  def embeddingIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     prefilterBits: Int = 512): DataFrame = {
+    import graft.functions.VectorFunctions
+    val hp = Hyperplanes.generate(seed = 42L, nPlanes = prefilterBits, dim = dim)
+    df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
+      .withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
+  }
+
+  /** Incremental embedding near-dup: (new_id, corpus_id, cosine ≥
+    * threshold) pairs between a NEW batch and an EXISTING
+    * [[embeddingIndex]] — the embedding analog of
+    * [[minHashNearDupAgainst]]. Only the batch is sketched per run; the
+    * asymmetric batch×corpus band join scales with the BATCH, the wide-
+    * sketch hamming prefilter and exact-cosine verify are shared with
+    * [[embeddingNearDup]]. `planes = 0` + `prefilterBits = 0` is the
+    * degenerate exhaustive layout — provably equal to brute-force
+    * batch×corpus search (q120's oracle gate).
+    */
+  def embeddingNearDupAgainst(corpusIdx: DataFrame, newDocs: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double, dim: Int,
+                              planes: Int = 8, bands: Int = 4,
+                              prefilterBits: Int = 512): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(planes >= 0 && planes * bands <= 64, "band keys must fit the first sketch word")
+    val nBits = math.max(prefilterBits, planes * bands)
+    val newIdx = embeddingIndex(newDocs, idCol, vecCol, dim, math.max(nBits, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(idx: DataFrame) =
+      if (planes == 0) idx.select(col("__id"), lit(0).alias("__band"), lit(0L).alias("__key"))
+      else idx.select(col("__id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(element_at(col("__ws"), 1), b * planes)
+            .bitwiseAND(lit((1L << planes) - 1))): _*))
+          .as(Seq("__band", "__key")))
+    val candidates = banded(newIdx).alias("a")
+      .join(banded(corpusIdx).alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
+      .distinct()
+    val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
+    val prefiltered =
+      if (prefilterBits == 0) candidates
+      else candidates
+        .join(newIdx.select(col("__id").alias("new_id"), col("__ws").alias("__wsa")), "new_id")
+        .join(corpusIdx.select(col("__id").alias("corpus_id"), col("__ws").alias("__wsb")), "corpus_id")
+        .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
+        .select(col("new_id"), col("corpus_id"))
+    val va = newIdx.select(col("__id").alias("new_id"), col("__v").alias("__va"),
+      col("__nrm").alias("__na"))
+    val vb = corpusIdx.select(col("__id").alias("corpus_id"), col("__v").alias("__vb"),
+      col("__nrm").alias("__nb"))
+    val out = Projections.pinnedFilter(
+      prefiltered.join(va, "new_id").join(vb, "corpus_id")
+        .withColumn("cosine", round(
+          when(col("__na") > 0 && col("__nb") > 0,
+            VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+            .otherwise(lit(null)), 6)),
+      col("cosine") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("cosine"))
+      .localCheckpoint(true)
+    newIdx.unpersist(false)
+    out
+  }
+
   /** [[embeddingNearDup]] with the band layout chosen by
     * [[LshParams.hyperplane]] for the given threshold instead of a
     * hand-tuned (planes, bands).

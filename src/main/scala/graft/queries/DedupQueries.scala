@@ -253,6 +253,30 @@ object DedupQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE round(${graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin)),
 
+    // Incremental embedding near-dup (q93's shape for vectors): a new
+    // batch joined against a persisted embedding index, exhaustive
+    // layout — provably equal to brute-force batch×corpus search, so
+    // the DuckDB cross-pairs cosine oracle gates the index/band/verify
+    // machinery; the banded layout is the scale path (DedupSpec pins
+    // its restriction-equality against the full self-join).
+    QueryDef("q120_incremental_embedding_neardup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") < 600)
+        val corpus = Dedup.embeddingIndex(
+          emb.filter(col("vec_id") % 29 =!= 0), "vec_id", "embedding", dim = 64,
+          prefilterBits = 1)
+        Dedup.embeddingNearDupAgainst(corpus,
+          emb.filter(col("vec_id") % 29 === 0), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, planes = 0, bands = 1, prefilterBits = 0)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+              |n AS (SELECT * FROM e WHERE vec_id % 29 = 0),
+              |c AS (SELECT * FROM e WHERE vec_id % 29 <> 0)
+              |SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+              |  round(${graft.functions.VectorFunctions.cosineSql("n.embedding", "c.embedding")}, 6) AS cosine
+              |FROM n JOIN c ON n.vec_id <> c.vec_id
+              |WHERE round(${graft.functions.VectorFunctions.cosineSql("n.embedding", "c.embedding")}, 6) >= 0.4""".stripMargin)),
+
     // Near-duplicate decontamination: drop training docs whose token-set
     // Jaccard against ANY eval doc reaches the threshold (eval side
     // broadcast, lossless size-ratio prefilter, exact merge-pass verify).

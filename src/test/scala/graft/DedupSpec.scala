@@ -355,6 +355,30 @@ class DedupSpec extends SparkSpec {
     assert(leaked.size <= 2, s"leaked persistent RDDs: $leaked")
   }
 
+  test("embeddingNearDupAgainst equals the full self-join restricted to batch-corpus pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val batchIds = emb.filter(col("vec_id") % 7 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // full-set banded run (same seed-fixed hyperplanes → same band keys)
+    val full = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        threshold = 0.3, dim = 64, planes = 4, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cross = full.flatMap { case (a, b, c) =>
+      if (batchIds(a) != batchIds(b)) { // exactly one side in the batch
+        val (n, corp) = if (batchIds(a)) (a, b) else (b, a)
+        Some((n, corp, c))
+      } else None
+    }
+    val corpusIdx = Dedup.embeddingIndex(
+      emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", dim = 64)
+    val incr = Dedup.embeddingNearDupAgainst(corpusIdx,
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, planes = 4, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == cross,
+      s"incremental diverged (missing=${(cross -- incr).size}, extra=${(incr -- cross).size})")
+  }
+
   test("jaccardJoinPrefix equals the brute-force join at every threshold") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     def pairs(df: org.apache.spark.sql.DataFrame) =

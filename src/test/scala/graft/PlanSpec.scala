@@ -232,7 +232,8 @@ class PlanSpec extends SparkSpec {
       "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
       "q109_tfidf_topterms", "q116_histogram", "q117_temperature_mixture",
       "q41_token_jaccard_pairs", "q59_ngram_jaccard",
-      "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive")
+      "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive",
+      "q120_incremental_embedding_neardup")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
