@@ -184,6 +184,31 @@ object RelationalQueries {
              |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p_count
              |FROM orders GROUP BY o_custkey""".stripMargin)),
 
+    // UNPIVOT (melt) — the inverse of q10's pivot: the wide per-status
+    // counts fold back to (customer_id, status, n) long form via the
+    // native Dataset.unpivot (no explode/stack UDF). Oracle states the
+    // same melt as a UNION ALL, the engine-portable form.
+    QueryDef("q121_unpivot_status",
+      (s, d) => Pivots.pivotCount(Tables.orders(s, d), "o_custkey", "o_orderstatus",
+          Seq("F", "O", "P"), prefix = "status_")
+        .withColumnRenamed("o_custkey", "customer_id")
+        .unpivot(Array(col("customer_id")),
+          Array(col("status_f_count"), col("status_o_count"), col("status_p_count")),
+          "status", "n")
+        .filter(col("n") > 0),
+      Some("""WITH p AS (SELECT o_custkey AS customer_id,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+             |FROM orders GROUP BY o_custkey)
+             |SELECT customer_id, status, n FROM (
+             |  SELECT customer_id, 'status_f_count' AS status, f AS n FROM p
+             |  UNION ALL
+             |  SELECT customer_id, 'status_o_count' AS status, o AS n FROM p
+             |  UNION ALL
+             |  SELECT customer_id, 'status_p_count' AS status, p AS n FROM p)
+             |WHERE n > 0""".stripMargin)),
+
     // A7: distinct.
     QueryDef("q11_distinct",
       (s, d) => Tables.orders(s, d).select(col("o_custkey").alias("customer_id")).distinct(),
