@@ -654,6 +654,39 @@ object AnalyticsQueries {
              |  coalesce(nullif(l_linestatus, 'F'), 'FINAL') AS status_x
              |FROM lineitem""".stripMargin)),
 
+    // TPC-H Q2 shape (min-cost supplier per part) over a partsupp
+    // derived from lineitem (the fixture carries no partsupp table):
+    // per-(part, supplier) average unit price, the per-part minimum
+    // joined BACK on aggregate equality — the argmin decorrelation —
+    // then the supplier→nation→region star with a pruned region leg.
+    // Costs are decimal-exact and rounded, so the double equality join
+    // is engine-stable.
+    QueryDef("q122_min_cost_supplier",
+      (s, d) => {
+        val cost = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(round(exactAvg(col("l_extendedprice") / col("l_quantity")), 6).alias("cost"))
+        val minCost = cost.groupBy(col("l_partkey")).agg(min(col("cost")).alias("min_cost"))
+        cost.join(minCost, Seq("l_partkey"))
+          .filter(col("cost") === col("min_cost"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("l_partkey").alias("part_id"), col("s_name"),
+            col("n_name").alias("nation"), col("cost"))
+      },
+      Some(s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+              |  round(${exactAvgSql("l_extendedprice / l_quantity")}, 6) AS cost
+              |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+              |m AS (SELECT l_partkey, min(cost) AS min_cost FROM ps GROUP BY l_partkey)
+              |SELECT ps.l_partkey AS part_id, s_name, n_name AS nation, cost
+              |FROM ps JOIN m USING (l_partkey)
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+              |WHERE cost = min_cost""".stripMargin)),
+
     // GROUPING SETS beyond rollup (q29): explicit subtotal combinations
     // + grouping() indicators distinguishing "null data" from "subtotal
     // row" — stated as the identical SQL in both engines.

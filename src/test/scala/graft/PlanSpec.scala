@@ -216,6 +216,13 @@ class PlanSpec extends SparkSpec {
     assert(splits == 1, s"expected exactly one split() in the plan, got $splits:\n$p")
   }
 
+  test("q122 argmin join broadcasts all three dimension legs") {
+    val p = plan("q122_min_cost_supplier")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected supplier+nation+region broadcasts, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
