@@ -29,6 +29,31 @@ object MiscQueries {
              |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Gini impurity of the status mix per priority — the diversity
+    // metric a profiler reports where entropy would need ln (libm
+    // drift). Stated in INTEGER arithmetic until the last step:
+    // per-class counts, then Σn², then one double division — exact
+    // regardless of aggregation order, so the hash compare holds.
+    QueryDef("q123_gini_impurity",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).alias("n"))
+        counts.groupBy(col("o_orderpriority"))
+          .agg(sum(col("n") * col("n")).alias("sumsq"), sum(col("n")).alias("total"))
+          .select(col("o_orderpriority"),
+            col("total"),
+            round(lit(1.0) - col("sumsq").cast("double") /
+              (col("total") * col("total")), 6).alias("gini"))
+      },
+      Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+             |          FROM orders GROUP BY 1, 2)
+             |SELECT o_orderpriority,
+             |  CAST(SUM(n) AS BIGINT) AS total,
+             |  round(1.0 - CAST(SUM(n * n) AS DOUBLE) /
+             |    (CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT)), 6) AS gini
+             |FROM c GROUP BY o_orderpriority""".stripMargin)),
+
     // Approximate percentiles (GK sketch via approx_percentile) — the
     // single-pass mergeable path next to q38's exact sort-based one
     // (the q36/q37 pairing applied to quantiles). Engine-specific
