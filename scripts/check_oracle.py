@@ -84,7 +84,12 @@ def main():
             n_fail += 1
             continue
         import pyarrow.parquet as pq
-        spark_schema = pq.read_schema(sorted(glob.glob(f"{d}/*.parquet"))[0])
+        part_files = sorted(glob.glob(f"{d}/*.parquet"))
+        if not part_files:
+            print(f"✗ {name}: no parquet part files in {d} — Spark wrote an empty output dir")
+            n_fail += 1
+            continue
+        spark_schema = pq.read_schema(part_files[0])
         bad_types = dtype_mismatches(spark_schema, exp_tbl.schema)
         if bad_types:
             print(f"✗ {name}: dtype parity: " + "; ".join(bad_types))

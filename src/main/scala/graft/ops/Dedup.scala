@@ -403,6 +403,14 @@ object Dedup {
                         threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import graft.functions.JaccardSortedExpr
+    // The verify stage (and the brute-force twin it must EQUAL) admits
+    // round(J, 6) >= t, i.e. true J >= t - 5e-7 — so every PRUNE below
+    // uses tEff, keeping candidate generation a strict superset of what
+    // the rounded verify accepts. The extra 1e-9 inside ceil() guards
+    // the FP product rounding UP when n·t is mathematically an integer
+    // (0.07 * 100 == 7.000000000000001 → ceil 8 would shorten the
+    // prefix by one and silently drop qualifying pairs).
+    val tEff = threshold - 5e-7
     val t = df.select(col(idCol).alias("__id"),
         array_sort(array_distinct(TextFunctions.tokenHashes(
           TextFunctions.tokens(col(textCol))))).alias("__toks"))
@@ -423,7 +431,7 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("__df"), col("__tok")))).alias("__byfreq"))
       .withColumn("__pref",
         transform(slice(col("__byfreq"), lit(1),
-          (col("__n") - ceil(col("__n") * threshold) + 1).cast("int")),
+          (col("__n") - ceil(col("__n") * tEff - lit(1e-9)) + 1).cast("int")),
           s => s.getField("__tok")))
     val a = ranked.select(col("__id").alias("id_a"), col("__n").alias("__na"),
       explode(col("__pref")).alias("__tok"))
@@ -435,7 +443,7 @@ object Dedup {
     val cand = a.join(b, Seq("__tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= threshold)
+        greatest(col("__na"), col("__nb")) >= tEff)
       .select(col("id_a"), col("id_b")).distinct()
     val ta = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
     val tb = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
@@ -746,6 +754,22 @@ object Dedup {
     import graft.functions.VectorFunctions
     require(planes >= 0 && planes * bands <= 64, "band keys must fit the first sketch word")
     val nBits = math.max(prefilterBits, planes * bands)
+    // A corpus index built with a different prefilterBits has a different
+    // sketch length AND different bits in word 1, so banding/hammingWide
+    // would silently produce wrong or empty candidates — fail loud (the
+    // embedding analog of minHashNearDupAgainst's signature-length guard).
+    // nBits == 0 is the degenerate exhaustive layout: __ws is never read,
+    // so any corpus layout is acceptable there.
+    if (nBits > 0) {
+      val expectWords = (nBits + 63) / 64
+      corpusIdx.select(size(col("__ws"))).limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == expectWords,
+          s"corpusIdx sketch has ${r.getInt(0)} words but this layout " +
+            s"(prefilterBits=$prefilterBits, planes=$planes, bands=$bands) needs " +
+            s"$expectWords; rebuild the index with embeddingIndex(..., prefilterBits=$nBits) " +
+            "or pass the layout it was built with")
+      }
+    }
     val newIdx = embeddingIndex(newDocs, idCol, vecCol, dim, math.max(nBits, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(idx: DataFrame) =

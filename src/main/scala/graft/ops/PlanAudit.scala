@@ -50,9 +50,10 @@ object PlanAudit {
 
     // count only SHUFFLE exchanges: BroadcastExchange moves a bounded
     // frame and ReusedExchange is free — a broadcast-heavy star join must
-    // not trip the deep-shuffle warning
+    // not trip the deep-shuffle warning. RoundRobinPartitioning
+    // (df.repartition(n) / REPARTITION hints) is a real shuffle too.
     val exchanges =
-      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      "Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)".r
         .findAllIn(plan).length
     if (exchanges > maxExchanges)
       warns += Finding("WARN",

@@ -259,8 +259,14 @@ object StreamingOps {
               }
             }
             // Every session but the last is followed by a > gap silence
-            // before a LATER observed event, so it is definitively over —
-            // close inline. The last stays open in state.
+            // before a LATER observed event — close inline. This is
+            // BEST-EFFORT for within-watermark late data: a late event in a
+            // subsequent batch can still land inside that silence and would
+            // have bridged the already-emitted session (emitting a split
+            // pair instead of one merged session). Holding provisionally-
+            // closed sessions in state until the watermark passes
+            // session_end + gap would make it exact, at the cost of keeping
+            // every closed session in state for the allowance window.
             val closed = merged.dropRight(1).map(close)
             merged.lastOption.foreach { s =>
               state.update(s)
