@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Full-breadth scale-ramp companion to [[Bench]]: a handful of operator
+  * runs over the ENTIRE fixture for operators whose registry queries carry
+  * absolute range filters (`doc_id < 500`, `vec_id < NQ`) that exist to
+  * bound their brute-force DuckDB oracles — at a generated sf1 those
+  * filters would pin the working set to the sf0.1 size and the scale claim
+  * would be untested. Prints one JSON line with the same
+  * `[median_sec, min_sec, jobs, scan_mb]` record as Bench (3 reps).
+  */
+object ScaleRamp {
+  private val Reps = 3
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sfgen/sf1")
+    val spark = GraftSession.local()
+    val meter = new JobMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    val runs: Seq[(String, () => DataFrame)] = Seq(
+      // q118's operator without the oracle-bounding doc_id filter
+      "x_jaccard_prefix_full" -> (() => graft.ops.Dedup.jaccardJoinPrefix(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        threshold = 0.9)),
+      // q44's operator (banded layout) over the whole embedding corpus
+      "x_embedding_neardup_full" -> (() => graft.ops.Dedup.embeddingNearDupAuto(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.4, dim = 64))
+    ).filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
+
+    val results = runs.map { case (name, mk) =>
+      val reps = (1 to Reps).map { _ =>
+        meter.reset()
+        val t0 = System.nanoTime()
+        val ok =
+          try { mk().write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable => System.err.println(s"[ramp] $name: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+        val r = (sec, meter.jobs.get, meter.bytes.get, ok)
+        sweep()
+        r
+      }
+      val med = reps.sortBy(_._1).apply(Reps / 2)
+      val ok = reps.forall(_._4)
+      name -> (med, reps.map(_._1).min, ok)
+    }
+    val qs = results.map { case (name, (med, minSec, ok)) =>
+      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d]""",
+        name, Double.box(if (ok) med._1 else -med._1), Double.box(minSec),
+        Long.box(med._2), Long.box(med._3 / 1048576))
+    }.mkString("{", ",", "}")
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"scale_ramp","unit":"sec","reps":%d,"queries":%s,"sf":"%s"}""",
+      Int.box(Reps), qs, sfDir))
+    spark.stop()
+  }
+}

@@ -13,7 +13,9 @@ import graft.sources.Tables
   */
 class ApproxBoundsSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.1"
+  // overridable so the same accuracy gates run against generated larger
+  // fixtures (GenSf's sf1): GRAFT_APPROX_SF_DIR=target/sfgen/sf1
+  private val sf = sys.env.getOrElse("GRAFT_APPROX_SF_DIR", "/root/testdata/sf0.1")
 
   test("sf0.1 HLL estimate stays within 4x the configured rsd of the exact count") {
     val li = Tables.lineitem(spark, sf)
