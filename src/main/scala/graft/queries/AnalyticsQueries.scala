@@ -831,6 +831,82 @@ object AnalyticsQueries {
              |    AS open_orders,
              |  (SELECT MAX(o_orderdate) FROM orders
              |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS latest_order
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    // TPC-H Q8 shape (national market share): conditional-sum ratio by
+    // order year over the deepest join tree in the suite — lineitem joined
+    // to part (type-filtered), orders (date-windowed), customer, the
+    // customer's nation→region (region-filtered), the supplier, and the
+    // SUPPLIER's nation (the nation table enters twice under different
+    // roles). All dimension legs broadcast; the only shuffles are the
+    // lineitem⋈orders⋈customer fact joins and the final year aggregation.
+    // Both ratio legs go through decimal accumulation before ONE
+    // double division, so the share is engine-exact.
+    QueryDef("q124_market_share_q8",
+      (s, d) => {
+        val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d).filter(col("o_orderdate").between(
+              lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+              lit(java.sql.Timestamp.valueOf("1996-12-31 00:00:00")))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+              .select(col("n_nationkey").alias("cust_nk"), col("n_regionkey"))),
+            col("c_nationkey") === col("cust_nk"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+              .select(col("n_nationkey").alias("supp_nk"), col("n_name").alias("supp_nation"))),
+            col("s_nationkey") === col("supp_nk"))
+          .groupBy(year(col("o_orderdate")).alias("o_year"))
+          .agg((exactSum(when(col("supp_nation") === "NATION_7", volume).otherwise(lit(0))) /
+            exactSum(volume)).alias("mkt_share"))
+      },
+      Some(s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+              |  ${exactSumSql("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+              |  / ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS mkt_share
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              |JOIN orders ON l_orderkey = o_orderkey
+              |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+              |                      AND TIMESTAMP '1996-12-31 00:00:00'
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit by nation × year): part-name
+    // substring filter pushed into a broadcast leg, profit = revenue minus
+    // a supply cost synthesized from p_retailprice (the fixture carries no
+    // partsupp table — 0.5 · retail · quantity stands in for
+    // ps_supplycost · quantity), aggregated over every (supplier nation,
+    // order year). The arithmetic is stated identically in both engines,
+    // accumulated in decimal.
+    QueryDef("q125_nation_profit_q9",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").alias("nation"), year(col("o_orderdate")).alias("o_year"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.5)).alias("sum_profit")),
+      Some(s"""SELECT n_name AS nation,
+              |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+              |  ${exactSumSql("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.5")}
+              |    AS sum_profit
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -104,6 +104,17 @@ object MedallionQueries {
       (s, d) => Gold.portfolioRisk(profiles(s, d)), Some(portfolioSql)),
     QueryDef("q62_medallion_metrics",
       (s, d) => Silver.clientApplicationMetrics(train(s, d), test(s, d)),
+      Some(metricsSql)),
+    // The flagship metrics chain stated through the SQL SURFACE (q107's
+    // pattern applied to the engine's core deliverable): the exact oracle
+    // text runs through Spark's parser on the registered fixture tables,
+    // so DSL-vs-SQL-parser semantic drift on the validation rule set shows
+    // up as a q62/q126 disagreement against the same DuckDB statement.
+    QueryDef("q126_metrics_sql_surface",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(metricsSql)
+      },
       Some(metricsSql))
   )
 

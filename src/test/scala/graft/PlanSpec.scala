@@ -223,6 +223,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q124 Q8 join tree: dimension legs broadcast, filters pushed, no cartesian") {
+    val p = plan("q124_market_share_q8")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    // part, both nation roles, region, supplier — five broadcast legs
+    assert(broadcasts >= 5, s"expected 5 broadcast dimension legs, got $broadcasts:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(p_type,ECONOMY)"),
+      s"part type filter not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q125 Q9 join tree: part-name filter pushed into the broadcast leg, no cartesian") {
+    val p = plan("q125_nation_profit_q9")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected part+supplier+nation broadcasts, got $broadcasts:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("StringContains(p_name,red)"),
+      s"part name filter not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
