@@ -79,6 +79,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4) == 2.0) // aspect ratio
   }
 
+  test("decodeImages decodes real JPEG bytes: dimensions, channels, band means") {
+    import spark.implicits._
+    // JPEG is lossy, so the fixture is a uniform mid-gray block (DCT of a
+    // constant is near-lossless) and band means are asserted to tolerance
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(128, 128, 128))
+    g.fillRect(0, 0, 16, 8)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    val media = Seq((7L, jpg, "image/jpeg", jpg.length.toLong))
+      .toDF("media_id", "content", "media_type", "n_bytes")
+    val r = Multimodal.decodeImages(media).head()
+    assert(r.getAs[Boolean]("decode_ok"))
+    assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 8)
+    assert(r.getAs[Int]("channels") == 3)
+    val f = r.getSeq[Double](7)
+    (0 to 2).foreach(b =>
+      assert(math.abs(f(b) - 128.0 / 255.0) < 0.03, s"band $b mean ${f(b)}"))
+    assert(f(4) == 2.0) // aspect ratio
+  }
+
   test("decodeImages falls back to stub features on corrupt, non-image or NULL rows") {
     import spark.implicits._
     val media = Seq(

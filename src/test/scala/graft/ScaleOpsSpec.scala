@@ -78,6 +78,105 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-split fires inside minHashNearDupAgainst on a boilerplate-heavy " +
+      "corpus and results still match the constructed truth") {
+    // The Dedup scaladoc's skew claim, validated where it holds: the
+    // ASYMMETRIC incremental band join (small batch × large corpus). 19500
+    // of 20000 corpus docs share the boilerplate shingle set (identical or
+    // one-token variants → the same/overlapping band buckets), so the
+    // corpus side of every hot (band, key) partition is fat while the
+    // batch side is thin — exactly the shape AQE's OptimizeSkewedJoin can
+    // split (it replicates the thin side). NOTE the SYMMETRIC self-join
+    // variant is NOT split by AQE — both sides of the hot bucket are
+    // skewed, and a both-sides split would need a chunk-pair cartesian;
+    // the scaladoc documents exact-dedup-first ordering as the mitigation
+    // there. Ground truth is constructed: token sets are namespaced per
+    // doc except the boilerplate, so the qualifying pair set is known in
+    // closed form (batch boiler × corpus boiler-or-variant, J = 1 or
+    // 16/17 ≈ 0.941 ≥ 0.9; all other pairs share zero tokens).
+    // minHashNearDupAgainst returns a localCheckpoint'd frame, so the
+    // internal band-join plan is captured via a QueryExecutionListener.
+    val boiler = "standard legal disclaimer footer all rights reserved " +
+      "confidential do not distribute intended only for the addressee"
+    require(boiler.split(" ").distinct.length == 16)
+    val corpus = (0 until 20000).map { i =>
+      val text =
+        if (i < 19000) boiler                      // identical boilerplate
+        else if (i < 19500) s"$boiler variant${i}x" // one-token variant, J = 16/17
+        else s"unique${i}a word${i}b token${i}c filler${i}d content${i}e " +
+          s"item${i}f extra${i}g more${i}h tail${i}i end${i}j"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val batch = (0 until 40).map { i =>
+      val id = 100000L + i
+      val text = if (i < 10) boiler
+        else s"batchuniq${i}a bword${i}b btok${i}c bfill${i}d bcont${i}e " +
+          s"bitem${i}f bextra${i}g bmore${i}h btail${i}i bend${i}j"
+      (id, text)
+    }.toDF("doc_id", "text")
+    val expected = (for {
+      b <- 0 until 10
+      c <- 0 until 19500
+    } yield (100000L + b, c.toLong)).toSet
+
+    val plans = new scala.collection.concurrent.TrieMap[Long, String]
+    val seq = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        // formatted mode — the skew marker (AQEShuffleRead skew=true) does
+        // not appear in the simple treeString
+        plans.put(seq.incrementAndGet(), qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k))
+    spark.listenerManager.register(listener)
+    try {
+      // the suite session runs 4 shuffle partitions; skew DETECTION needs
+      // partition-count contrast (hot vs median) — at 4 partitions every
+      // partition holds hot band keys and none exceeds 2x the median
+      conf.set("spark.sql.shuffle.partitions", "32")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // q93's exactness-grade layout: banding miss ≈ 1e-11 per pair at
+      // J ≥ 0.9, so the LSH pair set equals the constructed truth
+      val corpusSig = graft.ops.Dedup.minHashSignatures(
+        corpus, "doc_id", "text", shingleK = 1, numHashes = 48)
+      val got = graft.ops.Dedup
+        .minHashNearDupAgainst(corpusSig, batch, "doc_id", "text",
+          threshold = 0.9, shingleK = 1, bands = 16, rowsPerBand = 3,
+          estMargin = 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+      assert(plans.values.exists(_.contains("skew=true")),
+        s"no executed plan carried AQE's skew split marker " +
+          s"(${plans.size} plans captured):\n" +
+          plans.values.map(p => p.linesIterator.filter(l =>
+            l.contains("Join") || l.contains("ShuffleRead") || l.contains("Exchange"))
+            .mkString("\n")).mkString("\n=== plan ===\n"))
+      assert(got == expected,
+        s"skew-split band join diverged from constructed truth: " +
+          s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
+  }
+
   test("bucketed tables join without exchange or sort") {
     val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
     Bucketing.writeBucketed(Tables.orders(spark, sf001), spark,
