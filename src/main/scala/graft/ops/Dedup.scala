@@ -673,12 +673,37 @@ object Dedup {
     * both, the output provably equals brute-force threshold search and a
     * DuckDB all-pairs oracle pins the candidate/verify machinery (q76).
     */
+  /** Per-band key columns sliced out of the wide hyperplane sketch: band
+    * `b` keys on bits [b·planes, (b+1)·planes), crossing word boundaries
+    * where needed. Single-word layouts (planes·bands ≤ 64) produce
+    * bit-identical keys to the historical first-word extraction; wider
+    * layouts (up to the sketch's own bit count) buy exponentially smaller
+    * buckets — the knob that keeps band-join candidates linear as the
+    * corpus grows (see [[LshParams.hyperplaneForCorpus]]).
+    */
+  private[graft] def bandKeyCols(ws: Column, planes: Int, bands: Int): Seq[Column] = {
+    require(planes >= 1 && planes <= 64, "a band key must fit one long")
+    val mask = if (planes == 64) -1L else (1L << planes) - 1
+    (0 until bands).map { b =>
+      val s = b * planes
+      val w = s / 64
+      val off = s % 64
+      val lo = shiftrightunsigned(element_at(ws, w + 1), off)
+      val key =
+        if (off + planes <= 64) lo
+        // shiftleft's Java semantics would make a shift of 64 a no-op;
+        // off > 0 here whenever this branch is taken, so 64 - off < 64
+        else lo.bitwiseOR(shiftleft(element_at(ws, w + 2), 64 - off))
+      key.bitwiseAND(lit(mask))
+    }
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int,
                        planes: Int = 8, bands: Int = 4,
                        prefilterBits: Int = 512): DataFrame = {
     import graft.functions.VectorFunctions
-    require(planes >= 0 && planes * bands <= 64, "band keys must fit the first sketch word")
+    require(planes >= 0 && planes <= 64, "a band key must fit one long")
     val nBits = math.max(prefilterBits, planes * bands)
     val hp = Hyperplanes.generate(seed = 42L, nPlanes = nBits, dim = dim)
     val base0 = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
@@ -692,9 +717,7 @@ object Dedup {
         base.select(col("__id"), lit(0).alias("__band"), lit(0L).alias("__key"))
       else
         base.select(col("__id"),
-          posexplode(array((0 until bands).map(b =>
-            shiftrightunsigned(element_at(col("__ws"), 1), b * planes)
-              .bitwiseAND(lit((1L << planes) - 1))): _*))
+          posexplode(array(bandKeyCols(col("__ws"), planes, bands): _*))
             .as(Seq("__band", "__key")))
 
     // ids-only distinct (never shuffle the vectors or sketches)
@@ -762,7 +785,7 @@ object Dedup {
                               planes: Int = 8, bands: Int = 4,
                               prefilterBits: Int = 512): DataFrame = {
     import graft.functions.VectorFunctions
-    require(planes >= 0 && planes * bands <= 64, "band keys must fit the first sketch word")
+    require(planes >= 0 && planes <= 64, "a band key must fit one long")
     val nBits = math.max(prefilterBits, planes * bands)
     // A corpus index built with a different prefilterBits has a different
     // sketch length AND different bits in word 1, so banding/hammingWide
@@ -785,9 +808,7 @@ object Dedup {
     def banded(idx: DataFrame) =
       if (planes == 0) idx.select(col("__id"), lit(0).alias("__band"), lit(0L).alias("__key"))
       else idx.select(col("__id"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(element_at(col("__ws"), 1), b * planes)
-            .bitwiseAND(lit((1L << planes) - 1))): _*))
+        posexplode(array(bandKeyCols(col("__ws"), planes, bands): _*))
           .as(Seq("__band", "__key")))
     val candidates = banded(newIdx).alias("a")
       .join(banded(corpusIdx).alias("b"),
@@ -829,6 +850,26 @@ object Dedup {
                            threshold: Double, dim: Int): DataFrame = {
     val (rows, bands) = LshParams.hyperplane(threshold)
     embeddingNearDup(df, idCol, vecCol, threshold, dim, rows, bands)
+  }
+
+  /** [[embeddingNearDup]] with the band layout chosen by
+    * [[LshParams.hyperplaneForCorpus]] for the given threshold AND corpus
+    * size — the 100 TB form. [[LshParams.hyperplane]]'s fewest-bits
+    * objective under a one-word budget has a fixed bucket count, so its
+    * band-join candidates grow ∝ n²/2^planes as the corpus grows (measured
+    * superlinear in SCALE.md); this variant spends sketch bits the corpus
+    * already carries (the 512-bit prefilter sketch) on more selective
+    * multi-word band keys, keeping expected candidates linear for as long
+    * as the bit budget allows. Pass `corpusSize` when known (at scale it
+    * always is — a count sits in the table's metadata); -1 counts once.
+    */
+  def embeddingNearDupScaled(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, dim: Int,
+                             corpusSize: Long = -1L): DataFrame = {
+    val n = if (corpusSize > 0) corpusSize else df.count()
+    val (rows, bands) = LshParams.hyperplaneForCorpus(threshold, n)
+    embeddingNearDup(df, idCol, vecCol, threshold, dim, rows, bands,
+      prefilterBits = math.max(512, rows * bands))
   }
 }
 
@@ -892,6 +933,47 @@ object LshParams {
     // the documented recall contract is best-effort-maximal, never a
     // silent selectivity-first fallback
     layouts.headOption.getOrElse((1, math.min(512, maxBits)))
+  }
+
+  /** Hyperplane banding chosen for a KNOWN corpus size: among layouts
+    * meeting the recall target at the threshold cosine, pick the one
+    * minimizing expected WORK rather than sketch bits —
+    *
+    *   cost(r, b) ≈ b · n² · (1/2)^r   (band-join candidate pairs: a
+    *                                    random near-orthogonal pair agrees
+    *                                    on one hyperplane bit with
+    *                                    probability ~1/2)
+    *             + n · r · b           (sketch compute; marginal — the
+    *                                    512-bit prefilter sketch usually
+    *                                    covers the bits already)
+    *
+    * As n grows the argmin slides toward more planes per band (buckets
+    * shrink exponentially) paid for with more bands (recall restored),
+    * which is exactly the "one more plane per corpus doubling" rule. The
+    * default budget of 512 bits matches the prefilter sketch the
+    * embedding paths already compute, so wider layouts are free at the
+    * sketch level; past the point where even 512 bits cannot hold the
+    * recall target with acceptable selectivity (very low thresholds near
+    * the random background), banding is the wrong tool and the IVF path
+    * ([[graft.ops.Similarity.ivfTopK]]) with a √n centroid count is the
+    * honest alternative — see SCALE.md.
+    */
+  def hyperplaneForCorpus(cosineThreshold: Double, corpusSize: Long,
+                          targetRecall: Double = 0.9,
+                          maxBits: Int = 512): (Int, Int) = {
+    require(corpusSize > 0, s"corpusSize must be positive, got $corpusSize")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosineThreshold))) / math.Pi
+    def collide(q: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(q, r), b)
+    val n = corpusSize.toDouble
+    val layouts = for {
+      r <- 1 to 64
+      // fewest bands reaching the recall target at this r, if any fit
+      b <- (1 to maxBits / math.max(r, 1)).find(collide(p, r, _) >= targetRecall)
+    } yield (r, b)
+    if (layouts.isEmpty) hyperplane(cosineThreshold) // budget can't hold recall: legacy layout
+    else layouts.minBy { case (r, b) =>
+      b * n * n * math.pow(0.5, math.min(r, 62)) + n * r * b
+    }
   }
 
   /** Hyperplane banding: per-plane agreement prob for cosine c is

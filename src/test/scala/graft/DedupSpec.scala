@@ -379,6 +379,119 @@ class DedupSpec extends SparkSpec {
       s"incremental diverged (missing=${(cross -- incr).size}, extra=${(incr -- cross).size})")
   }
 
+  test("bandKeyCols slices multi-word band keys bit-exactly (LSB-first, word-crossing)") {
+    // planes=17 puts band boundaries at every offset mod 64 (17 and 64 are
+    // coprime), exercising both the single-word and the word-crossing
+    // branch; the reference extracts bit by bit, independent of the
+    // shift/or formula under test.
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val idx = Dedup.embeddingIndex(emb, "vec_id", "embedding", dim = 64,
+      prefilterBits = 512)
+    val planes = 17
+    val bands = 20 // 340 bits, crosses five word boundaries
+    val rows = idx.select(col("__id"),
+        array(Dedup.bandKeyCols(col("__ws"), planes, bands): _*).alias("__keys"),
+        col("__ws"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getSeq[Long](2)
+      val keys = r.getSeq[Long](1)
+      def bit(i: Int): Long = (ws(i / 64) >>> (i % 64)) & 1L
+      (0 until bands).foreach { b =>
+        val ref = (0 until planes).map(j => bit(b * planes + j) << j)
+          .foldLeft(0L)(_ | _)
+        assert(keys(b) == ref,
+          s"id=${r.getLong(0)} band=$b: got ${keys(b)}, reference $ref")
+      }
+    }
+  }
+
+  test("corpus-sized layout collapses band-join candidates on a clustered corpus " +
+      "at preserved recall") {
+    // A clustered corpus at a REALISTIC near-dup cosine (~0.96): 400
+    // clusters x 10 members, members = cluster base + deterministic
+    // hash-noise. The legacy 64-bit auto layout cannot hold recall 0.9 at
+    // threshold 0.9 and falls back to (4, 8), where a random cross-cluster
+    // pair collides with probability ~8/2^4 = 0.5 — candidates ~ n²/2. The
+    // corpus-sized layout spends the prefilter sketch's bits on selective
+    // multi-word keys. Candidate counts are computed exactly from the
+    // banding expressions (sum of C(k, 2) over buckets); both operators
+    // must still find every within-cluster pair.
+    val n = 4000
+    val nClusters = 400
+    val vecs = spark.range(n).select(col("id").alias("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(pmod(col("id"), lit(nClusters)), j), lit(2000)) - 1000)
+          .cast("float") / 1000.0f) +
+        ((pmod(xxhash64(col("id"), j, lit(777)), lit(2000)) - 1000)
+          .cast("float") / 5000.0f)).alias("embedding"))
+    val threshold = 0.9
+
+    def candidateCount(planes: Int, bands: Int): Long = {
+      val idx = Dedup.embeddingIndex(vecs, "vec_id", "embedding", dim = 64,
+        prefilterBits = math.max(512, planes * bands))
+      idx.select(posexplode(array(
+          Dedup.bandKeyCols(col("__ws"), planes, bands): _*))
+          .as(Seq("__band", "__key")))
+        .groupBy(col("__band"), col("__key")).agg(count(lit(1)).alias("k"))
+        .agg(sum(col("k") * (col("k") - 1)).cast("long")).head().getLong(0) / 2
+    }
+    val legacy = graft.ops.LshParams.hyperplane(threshold)
+    val scaled = graft.ops.LshParams.hyperplaneForCorpus(threshold, n)
+    assert(scaled._1 > 8, s"corpus-sized layout not selective: $scaled")
+    val legacyCand = candidateCount(legacy._1, legacy._2)
+    val scaledCand = candidateCount(scaled._1, scaled._2)
+    assert(scaledCand < legacyCand / 10,
+      s"scaled layout $scaled candidates $scaledCand not << legacy $legacy\'s $legacyCand")
+
+    // Ground truth is constructed: within-cluster pairs sit at cosine
+    // ~0.96 (>= threshold), cross-cluster pairs at the random 64-dim
+    // background (|cos| < ~0.6). Both layouts are APPROXIMATE with
+    // different miss sets, so the contract is per-operator: no false
+    // positives (exact-cosine verify) and recall against the truth — the
+    // scaled layout S-curve is designed for recall 0.9 AT the
+    // threshold, and the true pairs sit above it.
+    val truth = (for {
+      c <- 0 until nClusters
+      m1 <- 0 until n / nClusters
+      m2 <- m1 + 1 until n / nClusters
+    } yield (c + m1 * nClusters.toLong, c + m2 * nClusters.toLong)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(Dedup.embeddingNearDupAuto(vecs, "vec_id", "embedding",
+      threshold, dim = 64))
+    val sized = pairs(Dedup.embeddingNearDupScaled(vecs, "vec_id", "embedding",
+      threshold, dim = 64, corpusSize = n))
+    assert(auto.subsetOf(truth), s"auto false positives: ${(auto -- truth).take(5)}")
+    assert(sized.subsetOf(truth), s"sized false positives: ${(sized -- truth).take(5)}")
+    assert(auto.size.toDouble / truth.size >= 0.95,
+      s"auto recall ${auto.size}/${truth.size}")
+    assert(sized.size.toDouble / truth.size >= 0.95,
+      s"sized recall ${sized.size}/${truth.size}")
+  }
+
+  test("jaccardJoinPrefix survives the FP integer-boundary prefix length (n*t rounds up)") {
+    // 0.07 * 100 = 7.000000000000001 in IEEE doubles: without the epsilon
+    // guard inside ceil(), B's required-overlap bound rounds 7 -> 8, the
+    // prefix shrinks by one slot, and this exactly-at-threshold pair is
+    // silently dropped. Construction: A = 7 shared tokens (J = 7/100 =
+    // 0.07 = t exactly); B = 93 unique tokens + the 7 shared. Ascending
+    // document frequency puts B's 93 df-1 uniques ahead of the df-2
+    // shared tokens, so the FIRST shared token sits at prefix position 94
+    // = |B| - ceil(7) + 1 — the last slot of the correct prefix, one past
+    // the buggy one.
+    import spark.implicits._
+    val shared = (1 to 7).map(i => f"shared$i%02d")
+    val a = shared.mkString(" ")
+    val b = ((1 to 93).map(i => f"uniq$i%02d") ++ shared).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinPrefix(df, "doc_id", "text", threshold = 0.07).collect()
+    assert(got.length == 1, s"exactly-at-threshold pair lost: ${got.mkString(",")}")
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(math.abs(got.head.getDouble(2) - 0.07) < 1e-9)
+  }
+
   test("jaccardJoinPrefix equals the brute-force join at every threshold") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     def pairs(df: org.apache.spark.sql.DataFrame) =
