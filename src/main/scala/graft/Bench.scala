@@ -148,10 +148,19 @@ object Bench {
         // One retry round for environment-noise victims: a median > 2× min
         // at equal jobs/bytes is load, not plan — re-measure and keep the
         // cleaner (lower-median) rep set; the min stays the global min, so
-        // a genuinely slow query cannot launder its number here.
+        // a genuinely slow query cannot launder its number here. The
+        // jobs/scanBytes equality between the median and min reps is
+        // CHECKED, not assumed (round-7 ADVICE): a query with genuinely
+        // bimodal plans (e.g. AQE re-planning differently per rep) has
+        // different job counts and must keep its honest median.
         val retryNames = ordered.filter { case (name, _) =>
-          val (med, mn) = medianOf(byName(name))
-          med.ok && mn > 0 && med.sec > 2 * mn
+          val reps = byName(name)
+          val (med, mn) = medianOf(reps)
+          val minRep = reps.minBy(_.sec)
+          med.ok && mn > 0 && med.sec > 2 * mn &&
+            med.jobs == minRep.jobs &&
+            math.abs(med.scanBytes - minRep.scanBytes) <=
+              math.max(minRep.scanBytes / 10, 1L << 20)
         }
         if (retryNames.nonEmpty)
           System.err.println(s"[bench] retrying noisy medians: ${retryNames.map(_._1).mkString(",")}")

@@ -95,6 +95,17 @@ object GenSf {
       else d.withColumn("text", concat_ws(" ",
           transform(split(trim(col("text")), "\\s+"), t => concat(t, lit("q" + i)))))
         .withColumn("n_chars", length(col("text")).cast("bigint"))), "documents")
+    // Per-replica rotation degenerates when i >= dim: slice(v, i+1, ...)
+    // is empty and slice(v, 1, i) is the whole array, so replica i would
+    // be identical to replica 0 and reintroduce the quadratic near-dup
+    // pair blow-up the mutation exists to prevent (round-7 ADVICE) —
+    // fail loud instead of silently generating a degenerate fixture.
+    val embDim = read("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    require(factor <= embDim,
+      s"factor=$factor exceeds embedding dim=$embDim: replica rotations " +
+        "would wrap to identity and the near-dup pair count would grow " +
+        "quadratically; shrink factor or widen the vectors")
     write(replicate(read("embeddings"), Seq("vec_id" -> vecS), (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",

@@ -767,6 +767,12 @@ object Dedup {
     df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
       .withColumn("__nrm", VectorFunctions.norm(col("__v")))
       .withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
+      // Exact layout width persisted WITH the index (constant column —
+      // parquet RLE makes it ~free): the word-count guard alone cannot
+      // distinguish e.g. 450-bit from 512-bit layouts (both 8 words), and
+      // comparing real bits against zero-padded tail bits inflates hamming
+      // distances and silently drops true pairs (round-7 ADVICE).
+      .withColumn("__nbits", lit(prefilterBits))
   }
 
   /** Incremental embedding near-dup: (new_id, corpus_id, cosine ≥
@@ -795,13 +801,29 @@ object Dedup {
     // so any corpus layout is acceptable there.
     if (nBits > 0) {
       val expectWords = (nBits + 63) / 64
-      corpusIdx.select(size(col("__ws"))).limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == expectWords,
-          s"corpusIdx sketch has ${r.getInt(0)} words but this layout " +
-            s"(prefilterBits=$prefilterBits, planes=$planes, bands=$bands) needs " +
-            s"$expectWords; rebuild the index with embeddingIndex(..., prefilterBits=$nBits) " +
-            "or pass the layout it was built with")
-      }
+      // Exact-width check when the index carries `__nbits` (written by
+      // embeddingIndex since round 8); word-count check as the
+      // best-effort fallback for legacy indexes without the column —
+      // two layouts that round to the same word count (450 vs 512 bits)
+      // differ only in zero-padded tail bits, which the exact check
+      // catches and the word check cannot.
+      if (corpusIdx.columns.contains("__nbits"))
+        corpusIdx.select(col("__nbits"), size(col("__ws"))).limit(1)
+          .collect().headOption.foreach { r =>
+            require(r.getInt(0) == nBits,
+              s"corpusIdx was built with prefilterBits=${r.getInt(0)} but this " +
+                s"layout (prefilterBits=$prefilterBits, planes=$planes, bands=$bands) " +
+                s"needs exactly $nBits; rebuild the index with " +
+                s"embeddingIndex(..., prefilterBits=$nBits) or pass the layout it was built with")
+          }
+      else
+        corpusIdx.select(size(col("__ws"))).limit(1).collect().headOption.foreach { r =>
+          require(r.getInt(0) == expectWords,
+            s"corpusIdx sketch has ${r.getInt(0)} words but this layout " +
+              s"(prefilterBits=$prefilterBits, planes=$planes, bands=$bands) needs " +
+              s"$expectWords; rebuild the index with embeddingIndex(..., prefilterBits=$nBits) " +
+              "or pass the layout it was built with")
+        }
     }
     val newIdx = embeddingIndex(newDocs, idCol, vecCol, dim, math.max(nBits, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

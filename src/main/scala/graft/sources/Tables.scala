@@ -84,12 +84,26 @@ object Tables {
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
-  /** Register all fixture tables as temp views for `spark.sql` use. */
+  // Memoized per (session, dir) so SQL-surface queries (q107/q126) that
+  // call registerAll defensively don't pay catalog work inside a timed
+  // bench rep (round-7 ADVICE: q126's measured time included
+  // re-registering every view, skewing the q62-vs-q126 comparison the
+  // query exists to make). Weak keys: stopped test sessions must not leak.
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register all fixture tables as temp views for `spark.sql` use.
+    * Idempotent per (session, dir): a repeat call with the same dir is a
+    * no-op; a different dir re-registers.
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (sfDir == registeredDir.get(spark)) return
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
       table(spark, sfDir, t).createOrReplaceTempView(t)
     }
     events(spark, sfDir).createOrReplaceTempView("events")
+    registeredDir.put(spark, sfDir)
   }
 }

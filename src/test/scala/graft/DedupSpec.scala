@@ -216,6 +216,27 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("embedding index layout guard rejects same-word-count width mismatch (450 vs 512)") {
+    // 450 and 512 bits both occupy 8 longs, so the legacy word-count guard
+    // passed and hammingWide then compared real bits against zero-padded
+    // tail bits, inflating distances and silently dropping true pairs —
+    // the exact `__nbits` check must fail loud instead.
+    val emb = graft.sources.Tables.embeddings(spark, sf001).filter(col("vec_id") < 50)
+    val idx450 = Dedup.embeddingIndex(emb, "vec_id", "embedding", dim = 64,
+      prefilterBits = 450)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupAgainst(idx450, emb.limit(5), "vec_id", "embedding",
+        threshold = 0.9, dim = 64, planes = 8, bands = 4, prefilterBits = 512)
+        .collect()
+    }
+    assert(e.getMessage.contains("prefilterBits=450"))
+    // matched layout passes the guard and runs
+    val idx512 = Dedup.embeddingIndex(emb, "vec_id", "embedding", dim = 64,
+      prefilterBits = 512)
+    Dedup.embeddingNearDupAgainst(idx512, emb.limit(5), "vec_id", "embedding",
+      threshold = 0.9, dim = 64, planes = 8, bands = 4, prefilterBits = 512).collect()
+  }
+
   test("incremental near-dup equals the new×corpus restriction of the full pair set") {
     val all = graft.sources.Tables.documents(spark, sf001).filter(col("doc_id") < 300)
     val isNew = (id: Long) => id % 25 == 0
