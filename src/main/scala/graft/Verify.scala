@@ -6,9 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: substring filter for local iteration on one query
+    // optional third arg: substring filter for local iteration — comma-
+    // separated patterns match any (same syntax as Bench's filter)
     val selected = args.lift(2) match {
-      case Some(sub) => SparkEntry.queries.filter(_._1.contains(sub))
+      case Some(subs) =>
+        val pats = subs.split(',').filter(_.nonEmpty)
+        SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
       case None => SparkEntry.queries
     }
     val spark = GraftSession.local()

@@ -907,6 +907,87 @@ object AnalyticsQueries {
               |JOIN supplier ON l_suppkey = s_suppkey
               |JOIN nation ON s_nationkey = n_nationkey
               |JOIN orders ON l_orderkey = o_orderkey
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q5 shape (local-supplier revenue): the join graph with a
+    // CROSS-DIMENSION equality constraint — the customer's and the
+    // supplier's nation must be EQUAL, so `c_nationkey = s_nationkey`
+    // is part of the supplier JOIN CONDITION, not a post-join filter.
+    // Catalyst cannot discover this shape by accident: stated as a
+    // filter after independent joins it would first materialize every
+    // (customer nation × supplier nation) pairing and then discard
+    // 24/25 of it. The fact spine (lineitem⋈orders⋈customer) shuffles
+    // on its keys; supplier/nation/region are broadcast dimension legs
+    // (PlanSpec pins the compound join condition and no cartesian).
+    QueryDef("q127_local_supplier_q5",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(
+              col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name").alias("nation"))
+          .agg(exactSum(rev).alias("revenue"))
+      },
+      Some(s"""SELECT n_name AS nation,
+              |  ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+              |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q11 shape (supplier value share): group-HAVING against a
+    // GLOBAL scalar aggregate of the same derivation — per-part stock
+    // value (for one nation's suppliers) kept only where it exceeds a
+    // fixed fraction of the total. The per-part frame is aggregated
+    // ONCE and localCheckpoint'd (|parts| rows, tiny next to the
+    // lineitem scan — the q86 pattern generalized from an equality to a
+    // HAVING inequality); the 1-row total re-aggregates THAT frame and
+    // broadcasts. The share predicate stays entirely in DECIMAL
+    // (value·1600 > total — scale-free integer multiply, no double
+    // rounding on the comparison path) so the kept set is bit-identical
+    // across engines; only the projected value converts to double.
+    QueryDef("q128_supplier_share_q11",
+      (s, d) => {
+        val suppN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val perPart = Tables.lineitem(s, d)
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * col("l_quantity") * lit(0.5))
+            .cast(DecimalType(30, 8))).alias("vdec"))
+          .localCheckpoint(true)
+        val total = perPart.agg(sum(col("vdec")).alias("total_dec"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("vdec") * lit(1600) > col("total_dec"))
+          .select(col("l_partkey").alias("partkey"),
+            col("vdec").cast(DoubleType).alias("value"))
+      },
+      Some("""WITH per AS (
+             |  SELECT l_partkey,
+             |    SUM(CAST(l_extendedprice * l_quantity * 0.5 AS DECIMAL(30,8))) AS vdec
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+             |  GROUP BY l_partkey)
+             |SELECT l_partkey AS partkey,
+             |  CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
+             |FROM per
+             |WHERE vdec * 1600 > (SELECT SUM(vdec) FROM per)""".stripMargin))
   )
 }

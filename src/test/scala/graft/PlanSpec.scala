@@ -242,6 +242,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q127 Q5: nation equality rides the supplier join condition, not a post-filter") {
+    val p = plan("q127_local_supplier_q5")
+    // The compound key is the shape under test: supplier joins on BOTH
+    // l_suppkey AND the customer's nation in one hash join. Stated as a
+    // post-filter, the plan would pair every customer nation with every
+    // supplier nation first and discard 24/25 of the rows after.
+    assert("""BroadcastHashJoin \[l_suppkey#\d+L?, c_nationkey#\d+L?\], \[s_suppkey#\d+L?, s_nationkey#\d+L?\]""".r
+      .findFirstIn(p).isDefined,
+      s"supplier join does not carry the compound (suppkey, nationkey) key:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q128 Q11: HAVING vs global total re-reads the checkpointed frame, not the corpus") {
+    val p = plan("q128_supplier_share_q11")
+    // Both the kept set and the 1-row total derive from the ONE
+    // materialized per-part aggregate (|parts| rows): the final plan must
+    // contain no lineitem file scan — re-scanning the corpus for the
+    // scalar would double the dominant cost at 100 TB.
+    assert(!p.contains("lineitem.parquet"),
+      s"corpus re-scanned for the global total:\n$p")
+    assert(p.contains("ExistingRDD"), s"checkpointed frame not reused:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbounded product join:\n$p")
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
@@ -259,7 +284,9 @@ class PlanSpec extends SparkSpec {
       "q109_tfidf_topterms", "q116_histogram", "q117_temperature_mixture",
       "q41_token_jaccard_pairs", "q59_ngram_jaccard",
       "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive",
-      "q120_incremental_embedding_neardup")
+      "q120_incremental_embedding_neardup",
+      //  - q128: Q11 HAVING — the 1-row global total is the broadcast side
+      "q128_supplier_share_q11")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
