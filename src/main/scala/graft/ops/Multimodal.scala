@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (builder brief): media as opaque `binary`
   * columns + typed metadata, processed with partition-batched executors.
   *
-  * PNG/JPEG decode is REAL ([[decodeImages]], JDK ImageIO — no external
-  * codecs needed); [[decodeStub]] remains the clearly-marked deterministic
-  * fake for media types the JVM cannot decode (audio/video). Batched
+  * PNG/JPEG decode is REAL ([[decodeImages]], JDK ImageIO) and so is
+  * WAV/PCM audio decode ([[decodeAudio]], `javax.sound.sampled`) — no
+  * external codecs needed; [[decodeStub]] remains the clearly-marked
+  * deterministic fake for media types the JVM cannot decode (video,
+  * compressed audio). Batched
   * iteration via `mapPartitions` (the Scala analogue of `mapInPandas` —
   * one JVM-side batch loop per partition, no per-row UDF overhead) and
   * size-aware repartitioning keep one huge blob from skewing a task.
@@ -162,6 +164,172 @@ object Multimodal {
             feats(4) = w.toDouble / h
             Row(id, mediaType, nBytes, true, Int.box(w), Int.box(h), Int.box(bands), feats.toSeq)
           }
+        }
+      }(enc)
+  }
+
+  /** Synthetic-tone schema: raw PCM samples + format metadata. Kept NEXT
+    * TO the encoded WAV in the q129 fixture so an independent engine can
+    * recompute every decoded statistic from the stored samples — if the
+    * encode→decode round trip drifts by one sample, the hashes diverge.
+    */
+  val toneSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("samples", ArrayType(IntegerType))))
+
+  /** Fixture adapter: a deterministic PCM-16 tone per document (the
+    * fixtures ship no audio blobs). Frequency/amplitude/length/channel
+    * count all derive from `doc_id`; stereo rows carry a distinct right
+    * channel (half amplitude, 1.5× frequency) so per-channel statistics
+    * differ. Samples are interleaved frame-major exactly as WAV stores
+    * them.
+    */
+  def tonesFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(toneSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = 8000
+          val channels = 1 + (id % 2).toInt
+          val nFrames = 800 + (id % 5).toInt * 400
+          val freq = 220.0 + (id % 12) * 55.0
+          val amp = ((id % 9) + 1) * 3000.0
+          val samples = new Array[Int](nFrames * channels)
+          var t = 0
+          while (t < nFrames) {
+            var c = 0
+            while (c < channels) {
+              val (f, a) = if (c == 0) (freq, amp) else (freq * 1.5, amp / 2)
+              samples(t * channels + c) =
+                math.round(a * math.sin(2 * math.Pi * f * t / rate)).toInt
+              c += 1
+            }
+            t += 1
+          }
+          Row(id, rate, channels, samples.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Audio-media schema: the binary WAV plus the source samples/format. */
+  val audioMediaSchema: StructType = StructType(
+    mediaSchema.fields ++ toneSchema.fields.tail)
+
+  /** REAL WAV encode over a tone table ([[toneSchema]]): PCM-16 LE frames
+    * through `javax.sound.sampled.AudioSystem` (present in every JDK — no
+    * external codecs), batched per partition like the PNG path. The output
+    * keeps the source samples alongside the blob (see [[toneSchema]]).
+    */
+  def wavFromTones(tones: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioMediaSchema)
+    tones.select(col("media_id"), col("sample_rate"), col("channels"), col("samples"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = r.getInt(1)
+          val channels = r.getInt(2)
+          val samples = r.getSeq[Int](3)
+          val pcm = new Array[Byte](samples.length * 2)
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toShort
+            pcm(2 * i) = (s & 0xff).toByte           // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, channels, true /*signed*/, false /*littleEndian*/)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.length / channels)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val wav = bos.toByteArray
+          Row(id, wav, "audio/wav", wav.length.toLong, rate, channels, samples)
+        }
+      }(enc)
+  }
+
+  /** Decoded-audio schema: format metadata + signal statistics. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("rms_channel", ArrayType(DoubleType)),
+    StructField("peak", LongType)))
+
+  /** REAL audio decode + feature extraction over the binary column: the
+    * JDK's `javax.sound.sampled` parses the RIFF container and hands back
+    * format + frames (WAV/PCM — the interchange format of audio corpora;
+    * compressed codecs are not in the JVM). Statistics per row: duration,
+    * overall and per-channel RMS (normalized to [0,1] by full scale
+    * 32768), peak |sample|. Sums of squares accumulate in Long (exact —
+    * no FP order sensitivity), so the one double division + sqrt at the
+    * end is engine-reproducible. Non-audio or undecodable rows degrade to
+    * `decode_ok = false` with null statistics — one corrupt blob cannot
+    * fail a 100 TB batch.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    media.select(col("media_id"), col("content"), col("media_type"), col("n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          val nBytes = r.getLong(3)
+          val decoded: Option[Row] =
+            if (bytes == null || mediaType == null || !mediaType.startsWith("audio/")) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16) None
+              else {
+                val data = ais.readAllBytes()
+                val ch = fmt.getChannels
+                val frameSize = fmt.getFrameSize // ch * 2 for PCM-16
+                val nFrames = data.length / frameSize
+                val bigEndian = fmt.isBigEndian
+                val sumSq = new Array[Long](ch)
+                var peak = 0L
+                var f = 0
+                while (f < nFrames) {
+                  var c = 0
+                  while (c < ch) {
+                    val o = f * frameSize + c * 2
+                    val s: Int =
+                      if (bigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort.toInt
+                      else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toInt
+                    sumSq(c) += s.toLong * s
+                    if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+                    c += 1
+                  }
+                  f += 1
+                }
+                val n = nFrames.toLong * ch
+                val rms =
+                  if (n == 0) 0.0 else math.sqrt(sumSq.sum.toDouble / n) / 32768.0
+                val rmsC = sumSq.map(sq =>
+                  if (nFrames == 0) 0.0 else math.sqrt(sq.toDouble / nFrames) / 32768.0)
+                Some(Row(id, mediaType, nBytes, true,
+                  Int.box(fmt.getSampleRate.toInt), Int.box(ch), Long.box(nFrames.toLong),
+                  nFrames.toDouble / fmt.getSampleRate.toDouble,
+                  rms, rmsC.toSeq, Long.box(peak)))
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(
+            Row(id, mediaType, nBytes, false, null, null, null, null, null, null, null))
         }
       }(enc)
   }

@@ -206,6 +206,39 @@ object SimilarityQueries {
       Some("""SELECT doc_id AS media_id,
              |  'application/octet-stream' AS media_type,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // REAL audio: per-document PCM tones → REAL WAV encode (javax.sound)
+    // → parquet fixture holding BOTH the blob and the raw samples → REAL
+    // WAV decode → signal statistics. The oracle recomputes every
+    // statistic from the STORED SAMPLES (never touching the blob), so the
+    // whole encode→container→decode round trip is gated hash-exactly: a
+    // one-sample drift, header misparse, or endianness slip diverges the
+    // hashes. (Unlike q52's in-flight PNGs, the WAV fixture lands on disk
+    // — which is what makes this independently checkable.) Statistics
+    // accumulate in exact integer arithmetic; the single double
+    // division + sqrt at the end is IEEE-identical across engines.
+    QueryDef("q129_audio_decode",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_audio/$sfName/media"
+        Multimodal.wavFromTones(Multimodal.tonesFromDocuments(Tables.documents(s, d)))
+          .write.mode("overwrite").parquet(out)
+        Multimodal.decodeAudio(s.read.parquet(out))
+          .select(col("media_id"), col("n_bytes"), col("decode_ok"),
+            col("sample_rate"), col("channels"), col("n_frames"),
+            round(col("duration_s"), 9).alias("duration_s"),
+            round(col("rms"), 9).alias("rms"), col("peak"))
+      },
+      Some("""SELECT media_id,
+             |  CAST(octet_length(content) AS BIGINT) AS n_bytes,
+             |  true AS decode_ok,
+             |  sample_rate, channels,
+             |  CAST(len(samples) // channels AS BIGINT) AS n_frames,
+             |  round(CAST(len(samples) // channels AS DOUBLE) / sample_rate, 9) AS duration_s,
+             |  round(sqrt(CAST(list_sum(list_transform(samples,
+             |    x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(samples)) / 32768.0, 9) AS rms,
+             |  CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak
+             |FROM parquet_scan('/root/repo/target/graft_audio/sf0.01/media/*.parquet')""".stripMargin))
   )
 }

@@ -130,4 +130,70 @@ class MultimodalSpec extends SparkSpec {
     val again = decoded.collect().map(r => r.getLong(0) -> r.getSeq[Double](7)).toMap
     rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Double](7)))
   }
+
+  test("decodeAudio recovers closed-form statistics from a real WAV round trip") {
+    import spark.implicits._
+    // Square waves have EXACT statistics (no trig, no rounding): a mono
+    // ±12288 square has RMS exactly 12288/32768 = 0.375; the stereo row
+    // interleaves L=±8192, R=±4096 so the per-channel RMS differ and the
+    // overall RMS is the frame-weighted quadratic mean of both.
+    val mono = Array.tabulate(1600)(t => if ((t / 20) % 2 == 0) 12288 else -12288)
+    val stereo = Array.tabulate(2400) { i =>
+      val t = i / 2
+      val a = if (i % 2 == 0) 8192 else 4096
+      if ((t / 25) % 2 == 0) a else -a
+    }
+    val tones = Seq(
+      (10L, 8000, 1, mono.toSeq),
+      (11L, 16000, 2, stereo.toSeq)
+    ).toDF("media_id", "sample_rate", "channels", "samples")
+    val out = Multimodal.decodeAudio(Multimodal.wavFromTones(tones))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val m = out(10L)
+    assert(m.getAs[Boolean]("decode_ok"))
+    assert(m.getAs[Int]("sample_rate") == 8000 && m.getAs[Int]("channels") == 1)
+    assert(m.getAs[Long]("n_frames") == 1600L)
+    assert(m.getAs[Double]("duration_s") == 0.2)
+    assert(m.getAs[Double]("rms") == 0.375) // exact: 12288/32768
+    assert(m.getSeq[Double](9) == Seq(0.375))
+    assert(m.getAs[Long]("peak") == 12288L)
+
+    val s = out(11L)
+    assert(s.getAs[Boolean]("decode_ok"))
+    assert(s.getAs[Int]("sample_rate") == 16000 && s.getAs[Int]("channels") == 2)
+    assert(s.getAs[Long]("n_frames") == 1200L)
+    assert(s.getAs[Double]("duration_s") == 0.075)
+    assert(s.getSeq[Double](9) == Seq(0.25, 0.125)) // exact: 8192/32768, 4096/32768
+    assert(s.getAs[Double]("rms") ==
+      math.sqrt((8192.0 * 8192 + 4096.0 * 4096) / 2) / 32768.0)
+    assert(s.getAs[Long]("peak") == 8192L)
+  }
+
+  test("decodeAudio degrades to decode_ok=false on non-audio, corrupt or null rows") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array[Byte](1, 2, 3), "audio/wav", 3L),           // corrupt RIFF
+      (2L, Array[Byte](4, 5, 6), "image/png", 3L),           // non-audio
+      (3L, null.asInstanceOf[Array[Byte]], "audio/wav", 0L)  // null blob
+    ).toDF("media_id", "content", "media_type", "n_bytes")
+    val out = Multimodal.decodeAudio(media).collect()
+    assert(out.length == 3)
+    assert(out.forall(!_.getAs[Boolean]("decode_ok")))
+    assert(out.forall(_.isNullAt(4)))
+  }
+
+  test("tonesFromDocuments → wavFromTones → decodeAudio: q129's chain decodes every row") {
+    val tones = Multimodal.tonesFromDocuments(Tables.documents(spark, sf001).limit(30))
+    val decoded = Multimodal.decodeAudio(Multimodal.wavFromTones(tones)).collect()
+    assert(decoded.length == 30)
+    assert(decoded.forall(_.getAs[Boolean]("decode_ok")))
+    // both channel layouts appear, durations follow the doc_id formula
+    assert(decoded.map(_.getAs[Int]("channels")).toSet == Set(1, 2))
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("n_frames") == 800 + (id % 5) * 400,
+        s"media $id frame count")
+    }
+  }
 }
