@@ -29,10 +29,33 @@ object ScaleRamp {
       "x_jaccard_prefix_full" -> (() => graft.ops.Dedup.jaccardJoinPrefix(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
         threshold = 0.9)),
-      // q44's operator (banded layout) over the whole embedding corpus
+      // q44's operator (banded layout) over the whole embedding corpus —
+      // kept at the round-7 settings (LEGACY threshold-only layout,
+      // t=0.4) so the superlinear record in SCALE.md stays reproducible
       "x_embedding_neardup_full" -> (() => graft.ops.Dedup.embeddingNearDupAuto(
         graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        threshold = 0.4, dim = 64))
+        threshold = 0.4, dim = 64)),
+      // the round-7 FIX under measurement (round-8 verdict top item): the
+      // corpus-sized layout at a REALISTIC near-dup threshold, vs the
+      // legacy layout at the SAME threshold — the honest A/B; full-corpus
+      // curves for both across sf0.2 → sf1 adjudicate "sized stays linear
+      // where legacy bends quadratic"
+      "x_embedding_neardup_scaled_t09" -> (() => graft.ops.Dedup.embeddingNearDupScaled(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.9, dim = 64)),
+      "x_embedding_neardup_legacy_t09" -> (() => graft.ops.Dedup.embeddingNearDupAuto(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.9, dim = 64)),
+      // the documented alternative for the near-background regime (t≈0.4,
+      // where NO band layout is selective): IVF with a √n centroid count,
+      // whole corpus as the query set — cost ∝ n·(n/cells)·probes, linear
+      // in n at √n centroids
+      "x_embedding_ivf_full" -> (() => {
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        val n = emb.count()
+        graft.ops.Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k = 10,
+          nCentroids = math.max(16, math.sqrt(n.toDouble).toInt), nProbe = 8)
+      })
     ).filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
 
     val results = runs.map { case (name, mk) =>
