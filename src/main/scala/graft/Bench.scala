@@ -210,6 +210,20 @@ object Bench {
         line.getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(line)
+    // The round-record capture keeps only a bounded TAIL of stdout, and
+    // the full line above (~8 KB at 126 queries) gets beheaded by it —
+    // round 7's snapshot held an unparseable fragment. The LAST line is
+    // therefore a compact self-contained record (< 2 KB: headline
+    // numbers + per-query medians keyed by query number) that survives
+    // any tail window intact; [min, jobs, scan_mb] detail stays in
+    // BENCH_DETAIL.json (committed) for attribution diffs.
+    val medians = results.map { case (k, (r, _)) =>
+      String.format(java.util.Locale.ROOT, """"%s":%.2f""",
+        k.takeWhile(_ != '_'), Double.box(if (r.ok) r.sec else -r.sec))
+    }.mkString("{", ",", "}")
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"total","unit":"sec","reps":%d,"failures":%s%s%s,"medians":%s,"detail":"BENCH_DETAIL.json","value":%.3f,"sf":"%s"}""",
+      Int.box(Reps), failures, shape, preparedJson, medians, Double.box(total), sfDir))
     spark.stop()
   }
 }
