@@ -1,0 +1,461 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-plan differential fuzzer: seeded generator over the core
+  * relational surface (filter / project / join / aggregate / having /
+  * distinct / window), evaluated twice —
+  *
+  *  1. through Spark (DataFrame API → Catalyst → Tungsten), and
+  *  2. through a NAIVE Scala-collections interpreter written against SQL
+  *     semantics directly (three-valued predicate logic, null-skipping
+  *     aggregates, left-join null padding),
+  *
+  * then compared as multisets. The interpreter shares no code with Spark,
+  * so any disagreement is a real semantic bug in one of them; 200 seeds
+  * cover operator compositions the hand-written registry cannot.
+  *
+  * Determinism rules that make bit-exact comparison sound:
+  *  - integral arithmetic is promoted to Long on BOTH sides (no int
+  *    wraparound divergence, no ANSI overflow: the generator additionally
+  *    forbids '*' over already-derived operands, bounding magnitudes);
+  *  - double arithmetic uses the same IEEE ops in the same tree order on
+  *    both sides (+, -, * only — no division, no re-association), and
+  *    -0.0 is normalized to 0.0 at production and rendering on both sides
+  *    (mirroring Spark's NormalizeFloatingNumbers on grouping keys);
+  *  - window ordering always carries a unique tiebreak key;
+  *  - canonical rows join values with a "\u0001" separator no fixture value
+  *    contains, so renderings cannot alias across column boundaries.
+  */
+object Fuzz {
+
+  // ---- tiny relational AST ----------------------------------------------
+
+  sealed trait Typ
+  case object TLong extends Typ
+  case object TDouble extends Typ
+  case object TString extends Typ
+
+  sealed trait Expr
+  final case class ColRef(name: String) extends Expr
+  final case class LitL(v: Long) extends Expr
+  final case class LitD(v: Double) extends Expr
+  final case class LitS(v: String) extends Expr
+  /** op ∈ + - * ; integral operands promoted to Long, any double → double */
+  final case class Arith(op: Char, a: Expr, b: Expr) extends Expr
+
+  sealed trait Pred
+  final case class Cmp(op: String, a: Expr, b: Expr) extends Pred // < <= = != > >=
+  final case class And(a: Pred, b: Pred) extends Pred
+  final case class Or(a: Pred, b: Pred) extends Pred
+  final case class Not(a: Pred) extends Pred
+
+  sealed trait AggFn
+  case object CountStar extends AggFn
+  final case class SumL(col: String) extends AggFn   // Long column sums only
+  final case class MinC(col: String) extends AggFn
+  final case class MaxC(col: String) extends AggFn
+
+  sealed trait Rel
+  final case class Base(name: String) extends Rel
+  final case class FilterR(in: Rel, p: Pred) extends Rel
+  final case class ProjectR(in: Rel, cols: Seq[(String, Expr)]) extends Rel
+  final case class JoinR(l: Rel, r: Rel, lk: String, rk: String, left: Boolean) extends Rel
+  final case class AggR(in: Rel, key: String, aggs: Seq[(String, AggFn)]) extends Rel
+  final case class DistinctR(in: Rel) extends Rel
+  /** row_number() over (partition by part order by ord, tiebreak) */
+  final case class WindowR(in: Rel, part: String, ord: String, tiebreak: String) extends Rel
+
+  // ---- schemas of the three fuzz tables ---------------------------------
+
+  val schemas: Map[String, Seq[(String, Typ)]] = Map(
+    "customer" -> Seq("c_custkey" -> TLong, "c_nationkey" -> TLong,
+      "c_acctbal" -> TDouble, "c_mktsegment" -> TString),
+    "orders" -> Seq("o_orderkey" -> TLong, "o_custkey" -> TLong,
+      "o_totalprice" -> TDouble, "o_orderstatus" -> TString),
+    "nation" -> Seq("n_nationkey" -> TLong, "n_name" -> TString,
+      "n_regionkey" -> TLong))
+
+  /** Type of `e` resolved against the input schema (needed because ColRef
+    * and Arith carry no type of their own).
+    */
+  def resolveType(e: Expr, schema: Seq[(String, Typ)]): Typ = e match {
+    case ColRef(n) => schema.find(_._1 == n)
+      .getOrElse(sys.error(s"unbound column $n"))._2
+    case _: LitL => TLong
+    case _: LitD => TDouble
+    case _: LitS => TString
+    case Arith(_, a, b) =>
+      if (resolveType(a, schema) == TDouble || resolveType(b, schema) == TDouble)
+        TDouble
+      else TLong
+  }
+
+  def schemaOf(r: Rel): Seq[(String, Typ)] = r match {
+    case Base(n)          => schemas(n)
+    case FilterR(in, _)   => schemaOf(in)
+    case ProjectR(in, cs) =>
+      val inSchema = schemaOf(in)
+      cs.map { case (n, e) => n -> resolveType(e, inSchema) }
+    case JoinR(l, rr, _, _, _) => schemaOf(l) ++ schemaOf(rr)
+    case AggR(in, k, aggs) =>
+      val inSchema = schemaOf(in)
+      val kt = inSchema.find(_._1 == k).get._2
+      (k -> kt) +: aggs.map { case (n, fn) =>
+        n -> (fn match {
+          case CountStar | SumL(_) => TLong
+          case MinC(c) => inSchema.find(_._1 == c).get._2
+          case MaxC(c) => inSchema.find(_._1 == c).get._2
+        })
+      }
+    case DistinctR(in)    => schemaOf(in)
+    case WindowR(in, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
+  }
+
+  // ---- Spark evaluation --------------------------------------------------
+
+  /** `schema` is the schema of the relation the expression is evaluated
+    * over — needed so integral columns (possibly Int32 in parquet) are
+    * promoted to Long exactly when the interpreter promotes, and double
+    * columns are NEVER cast (a blanket long cast would truncate).
+    */
+  def toColumn(e: Expr, schema: Seq[(String, Typ)]): Column = e match {
+    case ColRef(n) =>
+      if (resolveType(e, schema) == TLong) col(n).cast("long") else col(n)
+    case LitL(v)        => lit(v)
+    case LitD(v)        => lit(v)
+    case LitS(v)        => lit(v)
+    case Arith(op, a, b) =>
+      val (ca, cb) = (toColumn(a, schema), toColumn(b, schema))
+      op match {
+        case '+' => ca + cb
+        case '-' => ca - cb
+        case '*' => ca * cb
+      }
+  }
+
+  def toSparkPred(p: Pred, schema: Seq[(String, Typ)]): Column = p match {
+    case Cmp(op, a, b) =>
+      val (ca, cb) = (toColumn(a, schema), toColumn(b, schema))
+      op match {
+        case "<" => ca < cb;  case "<=" => ca <= cb
+        case "=" => ca === cb; case "!=" => ca =!= cb
+        case ">" => ca > cb;  case ">=" => ca >= cb
+      }
+    case And(a, b) => toSparkPred(a, schema) && toSparkPred(b, schema)
+    case Or(a, b)  => toSparkPred(a, schema) || toSparkPred(b, schema)
+    case Not(a)    => !toSparkPred(a, schema)
+  }
+
+  def toDF(spark: SparkSession, sfDir: String, r: Rel): DataFrame = r match {
+    case Base(n) =>
+      graft.sources.Tables.table(spark, sfDir, n)
+        .select(schemas(n).map { case (c, _) => col(c) }: _*)
+    case FilterR(in, p)  =>
+      toDF(spark, sfDir, in).filter(toSparkPred(p, schemaOf(in)))
+    case ProjectR(in, cs) =>
+      val inSchema = schemaOf(in)
+      toDF(spark, sfDir, in)
+        .select(cs.map { case (n, e) => toColumn(e, inSchema).alias(n) }: _*)
+    case JoinR(l, rr, lk, rk, leftJoin) =>
+      val (dl, dr) = (toDF(spark, sfDir, l), toDF(spark, sfDir, rr))
+      dl.join(dr, dl(lk) === dr(rk), if (leftJoin) "left" else "inner")
+    case AggR(in, k, aggs) =>
+      toDF(spark, sfDir, in).groupBy(col(k)).agg(
+        aggCol(aggs.head._1, aggs.head._2),
+        aggs.tail.map { case (n, fn) => aggCol(n, fn) }: _*)
+    case DistinctR(in)   => toDF(spark, sfDir, in).distinct()
+    case WindowR(in, part, ord, tb) =>
+      import org.apache.spark.sql.expressions.Window
+      toDF(spark, sfDir, in).withColumn("rn",
+        row_number().over(Window.partitionBy(col(part)).orderBy(col(ord), col(tb)))
+          .cast("long"))
+  }
+
+  private def aggCol(name: String, fn: AggFn): Column = fn match {
+    case CountStar => count(lit(1)).alias(name)
+    case SumL(c)   => sum(col(c).cast("long")).alias(name)
+    case MinC(c)   => min(col(c)).alias(name)
+    case MaxC(c)   => max(col(c)).alias(name)
+  }
+
+  // ---- naive interpreter -------------------------------------------------
+
+  /** A row is column-name → value; null is represented as Java null. */
+  type NRow = Map[String, Any]
+
+  def evalExpr(e: Expr, row: NRow): Any = e match {
+    case ColRef(n) => row(n)
+    case LitL(v)   => v
+    case LitD(v)   => v
+    case LitS(v)   => v
+    case Arith(op, a, b) =>
+      val (va, vb) = (evalExpr(a, row), evalExpr(b, row))
+      if (va == null || vb == null) null
+      else (va, vb) match {
+        case (x: Double, y) => darith(op, x, toD(y))
+        case (x, y: Double) => darith(op, toD(x), y)
+        case (x, y)         => larith(op, toL(x), toL(y))
+      }
+  }
+
+  private def toD(v: Any): Double = v match {
+    case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+    case other => sys.error(s"not numeric: $other")
+  }
+  private def toL(v: Any): Long = v match {
+    case l: Long => l; case i: Int => i.toLong
+    case other => sys.error(s"not integral: $other")
+  }
+  /** -0.0 → 0.0 so the interpreter never materializes a negative zero:
+    * Spark's primitive double comparisons treat them as equal and
+    * NormalizeFloatingNumbers scrubs them from grouping keys, so a raw
+    * -0.0 on one side only would alias rows differently.
+    */
+  private def darith(op: Char, a: Double, b: Double): Double = {
+    val r = op match { case '+' => a + b; case '-' => a - b; case '*' => a * b }
+    if (r == 0.0) 0.0 else r
+  }
+  private def larith(op: Char, a: Long, b: Long): Long =
+    op match { case '+' => a + b; case '-' => a - b; case '*' => a * b }
+
+  /** SQL three-valued logic: None = UNKNOWN. */
+  def evalPred(p: Pred, row: NRow): Option[Boolean] = p match {
+    case Cmp(op, a, b) =>
+      val (va, vb) = (evalExpr(a, row), evalExpr(b, row))
+      if (va == null || vb == null) None
+      else {
+        val c = (va, vb) match {
+          case (x: String, y: String) => x.compareTo(y)
+          case (x, y) if x.isInstanceOf[Double] || y.isInstanceOf[Double] =>
+            java.lang.Double.compare(toD(x), toD(y))
+          case (x, y) => java.lang.Long.compare(toL(x), toL(y))
+        }
+        Some(op match {
+          case "<" => c < 0;  case "<=" => c <= 0
+          case "=" => c == 0; case "!=" => c != 0
+          case ">" => c > 0;  case ">=" => c >= 0
+        })
+      }
+    case And(a, b) => (evalPred(a, row), evalPred(b, row)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true))            => Some(true)
+      case _                                   => None
+    }
+    case Or(a, b) => (evalPred(a, row), evalPred(b, row)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false))        => Some(false)
+      case _                                 => None
+    }
+    case Not(a) => evalPred(a, row).map(!_)
+  }
+
+  def evalRel(tables: Map[String, Seq[NRow]], r: Rel): Seq[NRow] = r match {
+    case Base(n)        => tables(n)
+    case FilterR(in, p) => evalRel(tables, in).filter(evalPred(p, _).contains(true))
+    case ProjectR(in, cs) =>
+      evalRel(tables, in).map(row => cs.map { case (n, e) => n -> evalExpr(e, row) }.toMap)
+    case JoinR(l, rr, lk, rk, leftJoin) =>
+      val rows = evalRel(tables, rr)
+      val rightSchema = schemaOf(rr).map(_._1)
+      val byKey = rows.filter(_(rk) != null).groupBy(_(rk))
+      evalRel(tables, l).flatMap { lr =>
+        val k = lr(lk)
+        val matches = if (k == null) Seq.empty else byKey.getOrElse(k, Seq.empty)
+        if (matches.nonEmpty) matches.map(lr ++ _)
+        else if (leftJoin) Seq(lr ++ rightSchema.map(_ -> (null: Any)).toMap)
+        else Seq.empty
+      }
+    case AggR(in, k, aggs) =>
+      evalRel(tables, in).groupBy(_(k)).map { case (kv, rows) =>
+        (Map[String, Any](k -> kv) ++ aggs.map { case (n, fn) =>
+          n -> (fn match {
+            case CountStar => rows.size.toLong
+            case SumL(c) =>
+              val vs = rows.map(_(c)).filter(_ != null).map(toL)
+              if (vs.isEmpty) null else vs.sum
+            case MinC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = true)
+            case MaxC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = false)
+          })
+        }.toMap)
+      }.toSeq
+    case DistinctR(in) => evalRel(tables, in).distinct
+    case WindowR(in, part, ord, tb) =>
+      evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
+        grp.sortWith { (a, b) =>
+          val c = cmpNullsFirst(a(ord), b(ord))
+          if (c != 0) c < 0 else cmpNullsFirst(a(tb), b(tb)) < 0
+        }.zipWithIndex.map { case (row, i) => row + ("rn" -> ((i + 1).toLong: Any)) }
+      }.toSeq
+  }
+
+  private def minMax(vs: Seq[Any], isMin: Boolean): Any =
+    if (vs.isEmpty) null
+    else vs.reduce { (a, b) => if ((cmpNullsFirst(a, b) < 0) == isMin) a else b }
+
+  /** Spark's default ascending null ordering is NULLS FIRST. */
+  private def cmpNullsFirst(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: String, y: String) => x.compareTo(y)
+    case (x, y) if x.isInstanceOf[Double] || y.isInstanceOf[Double] =>
+      java.lang.Double.compare(toD(x), toD(y))
+    case (x, y) => java.lang.Long.compare(toL(x), toL(y))
+  }
+
+  // ---- canonical multiset comparison ------------------------------------
+
+  /** Canonical row rendering: integral → Long decimal, double →
+    * Double.toString of the -0.0-normalized value (exact shortest repr —
+    * identical bits render identically), null marker distinct from any
+    * value, "\u0001" separator so values cannot alias across columns.
+    */
+  def canon(colNames: Seq[String], value: String => Any): String =
+    colNames.sorted.map { c =>
+      value(c) match {
+        case null      => " NULL"
+        case d: Double => java.lang.Double.toString(if (d == 0.0) 0.0 else d)
+        case l: Long   => l.toString
+        case i: Int    => i.toString
+        case s         => s.toString
+      }
+    }.mkString("\u0001")
+
+  def sparkMultiset(df: DataFrame): Map[String, Int] = {
+    val names = df.columns.toSeq
+    df.collect().toSeq
+      .map(row => canon(names, c => row.get(row.fieldIndex(c))))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
+  def naiveMultiset(colNames: Seq[String], rows: Seq[NRow]): Map[String, Int] =
+    rows.map(r => canon(colNames, r(_)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+
+  /** Load the fuzz tables through Spark ONCE into plain Scala rows for the
+    * interpreter, promoting integrals to Long so interpreter values are
+    * uniformly typed regardless of the parquet physical type.
+    */
+  def loadTables(spark: SparkSession, sfDir: String): Map[String, Seq[NRow]] =
+    schemas.map { case (name, schema) =>
+      val df = graft.sources.Tables.table(spark, sfDir, name)
+        .select(schema.map { case (c, _) => col(c) }: _*)
+      val rows = df.collect().toSeq.map { row =>
+        schema.map { case (c, t) =>
+          val v = row.get(row.fieldIndex(c))
+          c -> ((v, t) match {
+            case (null, _)          => null
+            case (n: Number, TLong) => n.longValue(): Any
+            case (other, _)         => other
+          })
+        }.toMap
+      }
+      name -> rows
+    }
+
+  // ---- seeded generator --------------------------------------------------
+
+  final class Gen(seed: Long) {
+    private val rnd = new scala.util.Random(seed)
+    private var derivedN = 0
+    private def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+    private def litFor(c: String): Expr = c match {
+      case "c_custkey" | "o_custkey"   => LitL(rnd.nextInt(400).toLong)
+      case "o_orderkey"                => LitL(rnd.nextInt(4000).toLong)
+      case "c_nationkey" | "n_nationkey" | "n_regionkey" => LitL(rnd.nextInt(25).toLong)
+      case "c_acctbal"                 => LitD(rnd.nextInt(20000) / 2.0 - 1000.0)
+      case "o_totalprice"              => LitD(rnd.nextInt(400000) / 2.0)
+      case "o_orderstatus"             => LitS(pick(Seq("O", "F", "P")))
+      case "c_mktsegment"              => LitS(pick(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))
+      case "n_name"                    => LitS("NATION_" + rnd.nextInt(25))
+      case _                           => LitL(rnd.nextInt(1000).toLong)
+    }
+
+    private def genPred(schema: Seq[(String, Typ)], depth: Int): Pred = {
+      if (depth > 0 && rnd.nextInt(3) == 0) {
+        val (a, b) = (genPred(schema, depth - 1), genPred(schema, depth - 1))
+        rnd.nextInt(3) match {
+          case 0 => And(a, b); case 1 => Or(a, b); case 2 => Not(a)
+        }
+      } else {
+        val (c, _) = pick(schema)
+        Cmp(pick(Seq("<", "<=", "=", "!=", ">", ">=")), ColRef(c), litFor(c))
+      }
+    }
+
+    /** 0-2 stacked filters / projections / distinct over `in`. */
+    private def stack(in: Rel, n: Int): Rel =
+      (0 until n).foldLeft(in) { (r, _) =>
+        val schema = schemaOf(r)
+        rnd.nextInt(4) match {
+          case 0 => FilterR(r, genPred(schema, 2))
+          case 1 =>
+            // keep a random non-empty column subset plus one derived
+            // arithmetic column when two numerics exist; derived names are
+            // unique per plan so stacked projections never collide
+            val keep = rnd.shuffle(schema).take(1 + rnd.nextInt(schema.size))
+            val numerics = schema.filter(t => t._2 == TLong || t._2 == TDouble)
+            val derived =
+              if (numerics.size >= 2 && rnd.nextBoolean()) {
+                val (a, b) = (pick(numerics), pick(numerics))
+                // '*' only over base columns: a product of already-derived
+                // longs could exceed Long range, which throws under ANSI
+                // on the Spark side but wraps in the interpreter
+                val isDerived = (c: String) => c.startsWith("derived")
+                val ops =
+                  if (isDerived(a._1) || isDerived(b._1)) Seq('+', '-')
+                  else Seq('+', '-', '*')
+                derivedN += 1
+                Seq(s"derived$derivedN" -> (Arith(pick(ops),
+                  ColRef(a._1), ColRef(b._1)): Expr))
+              } else Seq.empty
+            ProjectR(r, keep.map { case (c, _) => c -> (ColRef(c): Expr) } ++ derived)
+          case 2 => DistinctR(r)
+          case 3 => FilterR(r, genPred(schema, 1))
+        }
+      }
+
+    def gen(): Rel = {
+      // bottom: a base, a natural-key join, or a window over orders
+      val bottom: Rel = rnd.nextInt(5) match {
+        case 0 => Base(pick(Seq("customer", "orders", "nation")))
+        case 1 => JoinR(Base("orders"), Base("customer"),
+          "o_custkey", "c_custkey", left = rnd.nextBoolean())
+        case 2 => JoinR(Base("customer"), Base("nation"),
+          "c_nationkey", "n_nationkey", left = rnd.nextBoolean())
+        case 3 => WindowR(Base("orders"), "o_custkey", "o_totalprice", "o_orderkey")
+        case 4 => JoinR(
+          FilterR(Base("orders"), genPred(schemas("orders"), 1)),
+          Base("customer"), "o_custkey", "c_custkey", left = rnd.nextBoolean())
+      }
+      val mid = stack(bottom, rnd.nextInt(3))
+      // optionally aggregate (and optionally filter the aggregate = HAVING)
+      val schema = schemaOf(mid)
+      val aggKeyOpt = {
+        val keys = schema.filter(t => t._2 == TLong || t._2 == TString)
+        if (keys.nonEmpty && rnd.nextBoolean()) Some(pick(keys)._1) else None
+      }
+      aggKeyOpt match {
+        case None => mid
+        case Some(k) =>
+          val longCols = schema.filter(_._2 == TLong).map(_._1)
+          val anyCols = schema.map(_._1)
+          val aggs = Seq("cnt" -> (CountStar: AggFn)) ++
+            (if (longCols.nonEmpty && rnd.nextBoolean())
+              Seq("s" -> (SumL(pick(longCols)): AggFn)) else Seq.empty) ++
+            (if (rnd.nextBoolean())
+              Seq("mn" -> (MinC(pick(anyCols)): AggFn)) else Seq.empty) ++
+            (if (rnd.nextBoolean())
+              Seq("mx" -> (MaxC(pick(anyCols)): AggFn)) else Seq.empty)
+          val agg = AggR(mid, k, aggs)
+          if (rnd.nextBoolean())
+            FilterR(agg, Cmp(pick(Seq(">", ">=", "<")), ColRef("cnt"),
+              LitL(1 + rnd.nextInt(5).toLong)))
+          else agg
+      }
+    }
+  }
+}
