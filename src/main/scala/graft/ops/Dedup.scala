@@ -1,10 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
-
-import graft.functions.TextFunctions
-
 /** Deduplication operators for LLM-training-data pipelines (builder brief).
   *
   * Scale design:
@@ -28,1007 +23,9 @@ import graft.functions.TextFunctions
   *  - SimHash near-dup uses 16-bit band keys over the 64-bit signature —
   *    hamming distance ≤ 3 guarantees ≥1 of 4 bands collide exactly
   *    (pigeonhole), so banding loses no true pairs.
-  */
-object Dedup {
-
-  /** Exact duplicate groups on normalized text: one row per distinct
-    * content, keeper = min id, dup_count = group size.
-    */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextFunctions.normalizeText(col(textCol)).alias("norm_text"))
-      .agg(min(col(idCol)).alias("keeper_id"), count(lit(1)).alias("dup_count"))
-      .select(col("keeper_id"), col("dup_count"))
-
-  /** Scale variant: group on xxhash64 of the normalized text (narrow
-    * shuffle rows; a 64-bit collision at 100 TB doc counts is ~birthday
-    * bound 1e-4 for 1e8 docs — acceptable for dedup, or re-verify within
-    * groups when it isn't).
-    */
-  def exactDedupByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(TextFunctions.normalizeText(col(textCol))).alias("content_hash"))
-      .agg(min(col(idCol)).alias("keeper_id"), count(lit(1)).alias("dup_count"))
-
-  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
-    * word-`shingleK`-gram shingle sets. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b and jaccard >= threshold.
-    *
-    * numHashes = bands * rowsPerBand; the LSH S-curve threshold is
-    * (1/bands)^(1/rowsPerBand) — defaults target ~0.6.
-    */
-  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.5, shingleK: Int = 3,
-                     bands: Int = 8, rowsPerBand: Int = 4,
-                     estMargin: Double = 0.2): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // shingle sets + signatures are consumed by three branches (banding,
-    // estimate filter, exact verify) — cache once instead of recomputing
-    // the 32-hash MinHash three times. Shingles are HASHED k-grams built
-    // from a bound token-hash column (no string concat, no O(n²)
-    // element_at reuse — see TextFunctions.shingleHashesFromTokenHashes).
-    val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val banded = sig.select(col("__id"),
-        posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
-          .as(Seq("__band", "__key")))
-
-    // candidates stay NARROW (ids only) through the distinct
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
-      .distinct()
-
-    // two cheap prefilters before touching the wide shingle arrays:
-    //  1. size ratio: true jaccard ≤ min(|A|,|B|)/max(|A|,|B|) — lossless;
-    //  2. signature estimate: matching-minhash fraction ≈ jaccard; cut at
-    //     threshold − estMargin (default 0.2 ≈ 2.3σ for 32 hashes) — prunes
-    //     the bulk of the sub-threshold bucket collisions this self-similar
-    //     corpus creates. Widen the margin when the layout targets
-    //     exactness (every extra 0.05 of margin buys ~0.7σ at 48 hashes).
-    val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"),
-      col("__n").alias("__na"))
-    val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"),
-      col("__n").alias("__nb"))
-    val estMatches = aggregate(
-      zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    val prefiltered = candidates
-      .join(sa, "id_a").join(sb, "id_b")
-      .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= threshold)
-      .filter(estMatches >= (threshold - estMargin) * numHashes)
-      .select(col("id_a"), col("id_b"))
-
-    val verified = verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
-    // Materialize the (small) verified pair set eagerly so the wide
-    // signature cache can be released before returning — otherwise every
-    // invocation leaks cached blocks for the session lifetime. The
-    // localCheckpoint blocks holding the result are weak-reference-cleaned
-    // by the ContextCleaner once the returned frame is unreferenced.
-    val out = verified.localCheckpoint(true)
-    sig.unpersist(false)
-    out
-  }
-
-  /** MinHash signature frame (`__id`, `__sh`, `__sig`, `__n`) — the
-    * per-document state an incremental dedup pipeline PERSISTS next to
-    * the corpus so new batches join against it without re-hashing
-    * history (see [[minHashNearDupAgainst]]). Same derivation as the
-    * batch path: hashed k-gram shingles from bound token hashes, then
-    * the XXH64-chained signature.
-    */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame =
-    // the empty-shingle filter goes through pinnedFilter: pushed below
-    // the projection it would substitute the whole token-hash → shingle
-    // chain into the predicate and evaluate it twice per row (the q97
-    // lesson, ops/Projections.pinnedFilter)
-    Projections.pinnedFilter(
-      df.select(
-        col(idCol).alias("__id"),
-        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
-        .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
-        .drop("__th"),
-      size(col("__sh")) > 0)
-      .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
-      .withColumn("__n", size(col("__sh")))
-
-  /** Incremental near-dup: (new_id, corpus_id, jaccard ≥ threshold) pairs
-    * between a NEW batch and an EXISTING corpus signature frame
-    * ([[minHashSignatures]], typically loaded from storage). This is the
-    * 100 TB shape of continuous dedup: only the batch is hashed and
-    * banded per run, the corpus index is joined as-is, and the band join
-    * is asymmetric (batch × corpus), so its cost scales with the BATCH,
-    * not the corpus. The same size-ratio and signature-estimate
-    * prefilters as [[minHashNearDup]] run before the exact-Jaccard
-    * verification.
-    */
-  def minHashNearDupAgainst(corpusSig: DataFrame, newDocs: DataFrame,
-                            idCol: String, textCol: String,
-                            threshold: Double = 0.5, shingleK: Int = 3,
-                            bands: Int = 8, rowsPerBand: Int = 4,
-                            estMargin: Double = 0.2): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // A corpus index built with a different hash count would band into
-    // different keys and the join would silently find nothing — fail loud.
-    corpusSig.select(size(col("__sig"))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == numHashes,
-        s"corpusSig signature length ${r.getInt(0)} != bands*rowsPerBand = $numHashes; " +
-          "rebuild the index or pass the layout it was built with")
-    }
-    val newSig = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(sig: DataFrame) = sig.select(col("__id"),
-      posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
-        .as(Seq("__band", "__key")))
-    val candidates = banded(newSig).alias("a")
-      .join(banded(corpusSig).alias("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") =!= col("b.__id"))
-      .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
-      .distinct()
-    val sa = newSig.select(col("__id").alias("new_id"),
-      col("__sig").alias("__siga"), col("__n").alias("__na"))
-    val sb = corpusSig.select(col("__id").alias("corpus_id"),
-      col("__sig").alias("__sigb"), col("__n").alias("__nb"))
-    val estMatches = aggregate(
-      zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    val prefiltered = candidates
-      .join(sa, "new_id").join(sb, "corpus_id")
-      .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= threshold)
-      .filter(estMatches >= (threshold - estMargin) * numHashes)
-      .select(col("new_id"), col("corpus_id"))
-    import graft.functions.JaccardSortedExpr
-    val shA = newSig.select(col("__id").alias("new_id"),
-      array_sort(col("__sh")).alias("__sha"))
-    val shB = corpusSig.select(col("__id").alias("corpus_id"),
-      array_sort(col("__sh")).alias("__shb"))
-    // pinnedFilter: substitution would run the merge-pass Jaccard twice
-    // per candidate (predicate + projection) — see Projections.pinnedFilter
-    val verified = Projections.pinnedFilter(
-      prefiltered.join(shA, "new_id").join(shB, "corpus_id")
-        .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
-      col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), col("jaccard"))
-    val out = verified.localCheckpoint(true)
-    newSig.unpersist(false)
-    out
-  }
-
-  /** [[minHashNearDup]] with the band layout chosen by [[LshParams]] for
-    * the given threshold (recall ≥ 0.9 at the threshold, bounded noise)
-    * instead of the fixed 8×4 layout (whose S-curve midpoint ~0.59 gives
-    * only ~0.4 recall at j = 0.5). More hashes = more cost; use when
-    * recall matters more than throughput.
-    */
-  def minHashNearDupAuto(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
-    val (rows, bands) = LshParams.minhash(threshold)
-    minHashNearDup(df, idCol, textCol, threshold, shingleK, bands, rows)
-  }
-
-  /** Exact Jaccard verification of candidate pairs against the shingle-set
-    * frame (`__id`, `__sh`).
-    */
-  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
-                            threshold: Double): DataFrame = {
-    import graft.functions.JaccardSortedExpr
-    // sort once per ROW; each pair is then one allocation-free merge pass
-    // (array_intersect/array_union build hash sets per PAIR — the
-    // dominant cost at hundreds of thousands of candidates)
-    val sa = shingleSets.select(col("__id").alias("id_a"),
-      array_sort(col("__sh")).alias("__sha"))
-    val sb = shingleSets.select(col("__id").alias("id_b"),
-      array_sort(col("__sh")).alias("__shb"))
-    Projections.pinnedFilter(
-      pairs.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
-      col("jaccard") >= threshold) // pinned: else the merge pass runs twice per pair
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** Connected components over a near-dup pair graph via iterative
-    * min-label propagation: each node's label converges to the minimum id
-    * reachable from it. Labels advance one hop per round, so convergence
-    * takes O(diameter) rounds — near-dup clusters are dense (small
-    * diameter), which keeps the round count low in practice; `maxIter`
-    * bounds pathological chains and the loop THROWS if labels were still
-    * changing when it ran out (silently returning partial labels would
-    * mis-cluster). For graphs with genuinely large diameters use a
-    * pointer-doubling variant (large-star/small-star) instead. Returns
-    * (id, component) with component = min id of the cluster.
-    *
-    * Scale notes: each round is one groupBy-min over edges ∪ labels;
-    * `localCheckpoint` truncates the growing lineage (the classic
-    * iterative-algorithm trap on Spark).
-    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
-      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").alias("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min of own label and neighbors' labels
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").alias("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min("component").alias("component"))
-        .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .count()
-      // the superseded round's checkpoint blocks are dead the moment the
-      // changed-count consumed them — release eagerly, don't let them
-      // accumulate one-per-round on the ContextCleaner's queue
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — graph diameter exceeds maxIter; " +
-          "raise maxIter or use a pointer-doubling variant")
-    labels
-  }
-
-  /** Connected components with pointer doubling: each round updates a
-    * node's label to the min over its own label, its neighbors' labels,
-    * AND its label's label (`comp(comp(id))` — the path-halving step that
-    * makes label chains collapse geometrically). Converges in
-    * O(log diameter) rounds vs [[connectedComponents]]'s O(diameter) —
-    * the variant to reach for when clusters can be long chains (the
-    * near-dup graphs of templated corpora often are). Cost per round: one
-    * extra self-join of the (small) label frame on top of the edge join.
-    * Throws on non-convergence like the one-hop variant.
-    */
-  def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
-    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
-      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").alias("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").alias("id"), col("component"))
-      // comp(comp(id)): follow the label pointer one more hop
-      val viaDouble = labels.alias("l1")
-        .join(labels.alias("l2"), col("l1.component") === col("l2.id"))
-        .select(col("l1.id").alias("id"), col("l2.component").alias("component"))
-      val next = labels.union(viaNeighbors).union(viaDouble)
-        .groupBy("id").agg(min("component").alias("component"))
-        .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .count()
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels) // see connectedComponents
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponentsFast did not converge in $maxIter rounds " +
-          s"($changed labels still changing)")
-    labels
-  }
-
-  /** Full near-dup resolution: MinHash pairs → transitive clusters →
-    * keeper = min doc id per cluster. Output: (id, keeper, is_keeper) for
-    * every document that belongs to some near-dup cluster.
-    *
-    * Defaults are the HIGH-RECALL path: the band layout comes from
-    * [[LshParams.minhash]] (recall ≥ 0.9 at the threshold; the fixed 8×4
-    * layout recalls only ~0.4 at j = 0.5) and components are solved with
-    * pointer doubling (O(log diameter) rounds, not O(diameter)).
-    */
-  def resolveNearDupClusters(df: DataFrame, idCol: String, textCol: String,
-                             threshold: Double = 0.5): DataFrame = {
-    val pairs = minHashNearDupAuto(df, idCol, textCol, threshold)
-    val labels = connectedComponentsFast(pairs)
-    // the pair frame's checkpoint is dead once the (checkpointed) labels
-    // exist — the labels' plan no longer references it
-    org.apache.spark.sql.GraftBridge.releaseCheckpoint(pairs)
-    labels.select(col("id"), col("component").alias("keeper"),
-      (col("id") === col("component")).alias("is_keeper"))
-  }
-
-  /** [[resolveNearDupClusters]] over the EXACTNESS-grade LSH pair set:
-    * with 1-gram shingles and the (rows = 3, bands = 16) layout the
-    * banding miss probability at j = `threshold` = 0.9 is
-    * (1 - 0.9³)¹⁶ ≈ 8.6e-10, so LSH + exact verify produces the SAME pair
-    * graph as brute force and the cluster labels are deterministic —
-    * checkable against a recursive-CTE transitive closure over the exact
-    * Jaccard pairs (see q69). Uses the pointer-doubling component solver,
-    * so chained clusters (A~B~C without A~C) converge in O(log d) rounds.
-    */
-  def resolveNearDupClustersExact(df: DataFrame, idCol: String, textCol: String,
-                                  threshold: Double = 0.9): DataFrame = {
-    val pairs = minHashNearDup(df, idCol, textCol, threshold,
-      shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
-    val labels = connectedComponentsFast(pairs)
-    org.apache.spark.sql.GraftBridge.releaseCheckpoint(pairs)
-    labels.select(col("id"), col("component").alias("keeper"),
-      (col("id") === col("component")).alias("is_keeper"))
-  }
-
-  /** Brute-force token-set Jaccard pairs (the small-n oracle-checkable
-    * path; `minHashNearDup` is the scale path). O(n²) — cap n upstream.
-    */
-  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
-    // token sets are hashed (injective up to ~1e-13/pair) and sorted per
-    // row so the O(n²) stage is an allocation-free merge per pair instead
-    // of hash-set-building array_intersect/array_distinct(concat) calls
-    import graft.functions.JaccardSortedExpr
-    val t = df.select(col(idCol).alias("__id"),
-      array_sort(array_distinct(TextFunctions.tokenHashes(
-        TextFunctions.tokens(col(textCol))))).alias("__toks"))
-    val a = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
-    val b = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
-    Projections.pinnedFilter(
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6)),
-      col("jaccard") >= threshold) // pinned: else the merge pass runs twice per pair
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** EXACT threshold-Jaccard self-join via prefix filtering (the
-    * PPJoin-family principle) — the deterministic scale path where
-    * MinHash banding is the probabilistic one. For J(x,y) ≥ t the
-    * required overlap is ≥ t·max(|x|,|y|), so if the two token sets are
-    * laid out in one GLOBAL total order (ascending 64-bit token hash —
-    * any consistent order is correct), the first |x| − ⌈t·|x|⌉ + 1
-    * elements of x and the first |y| − ⌈t·|y|⌉ + 1 of y must share a
-    * token (miss both prefixes and the overlap is already too small).
-    * Candidates therefore come from an equi-join on exploded PREFIX
-    * tokens only — never all-pairs, and the prefix shrinks as t grows
-    * (t = 0.9 → ~10% of each set). Survivors are exact-verified with the
-    * merge-pass Jaccard. Output is provably EQUAL to the brute-force
-    * join (q118 carries q49's oracle), with no recall parameter at all.
-    */
-  def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    import graft.functions.JaccardSortedExpr
-    // The verify stage (and the brute-force twin it must EQUAL) admits
-    // round(J, 6) >= t, i.e. true J >= t - 5e-7 — so every PRUNE below
-    // uses tEff, keeping candidate generation a strict superset of what
-    // the rounded verify accepts. The extra 1e-9 inside ceil() guards
-    // the FP product rounding UP when n·t is mathematically an integer
-    // (0.07 * 100 == 7.000000000000001 → ceil 8 would shorten the
-    // prefix by one and silently drop qualifying pairs).
-    val tEff = threshold - 5e-7
-    val t = df.select(col(idCol).alias("__id"),
-        array_sort(array_distinct(TextFunctions.tokenHashes(
-          TextFunctions.tokens(col(textCol))))).alias("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    // The global prefix order is ASCENDING DOCUMENT FREQUENCY (ties by
-    // hash): any consistent total order is CORRECT, but frequency order
-    // puts the rarest tokens in every prefix, so a hot token (a stopword
-    // in natural text) never lands in millions of prefixes and the
-    // candidate equi-join stays narrow — the difference between linear
-    // and quadratic on skewed vocabularies. Costs one df aggregation +
-    // one re-sort join; the verify arrays stay hash-sorted for the
-    // merge-pass Jaccard.
-    val freq = t.select(explode(col("__toks")).alias("__tok"))
-      .groupBy(col("__tok")).agg(count(lit(1)).alias("__df"))
-    val ranked = t.select(col("__id"), col("__n"), explode(col("__toks")).alias("__tok"))
-      .join(freq, "__tok")
-      .groupBy(col("__id"), col("__n"))
-      .agg(array_sort(collect_list(struct(col("__df"), col("__tok")))).alias("__byfreq"))
-      .withColumn("__pref",
-        transform(slice(col("__byfreq"), lit(1),
-          (col("__n") - ceil(col("__n") * tEff - lit(1e-9)) + 1).cast("int")),
-          s => s.getField("__tok")))
-    val a = ranked.select(col("__id").alias("id_a"), col("__n").alias("__na"),
-      explode(col("__pref")).alias("__tok"))
-    val b = ranked.select(col("__id").alias("id_b"), col("__n").alias("__nb"),
-      explode(col("__pref")).alias("__tok"))
-    // prefix-token equi-join + size-ratio prune, then ids only through
-    // the distinct (arrays re-attach by key afterwards — never shuffled
-    // through the candidate dedup)
-    val cand = a.join(b, Seq("__tok"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= tEff)
-      .select(col("id_a"), col("id_b")).distinct()
-    val ta = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
-    val tb = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
-    Projections.pinnedFilter(
-      cand.join(ta, "id_a").join(tb, "id_b")
-        .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6)),
-      col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** Benchmark decontamination: drop training documents whose normalized
-    * content equals ANY document of the eval/benchmark set — an anti join
-    * on the 64-bit content hash (the eval set is tiny relative to the
-    * corpus, so Catalyst broadcasts it; the corpus is never shuffled).
-    * The standard pre-training hygiene step for published-benchmark leaks.
-    */
-  def decontaminateExact(train: DataFrame, evalSet: DataFrame,
-                         idCol: String, textCol: String): DataFrame = {
-    val key = xxhash64(TextFunctions.normalizeText(col(textCol)))
-    val evalKeys = evalSet.select(key.alias("__eval_hash")).distinct()
-    train.withColumn("__hash", key)
-      .join(broadcast(evalKeys), col("__hash") === col("__eval_hash"), "left_anti")
-      .drop("__hash")
-  }
-
-  /** N-gram-collision decontamination (the GPT-3 report's discipline):
-    * drop every training document that shares ANY word n-gram with the
-    * eval set — stricter than whole-document equality
-    * ([[decontaminateExact]]) and than a Jaccard threshold
-    * ([[decontaminateNear]]): one leaked passage poisons the document.
-    * Grams are chained 64-bit hashes ([[TextFunctions
-    * .shingleHashesFromTokenHashes]]), so the collision set equals string
-    * n-grams up to ~1e-13/pair. Scale shape: only the BOUNDED eval side's
-    * gram set is broadcast; the corpus explodes grams into a broadcast
-    * semi-probe and is never shuffled — contaminated ids come back as a
-    * small anti-join key set.
-    */
-  def decontaminateNgram(train: DataFrame, evalSet: DataFrame,
-                         idCol: String, textCol: String,
-                         n: Int = 5): DataFrame = {
-    require(n >= 1, "n must be positive")
-    def grams(df: DataFrame) = df.select(
-      col(idCol).alias("__gid"),
-      explode(TextFunctions.shingleHashesFromTokenHashes(
-        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n))
-        .alias("__gram"))
-    val evalGrams = grams(evalSet).select(col("__gram")).distinct()
-    val contaminated = grams(train)
-      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
-      .select(col("__gid")).distinct()
-    train.join(contaminated, col(idCol) === col("__gid"), "left_anti")
-  }
-
-  /** [[decontaminateExact]] via a broadcast Bloom filter — the layout for
-    * when the eval set is too large to broadcast as raw keys but its Bloom
-    * filter still fits (~1.2 bytes/key at 1% fpp vs 8+ bytes for the key
-    * itself, a ~7× broadcast reduction). The corpus is scanned, never
-    * shuffled:
-    *   1. Bloom-NEGATIVE rows are definitely clean (no false negatives) —
-    *      they pass straight through;
-    *   2. Bloom-POSITIVE rows (true leaks + ~fpp false positives) are the
-    *      only rows that reach the exact anti join, so the join input is
-    *      |leaks| + fpp·|corpus| rows instead of |corpus|.
-    * The exact verify makes the output EQUAL to [[decontaminateExact]] —
-    * fpp trades join width for bloom size, never correctness. The corpus
-    * is referenced twice (clean branch ∪ rescued branch): two scans and
-    * zero corpus shuffles beats one scan feeding a full-corpus sort-merge
-    * anti join at 100 TB, where scans parallelize and shuffles do not.
-    */
-  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
-                         idCol: String, textCol: String,
-                         fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val key = xxhash64(TextFunctions.normalizeText(col(textCol)))
-    val evalKeys = evalSet.select(key.alias("__eval_hash")).distinct()
-    // one count job on the SMALL (eval) side to size the filter for fpp
-    val nEval = math.max(1L, evalKeys.count())
-    val numBits = math.max(64L,
-      math.ceil(-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-
-    // The filter is built by the native BloomFilterAggregate and consumed
-    // by the native (codegen'd) BloomFilterMightContain via a scalar
-    // subquery — the exact shape Spark's own InjectRuntimeFilter plants.
-    // No Scala UDF: the corpus scan + bloom probe stay inside whole-stage
-    // codegen (a closure-based `udf` here would fence off codegen on the
-    // 100 TB side of the query — the round-3 verdict's finding).
-    val bloomAgg = new BloomFilterAggregate(
-      GraftBridge.expression(col("__eval_hash")),
-      Literal(nEval), Literal(numBits)).toAggregateExpression()
-    val bloomDf = evalKeys.agg(GraftBridge.column(bloomAgg).alias("__bloom"))
-    // empty eval set → bloom aggregate yields null → might_contain yields
-    // null: coalesce to false so every corpus row passes straight through
-    // (identical to decontaminateExact's anti join against nothing)
-    val mightContain = coalesce(
-      GraftBridge.column(BloomFilterMightContain(
-        ScalarSubquery(bloomDf.queryExecution.logical),
-        GraftBridge.expression(col("__hash")))),
-      lit(false))
-
-    val keyed = train.withColumn("__hash", key).withColumn("__might", mightContain)
-    val clean = keyed.filter(!col("__might"))
-    // no broadcast hint: the premise is an eval set too big to broadcast —
-    // both join inputs are small/prefiltered, so AQE picks the right side
-    val rescued = keyed.filter(col("__might"))
-      .join(evalKeys, col("__hash") === col("__eval_hash"), "left_anti")
-    clean.unionByName(rescued).drop("__hash", "__might")
-  }
-
-  /** Near-duplicate decontamination: drop training documents whose
-    * token-set Jaccard against ANY eval document reaches `threshold` —
-    * eval shingle sets broadcast, candidates prefiltered by the lossless
-    * size-ratio bound, survivors verified with the merge-pass exact
-    * Jaccard. The eval side is small by construction (benchmarks), so the
-    * corpus-side cost is one scan + one broadcast join; no self-join, no
-    * LSH needed.
-    */
-  def decontaminateNear(train: DataFrame, evalSet: DataFrame,
-                        idCol: String, textCol: String,
-                        threshold: Double = 0.8): DataFrame = {
-    import graft.functions.JaccardSortedExpr
-    def toks(df: DataFrame, id: String, t: String) = df.select(
-      col(idCol).alias(id),
-      array_sort(array_distinct(TextFunctions.tokenHashes(
-        TextFunctions.tokens(col(textCol))))).alias(t))
-    val ev = toks(evalSet, "__eid", "__et").withColumn("__en", size(col("__et")))
-    val tr = toks(train, "__tid", "__tt").withColumn("__tn", size(col("__tt")))
-    val contaminated = tr.join(broadcast(ev),
-        least(col("__tn"), col("__en")).cast("double") /
-          greatest(col("__tn"), col("__en")) >= threshold &&
-          JaccardSortedExpr(col("__tt"), col("__et")) >= threshold)
-      .select(col("__tid")).distinct()
-    train.join(contaminated, col(idCol) === col("__tid"), "left_anti")
-  }
-
-  /** Brute-force word-k-gram (shingle) Jaccard pairs — stricter than
-    * token-set Jaccard (word order matters within each gram; boilerplate
-    * vocabulary overlap no longer inflates similarity). Builds STRING
-    * shingles so the similarity is engine-independent and oracle-
-    * expressible; [[minHashNearDup]] with `shingleK = k` is the hashed,
-    * banded scale path for the same semantics. O(n²) — cap n upstream.
-    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).alias("__id"),
-      TextFunctions.tokens(col(textCol)).alias("__toks"))
-    // grams are hashed to 64-bit before the O(n²) stage: set Jaccard is
-    // unchanged (injective up to ~1e-13/pair collisions) and the pairwise
-    // array_intersect runs over longs, not strings — ~an order of
-    // magnitude less per-pair work. The lossless size-ratio cut (true
-    // jaccard ≤ min/max set sizes) skips hopeless pairs entirely.
-    val sh = t.select(col("__id"), array_sort(array_distinct(
-      when(size(col("__toks")) >= k,
-        transform(sequence(lit(0), size(col("__toks")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
-        .otherwise(array().cast("array<bigint>")))).alias("__sh"))
-      .withColumn("__n", size(col("__sh")))
-    val a = sh.select(col("__id").alias("id_a"), col("__sh").alias("__sa"),
-      col("__n").alias("__na"))
-    val b = sh.select(col("__id").alias("id_b"), col("__sh").alias("__sb"),
-      col("__n").alias("__nb"))
-    Projections.pinnedFilter(
-      a.join(b, col("id_a") < col("id_b"))
-        .filter(least(col("__na"), col("__nb")).cast("double") /
-          greatest(col("__na"), col("__nb")) >= threshold)
-        .withColumn("jaccard",
-          round(graft.functions.JaccardSortedExpr(col("__sa"), col("__sb")), 6)),
-      col("jaccard") >= threshold) // pinned: else the merge pass runs twice per pair
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** SimHash near-duplicate pairs: 64-bit signature, 4×16-bit LSH bands,
-    * hamming distance ≤ maxHamming (pigeonhole-complete for maxHamming ≤ 3).
-    */
-  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).alias("__id"),
-      TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).alias("__sim"))
-
-    val banded = sig.select(col("__id"), col("__sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("__sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("__band", "__key")))
-
-    banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"),
-        bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))).alias("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
-
-  /** Embedding near-dup pairs over a threshold, within random-hyperplane
-    * LSH buckets (sign-bit sketch). `planes` deterministic pseudo-random
-    * hyperplanes are derived from a seeded LCG — no RNG at plan time.
-    * Recall rises with fewer plane bits per band / more bands.
-    *
-    * Candidate pairs pass through two stages before anything wide moves:
-    *  1. a `prefilterBits`-bit sketch-hamming cut — for cosine c the
-    *     expected mismatched-bit fraction is acos(c)/π, so pairs whose
-    *     hamming exceeds the threshold's expectation + 4σ (binomial) are
-    *     dropped while true pairs survive w.p. ≥ 1 - 3e-5. On a
-    *     near-orthogonal corpus this prunes ~98% of bucket collisions
-    *     using 8-long sketches instead of full vectors;
-    *  2. exact cosine on the survivors, with per-ROW norms precomputed so
-    *     each surviving pair costs one dot product, not one dot + two
-    *     norm folds.
-    * The banding keys are the low bits of the same wide sketch (word 1),
-    * so the sketch is computed once per row.
-    *
-    * Degenerate gates (the q71/q74 exactness trick): `planes = 0` keys
-    * every row to the single bucket 0 (candidates = all pairs) and
-    * `prefilterBits = 0` disables the probabilistic sketch cut — with
-    * both, the output provably equals brute-force threshold search and a
-    * DuckDB all-pairs oracle pins the candidate/verify machinery (q76).
-    */
-  /** Per-band key columns sliced out of the wide hyperplane sketch: band
-    * `b` keys on bits [b·planes, (b+1)·planes), crossing word boundaries
-    * where needed. Single-word layouts (planes·bands ≤ 64) produce
-    * bit-identical keys to the historical first-word extraction; wider
-    * layouts (up to the sketch's own bit count) buy exponentially smaller
-    * buckets — the knob that keeps band-join candidates linear as the
-    * corpus grows (see [[LshParams.hyperplaneForCorpus]]).
-    */
-  private[graft] def bandKeyCols(ws: Column, planes: Int, bands: Int): Seq[Column] = {
-    require(planes >= 1 && planes <= 64, "a band key must fit one long")
-    val mask = if (planes == 64) -1L else (1L << planes) - 1
-    (0 until bands).map { b =>
-      val s = b * planes
-      val w = s / 64
-      val off = s % 64
-      val lo = shiftrightunsigned(element_at(ws, w + 1), off)
-      val key =
-        if (off + planes <= 64) lo
-        // shiftleft's Java semantics would make a shift of 64 a no-op;
-        // off > 0 here whenever this branch is taken, so 64 - off < 64
-        else lo.bitwiseOR(shiftleft(element_at(ws, w + 2), 64 - off))
-      key.bitwiseAND(lit(mask))
-    }
-  }
-
-  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, dim: Int,
-                       planes: Int = 8, bands: Int = 4,
-                       prefilterBits: Int = 512): DataFrame = {
-    import graft.functions.VectorFunctions
-    require(planes >= 0 && planes <= 64, "a band key must fit one long")
-    val nBits = math.max(prefilterBits, planes * bands)
-    val hp = Hyperplanes.generate(seed = 42L, nPlanes = nBits, dim = dim)
-    val base0 = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
-    val base =
-      if (nBits > 0) base0.withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
-      else base0
-    // ids only through the explode/self-join — never replicate the vector
-    val banded =
-      if (planes == 0) // exhaustive: one global bucket
-        base.select(col("__id"), lit(0).alias("__band"), lit(0L).alias("__key"))
-      else
-        base.select(col("__id"),
-          posexplode(array(bandKeyCols(col("__ws"), planes, bands): _*))
-            .as(Seq("__band", "__key")))
-
-    // ids-only distinct (never shuffle the vectors or sketches)
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
-      .distinct()
-
-    // stage 1: hamming over the full wide sketch (8 longs, not 64 floats)
-    val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
-    val prefiltered =
-      if (prefilterBits == 0) candidates
-      else candidates
-        .join(base.select(col("__id").alias("id_a"), col("__ws").alias("__wsa")), "id_a")
-        .join(base.select(col("__id").alias("id_b"), col("__ws").alias("__wsb")), "id_b")
-        .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
-        .select(col("id_a"), col("id_b"))
-
-    // stage 2: exact cosine, norms hoisted to per-row columns
-    val va = base.select(col("__id").alias("id_a"), col("__v").alias("__va"),
-      col("__nrm").alias("__na"))
-    val vb = base.select(col("__id").alias("id_b"), col("__v").alias("__vb"),
-      col("__nrm").alias("__nb"))
-    Projections.pinnedFilter(
-      prefiltered.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", round(
-          when(col("__na") > 0 && col("__nb") > 0,
-            VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-            .otherwise(lit(null)), 6)),
-      col("cosine") >= threshold) // pinned: else the dot runs twice per pair
-      .select(col("id_a"), col("id_b"), col("cosine"))
-  }
-
-  /** Persistable embedding index: (`__id`, `__v`, `__nrm`, `__ws`) — the
-    * per-row state an incremental embedding-dedup pipeline stores next to
-    * the corpus so new batches join against it without re-sketching
-    * history (the embedding analog of [[minHashSignatures]]). Hyperplanes
-    * are seed-fixed, so an index built today bands identically tomorrow.
-    */
-  def embeddingIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     prefilterBits: Int = 512): DataFrame = {
-    import graft.functions.VectorFunctions
-    val hp = Hyperplanes.generate(seed = 42L, nPlanes = prefilterBits, dim = dim)
-    df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
-      .withColumn("__ws", VectorFunctions.hyperplaneSketchWide(col("__v"), hp))
-      // Exact layout width persisted WITH the index (constant column —
-      // parquet RLE makes it ~free): the word-count guard alone cannot
-      // distinguish e.g. 450-bit from 512-bit layouts (both 8 words), and
-      // comparing real bits against zero-padded tail bits inflates hamming
-      // distances and silently drops true pairs (round-7 ADVICE).
-      .withColumn("__nbits", lit(prefilterBits))
-  }
-
-  /** Incremental embedding near-dup: (new_id, corpus_id, cosine ≥
-    * threshold) pairs between a NEW batch and an EXISTING
-    * [[embeddingIndex]] — the embedding analog of
-    * [[minHashNearDupAgainst]]. Only the batch is sketched per run; the
-    * asymmetric batch×corpus band join scales with the BATCH, the wide-
-    * sketch hamming prefilter and exact-cosine verify are shared with
-    * [[embeddingNearDup]]. `planes = 0` + `prefilterBits = 0` is the
-    * degenerate exhaustive layout — provably equal to brute-force
-    * batch×corpus search (q120's oracle gate).
-    */
-  def embeddingNearDupAgainst(corpusIdx: DataFrame, newDocs: DataFrame,
-                              idCol: String, vecCol: String,
-                              threshold: Double, dim: Int,
-                              planes: Int = 8, bands: Int = 4,
-                              prefilterBits: Int = 512): DataFrame = {
-    import graft.functions.VectorFunctions
-    require(planes >= 0 && planes <= 64, "a band key must fit one long")
-    val nBits = math.max(prefilterBits, planes * bands)
-    // A corpus index built with a different prefilterBits has a different
-    // sketch length AND different bits in word 1, so banding/hammingWide
-    // would silently produce wrong or empty candidates — fail loud (the
-    // embedding analog of minHashNearDupAgainst's signature-length guard).
-    // nBits == 0 is the degenerate exhaustive layout: __ws is never read,
-    // so any corpus layout is acceptable there.
-    if (nBits > 0) {
-      val expectWords = (nBits + 63) / 64
-      // Exact-width check when the index carries `__nbits` (written by
-      // embeddingIndex since round 8); word-count check as the
-      // best-effort fallback for legacy indexes without the column —
-      // two layouts that round to the same word count (450 vs 512 bits)
-      // differ only in zero-padded tail bits, which the exact check
-      // catches and the word check cannot.
-      if (corpusIdx.columns.contains("__nbits"))
-        corpusIdx.select(col("__nbits"), size(col("__ws"))).limit(1)
-          .collect().headOption.foreach { r =>
-            require(r.getInt(0) == nBits,
-              s"corpusIdx was built with prefilterBits=${r.getInt(0)} but this " +
-                s"layout (prefilterBits=$prefilterBits, planes=$planes, bands=$bands) " +
-                s"needs exactly $nBits; rebuild the index with " +
-                s"embeddingIndex(..., prefilterBits=$nBits) or pass the layout it was built with")
-          }
-      else
-        corpusIdx.select(size(col("__ws"))).limit(1).collect().headOption.foreach { r =>
-          require(r.getInt(0) == expectWords,
-            s"corpusIdx sketch has ${r.getInt(0)} words but this layout " +
-              s"(prefilterBits=$prefilterBits, planes=$planes, bands=$bands) needs " +
-              s"$expectWords; rebuild the index with embeddingIndex(..., prefilterBits=$nBits) " +
-              "or pass the layout it was built with")
-        }
-    }
-    val newIdx = embeddingIndex(newDocs, idCol, vecCol, dim, math.max(nBits, 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(idx: DataFrame) =
-      if (planes == 0) idx.select(col("__id"), lit(0).alias("__band"), lit(0L).alias("__key"))
-      else idx.select(col("__id"),
-        posexplode(array(bandKeyCols(col("__ws"), planes, bands): _*))
-          .as(Seq("__band", "__key")))
-    val candidates = banded(newIdx).alias("a")
-      .join(banded(corpusIdx).alias("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") =!= col("b.__id"))
-      .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
-      .distinct()
-    val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
-    val prefiltered =
-      if (prefilterBits == 0) candidates
-      else candidates
-        .join(newIdx.select(col("__id").alias("new_id"), col("__ws").alias("__wsa")), "new_id")
-        .join(corpusIdx.select(col("__id").alias("corpus_id"), col("__ws").alias("__wsb")), "corpus_id")
-        .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
-        .select(col("new_id"), col("corpus_id"))
-    val va = newIdx.select(col("__id").alias("new_id"), col("__v").alias("__va"),
-      col("__nrm").alias("__na"))
-    val vb = corpusIdx.select(col("__id").alias("corpus_id"), col("__v").alias("__vb"),
-      col("__nrm").alias("__nb"))
-    val out = Projections.pinnedFilter(
-      prefiltered.join(va, "new_id").join(vb, "corpus_id")
-        .withColumn("cosine", round(
-          when(col("__na") > 0 && col("__nb") > 0,
-            VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-            .otherwise(lit(null)), 6)),
-      col("cosine") >= threshold)
-      .select(col("new_id"), col("corpus_id"), col("cosine"))
-      .localCheckpoint(true)
-    newIdx.unpersist(false)
-    out
-  }
-
-  /** [[embeddingNearDup]] with the band layout chosen by
-    * [[LshParams.hyperplane]] for the given threshold instead of a
-    * hand-tuned (planes, bands).
-    */
-  def embeddingNearDupAuto(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, dim: Int): DataFrame = {
-    val (rows, bands) = LshParams.hyperplane(threshold)
-    embeddingNearDup(df, idCol, vecCol, threshold, dim, rows, bands)
-  }
-
-  /** [[embeddingNearDup]] with the band layout chosen by
-    * [[LshParams.hyperplaneForCorpus]] for the given threshold AND corpus
-    * size — the 100 TB form. [[LshParams.hyperplane]]'s fewest-bits
-    * objective under a one-word budget has a fixed bucket count, so its
-    * band-join candidates grow ∝ n²/2^planes as the corpus grows (measured
-    * superlinear in SCALE.md); this variant spends sketch bits the corpus
-    * already carries (the 512-bit prefilter sketch) on more selective
-    * multi-word band keys, keeping expected candidates linear for as long
-    * as the bit budget allows. Pass `corpusSize` when known (at scale it
-    * always is — a count sits in the table's metadata); -1 counts once.
-    */
-  def embeddingNearDupScaled(df: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double, dim: Int,
-                             corpusSize: Long = -1L): DataFrame = {
-    val n = if (corpusSize > 0) corpusSize else df.count()
-    val (rows, bands) = LshParams.hyperplaneForCorpus(threshold, n)
-    embeddingNearDup(df, idCol, vecCol, threshold, dim, rows, bands,
-      prefilterBits = math.max(512, rows * bands))
-  }
-}
-
-/** LSH parameter selection from first principles: given a similarity
-  * threshold and a target recall, pick the cheapest (rows/planes, bands)
-  * whose S-curve meets the recall — callers stop hand-tuning band
-  * layouts per threshold.
-  */
-object LshParams {
-
-  /** MinHash banding: collision prob of a pair with Jaccard j under
-    * (bands b, rows r) is 1-(1-j^r)^b. Returns the (rows, bands) with the
-    * FEWEST total hashes meeting `targetRecall` at `threshold` while
-    * keeping low-similarity noise (j = threshold/2) collisions under
-    * `maxNoise`.
-    */
-  def minhash(threshold: Double, targetRecall: Double = 0.9,
-              maxNoise: Double = 0.15, maxHashes: Int = 256): (Int, Int) = {
-    def collide(j: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
-    val candidates = for {
-      r <- 1 to 16
-      b <- 1 to maxHashes
-      if r * b <= maxHashes
-      if collide(threshold, r, b) >= targetRecall
-      if collide(threshold / 2, r, b) <= maxNoise
-    } yield (r, b)
-    if (candidates.isEmpty) (4, 8) // fall back to the classic 32-hash layout
-    else candidates.minBy { case (r, b) => r * b }
-  }
-
-  /** Hyperplane banding for TOP-K search: unlike threshold search there is
-    * no wrong-pair risk (sub-threshold candidates just cost compute and
-    * lose the rank), so the objective is pure selectivity — the LARGEST
-    * planes-per-band (buckets per band = 2^planes, i.e. exponentially
-    * smaller buckets) whose S-curve still recalls a true neighbor at
-    * `neighborCosine` with probability ≥ `targetRecall`, then the fewest
-    * bands that get there. Returns (planes, bands) with planes ≤ 64 (a
-    * band key is one sketch word) and planes·bands ≤ `maxBits` — the
-    * total sketch-compute budget; raise it past 64 to buy more selective
-    * layouts at large corpus sizes (each band keys on its own plane
-    * slice, see [[Similarity.lshTopKWith]]).
-    */
-  def hyperplaneTopK(neighborCosine: Double, targetRecall: Double = 0.9,
-                     maxBits: Int = 64): (Int, Int) = {
-    // loud bounds: a cosine or recall outside its domain is a caller bug
-    // (e.g. legacy positional (planes, bands) ints widened into these
-    // doubles) — silently proceeding would hand back a degenerate layout
-    require(neighborCosine >= -1.0 && neighborCosine <= 1.0,
-      s"neighborCosine must be in [-1, 1], got $neighborCosine")
-    require(targetRecall > 0.0 && targetRecall <= 1.0,
-      s"targetRecall must be in (0, 1], got $targetRecall")
-    val p = 1.0 - math.acos(neighborCosine) / math.Pi
-    def collide(r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), b)
-    val layouts = for {
-      r <- math.min(64, maxBits) to 1 by -1
-      b = (1 to maxBits / r).find(collide(r, _) >= targetRecall)
-      if b.isDefined
-    } yield (r, b.get)
-    // when no layout meets the target within the bit budget, return the
-    // highest-recall one the budget allows (1 plane × maxBits bands) —
-    // the documented recall contract is best-effort-maximal, never a
-    // silent selectivity-first fallback
-    layouts.headOption.getOrElse((1, math.min(512, maxBits)))
-  }
-
-  /** Hyperplane banding chosen for a KNOWN corpus size: among layouts
-    * meeting the recall target at the threshold cosine, pick the one
-    * minimizing expected WORK rather than sketch bits —
-    *
-    *   cost(r, b) ≈ b · n² · (1/2)^r   (band-join candidate pairs: a
-    *                                    random near-orthogonal pair agrees
-    *                                    on one hyperplane bit with
-    *                                    probability ~1/2)
-    *             + n · r · b           (sketch compute; marginal — the
-    *                                    512-bit prefilter sketch usually
-    *                                    covers the bits already)
-    *
-    * As n grows the argmin slides toward more planes per band (buckets
-    * shrink exponentially) paid for with more bands (recall restored),
-    * which is exactly the "one more plane per corpus doubling" rule. The
-    * default budget of 512 bits matches the prefilter sketch the
-    * embedding paths already compute, so wider layouts are free at the
-    * sketch level; past the point where even 512 bits cannot hold the
-    * recall target with acceptable selectivity (very low thresholds near
-    * the random background), banding is the wrong tool and the IVF path
-    * ([[graft.ops.Similarity.ivfTopK]]) with a √n centroid count is the
-    * honest alternative — see SCALE.md.
-    */
-  def hyperplaneForCorpus(cosineThreshold: Double, corpusSize: Long,
-                          targetRecall: Double = 0.9,
-                          maxBits: Int = 512): (Int, Int) = {
-    require(corpusSize > 0, s"corpusSize must be positive, got $corpusSize")
-    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosineThreshold))) / math.Pi
-    def collide(q: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(q, r), b)
-    val n = corpusSize.toDouble
-    val layouts = for {
-      r <- 1 to 64
-      // fewest bands reaching the recall target at this r, if any fit
-      b <- (1 to maxBits / math.max(r, 1)).find(collide(p, r, _) >= targetRecall)
-    } yield (r, b)
-    if (layouts.isEmpty) hyperplane(cosineThreshold) // budget can't hold recall: legacy layout
-    else layouts.minBy { case (r, b) =>
-      b * n * n * math.pow(0.5, math.min(r, 62)) + n * r * b
-    }
-  }
-
-  /** Hyperplane banding: per-plane agreement prob for cosine c is
-    * 1 - acos(c)/π; same S-curve selection as [[minhash]].
-    */
-  def hyperplane(cosineThreshold: Double, targetRecall: Double = 0.9,
-                 maxNoise: Double = 0.15, maxBits: Int = 64): (Int, Int) = {
-    val p = 1.0 - math.acos(cosineThreshold) / math.Pi
-    val pNoise = 1.0 - math.acos(math.max(-0.99, cosineThreshold / 2)) / math.Pi
-    def collide(q: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(q, r), b)
-    val candidates = for {
-      r <- 1 to 32
-      b <- 1 to maxBits
-      if r * b <= maxBits
-      if collide(p, r, b) >= targetRecall
-      if collide(pNoise, r, b) <= maxNoise
-    } yield (r, b)
-    if (candidates.isEmpty) (4, 8)
-    else candidates.minBy { case (r, b) => r * b }
-  }
-}
-
-/** Deterministic hyperplane generation (seeded 64-bit LCG → uniform in
-  * [-1, 1]); same constants as java.util.Random's LCG — public domain
-  * parameters, reproducible across runs and engines.
-  */
-object Hyperplanes {
-  def generate(seed: Long, nPlanes: Int, dim: Int): Seq[Array[Double]] = {
-    var s = seed
-    def next(): Double = {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    Seq.fill(nPlanes)(Array.fill(dim)(next()))
-  }
-}
+  */object Dedup
+  extends DedupMinHash
+  with DedupJaccardJoin
+  with DedupComponents
+  with DedupDecontaminate
+  with DedupEmbedding

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-dup pair graphs and full cluster
+  * resolution — the graph concern of [[Dedup]]. Depends on the MinHash
+  * pair producers for the resolve* compositions.
+  */
+trait DedupComponents { self: DedupMinHash =>
+
+  /** Connected components over a near-dup pair graph via iterative
+    * min-label propagation: each node's label converges to the minimum id
+    * reachable from it. Labels advance one hop per round, so convergence
+    * takes O(diameter) rounds — near-dup clusters are dense (small
+    * diameter), which keeps the round count low in practice; `maxIter`
+    * bounds pathological chains and the loop THROWS if labels were still
+    * changing when it ran out (silently returning partial labels would
+    * mis-cluster). For graphs with genuinely large diameters use a
+    * pointer-doubling variant (large-star/small-star) instead. Returns
+    * (id, component) with component = min id of the cluster.
+    *
+    * Scale notes: each round is one groupBy-min over edges ∪ labels;
+    * `localCheckpoint` truncates the growing lineage (the classic
+    * iterative-algorithm trap on Spark).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").alias("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node: min of own label and neighbors' labels
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").alias("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min("component").alias("component"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .count()
+      // the superseded round's checkpoint blocks are dead the moment the
+      // changed-count consumed them — release eagerly, don't let them
+      // accumulate one-per-round on the ContextCleaner's queue
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — graph diameter exceeds maxIter; " +
+          "raise maxIter or use a pointer-doubling variant")
+    labels
+  }
+
+  /** Connected components with pointer doubling: each round updates a
+    * node's label to the min over its own label, its neighbors' labels,
+    * AND its label's label (`comp(comp(id))` — the path-halving step that
+    * makes label chains collapse geometrically). Converges in
+    * O(log diameter) rounds vs [[connectedComponents]]'s O(diameter) —
+    * the variant to reach for when clusters can be long chains (the
+    * near-dup graphs of templated corpora often are). Cost per round: one
+    * extra self-join of the (small) label frame on top of the edge join.
+    * Throws on non-convergence like the one-hop variant.
+    */
+  def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").alias("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").alias("id"), col("component"))
+      // comp(comp(id)): follow the label pointer one more hop
+      val viaDouble = labels.alias("l1")
+        .join(labels.alias("l2"), col("l1.component") === col("l2.id"))
+        .select(col("l1.id").alias("id"), col("l2.component").alias("component"))
+      val next = labels.union(viaNeighbors).union(viaDouble)
+        .groupBy("id").agg(min("component").alias("component"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .count()
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels) // see connectedComponents
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsFast did not converge in $maxIter rounds " +
+          s"($changed labels still changing)")
+    labels
+  }
+
+  /** Full near-dup resolution: MinHash pairs → transitive clusters →
+    * keeper = min doc id per cluster. Output: (id, keeper, is_keeper) for
+    * every document that belongs to some near-dup cluster.
+    *
+    * Defaults are the HIGH-RECALL path: the band layout comes from
+    * [[LshParams.minhash]] (recall ≥ 0.9 at the threshold; the fixed 8×4
+    * layout recalls only ~0.4 at j = 0.5) and components are solved with
+    * pointer doubling (O(log diameter) rounds, not O(diameter)).
+    */
+  def resolveNearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashNearDupAuto(df, idCol, textCol, threshold)
+    val labels = connectedComponentsFast(pairs)
+    // the pair frame's checkpoint is dead once the (checkpointed) labels
+    // exist — the labels' plan no longer references it
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(pairs)
+    labels.select(col("id"), col("component").alias("keeper"),
+      (col("id") === col("component")).alias("is_keeper"))
+  }
+
+  /** [[resolveNearDupClusters]] over the EXACTNESS-grade LSH pair set:
+    * with 1-gram shingles and the (rows = 3, bands = 16) layout the
+    * banding miss probability at j = `threshold` = 0.9 is
+    * (1 - 0.9³)¹⁶ ≈ 8.6e-10, so LSH + exact verify produces the SAME pair
+    * graph as brute force and the cluster labels are deterministic —
+    * checkable against a recursive-CTE transitive closure over the exact
+    * Jaccard pairs (see q69). Uses the pointer-doubling component solver,
+    * so chained clusters (A~B~C without A~C) converge in O(log d) rounds.
+    */
+  def resolveNearDupClustersExact(df: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double = 0.9): DataFrame = {
+    val pairs = minHashNearDup(df, idCol, textCol, threshold,
+      shingleK = 1, bands = 16, rowsPerBand = 3, estMargin = 0.35)
+    val labels = connectedComponentsFast(pairs)
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(pairs)
+    labels.select(col("id"), col("component").alias("keeper"),
+      (col("id") === col("component")).alias("is_keeper"))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Exact, MinHash-LSH, and SimHash text dedup — the hashing/banding
+  * concern of [[Dedup]] (one trait per concern file; the public API is
+  * the mixed-in [[Dedup]] object, unchanged by the split).
+  */
+trait DedupMinHash { self: DedupJaccardJoin =>
+
+  /** Exact duplicate groups on normalized text: one row per distinct
+    * content, keeper = min id, dup_count = group size.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.normalizeText(col(textCol)).alias("norm_text"))
+      .agg(min(col(idCol)).alias("keeper_id"), count(lit(1)).alias("dup_count"))
+      .select(col("keeper_id"), col("dup_count"))
+
+  /** Scale variant: group on xxhash64 of the normalized text (narrow
+    * shuffle rows; a 64-bit collision at 100 TB doc counts is ~birthday
+    * bound 1e-4 for 1e8 docs — acceptable for dedup, or re-verify within
+    * groups when it isn't).
+    */
+  def exactDedupByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(TextFunctions.normalizeText(col(textCol))).alias("content_hash"))
+      .agg(min(col(idCol)).alias("keeper_id"), count(lit(1)).alias("dup_count"))
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
+    * word-`shingleK`-gram shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * numHashes = bands * rowsPerBand; the LSH S-curve threshold is
+    * (1/bands)^(1/rowsPerBand) — defaults target ~0.6.
+    */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.5, shingleK: Int = 3,
+                     bands: Int = 8, rowsPerBand: Int = 4,
+                     estMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // shingle sets + signatures are consumed by three branches (banding,
+    // estimate filter, exact verify) — cache once instead of recomputing
+    // the 32-hash MinHash three times. Shingles are HASHED k-grams built
+    // from a bound token-hash column (no string concat, no O(n²)
+    // element_at reuse — see TextFunctions.shingleHashesFromTokenHashes).
+    val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sig.select(col("__id"),
+        posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__key")))
+
+    // candidates stay NARROW (ids only) through the distinct
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
+      .distinct()
+
+    // two cheap prefilters before touching the wide shingle arrays:
+    //  1. size ratio: true jaccard ≤ min(|A|,|B|)/max(|A|,|B|) — lossless;
+    //  2. signature estimate: matching-minhash fraction ≈ jaccard; cut at
+    //     threshold − estMargin (default 0.2 ≈ 2.3σ for 32 hashes) — prunes
+    //     the bulk of the sub-threshold bucket collisions this self-similar
+    //     corpus creates. Widen the margin when the layout targets
+    //     exactness (every extra 0.05 of margin buys ~0.7σ at 48 hashes).
+    val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"),
+      col("__n").alias("__na"))
+    val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"),
+      col("__n").alias("__nb"))
+    val estMatches = aggregate(
+      zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val prefiltered = candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .filter(estMatches >= (threshold - estMargin) * numHashes)
+      .select(col("id_a"), col("id_b"))
+
+    val verified = verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
+    // Materialize the (small) verified pair set eagerly so the wide
+    // signature cache can be released before returning — otherwise every
+    // invocation leaks cached blocks for the session lifetime. The
+    // localCheckpoint blocks holding the result are weak-reference-cleaned
+    // by the ContextCleaner once the returned frame is unreferenced.
+    val out = verified.localCheckpoint(true)
+    sig.unpersist(false)
+    out
+  }
+
+  /** MinHash signature frame (`__id`, `__sh`, `__sig`, `__n`) — the
+    * per-document state an incremental dedup pipeline PERSISTS next to
+    * the corpus so new batches join against it without re-hashing
+    * history (see [[minHashNearDupAgainst]]). Same derivation as the
+    * batch path: hashed k-gram shingles from bound token hashes, then
+    * the XXH64-chained signature.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame =
+    // the empty-shingle filter goes through pinnedFilter: pushed below
+    // the projection it would substitute the whole token-hash → shingle
+    // chain into the predicate and evaluate it twice per row (the q97
+    // lesson, ops/Projections.pinnedFilter)
+    Projections.pinnedFilter(
+      df.select(
+        col(idCol).alias("__id"),
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
+        .withColumn("__sh", TextFunctions.shingleHashesFromTokenHashes(col("__th"), shingleK))
+        .drop("__th"),
+      size(col("__sh")) > 0)
+      .withColumn("__sig", TextFunctions.minHashSignature(col("__sh"), numHashes))
+      .withColumn("__n", size(col("__sh")))
+
+  /** Incremental near-dup: (new_id, corpus_id, jaccard ≥ threshold) pairs
+    * between a NEW batch and an EXISTING corpus signature frame
+    * ([[minHashSignatures]], typically loaded from storage). This is the
+    * 100 TB shape of continuous dedup: only the batch is hashed and
+    * banded per run, the corpus index is joined as-is, and the band join
+    * is asymmetric (batch × corpus), so its cost scales with the BATCH,
+    * not the corpus. The same size-ratio and signature-estimate
+    * prefilters as [[minHashNearDup]] run before the exact-Jaccard
+    * verification.
+    */
+  def minHashNearDupAgainst(corpusSig: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.5, shingleK: Int = 3,
+                            bands: Int = 8, rowsPerBand: Int = 4,
+                            estMargin: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // A corpus index built with a different hash count would band into
+    // different keys and the join would silently find nothing — fail loud.
+    corpusSig.select(size(col("__sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"corpusSig signature length ${r.getInt(0)} != bands*rowsPerBand = $numHashes; " +
+          "rebuild the index or pass the layout it was built with")
+    }
+    val newSig = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sig: DataFrame) = sig.select(col("__id"),
+      posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
+        .as(Seq("__band", "__key")))
+    val candidates = banded(newSig).alias("a")
+      .join(banded(corpusSig).alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
+      .distinct()
+    val sa = newSig.select(col("__id").alias("new_id"),
+      col("__sig").alias("__siga"), col("__n").alias("__na"))
+    val sb = corpusSig.select(col("__id").alias("corpus_id"),
+      col("__sig").alias("__sigb"), col("__n").alias("__nb"))
+    val estMatches = aggregate(
+      zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val prefiltered = candidates
+      .join(sa, "new_id").join(sb, "corpus_id")
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .filter(estMatches >= (threshold - estMargin) * numHashes)
+      .select(col("new_id"), col("corpus_id"))
+    import graft.functions.JaccardSortedExpr
+    val shA = newSig.select(col("__id").alias("new_id"),
+      array_sort(col("__sh")).alias("__sha"))
+    val shB = corpusSig.select(col("__id").alias("corpus_id"),
+      array_sort(col("__sh")).alias("__shb"))
+    // pinnedFilter: substitution would run the merge-pass Jaccard twice
+    // per candidate (predicate + projection) — see Projections.pinnedFilter
+    val verified = Projections.pinnedFilter(
+      prefiltered.join(shA, "new_id").join(shB, "corpus_id")
+        .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
+      col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    val out = verified.localCheckpoint(true)
+    newSig.unpersist(false)
+    out
+  }
+
+  /** [[minHashNearDup]] with the band layout chosen by [[LshParams]] for
+    * the given threshold (recall ≥ 0.9 at the threshold, bounded noise)
+    * instead of the fixed 8×4 layout (whose S-curve midpoint ~0.59 gives
+    * only ~0.4 recall at j = 0.5). More hashes = more cost; use when
+    * recall matters more than throughput.
+    */
+  def minHashNearDupAuto(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val (rows, bands) = LshParams.minhash(threshold)
+    minHashNearDup(df, idCol, textCol, threshold, shingleK, bands, rows)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, 4×16-bit LSH bands,
+    * hamming distance ≤ maxHamming (pigeonhole-complete for maxHamming ≤ 3).
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).alias("__id"),
+      TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).alias("__sim"))
+
+    val banded = sig.select(col("__id"), col("__sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("__sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__band", "__key")))
+
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"),
+        bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))).alias("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
