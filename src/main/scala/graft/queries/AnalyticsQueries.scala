@@ -988,6 +988,108 @@ object AnalyticsQueries {
              |SELECT l_partkey AS partkey,
              |  CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
              |FROM per
-             |WHERE vdec * 1600 > (SELECT SUM(vdec) FROM per)""".stripMargin))
+             |WHERE vdec * 1600 > (SELECT SUM(vdec) FROM per)""".stripMargin)),
+
+    // TPC-H Q10 shape (returned-item reporting): selective fact filters
+    // (returnflag + order-date window) feeding a customer-grain
+    // aggregate, then a total-order top-20. The returnflag and date
+    // predicates are PLAIN scan pushdowns (PlanSpec pins both reach
+    // PushedFilters), the fact spine shuffles on its join keys, nation
+    // broadcasts, and (revenue DESC, custkey) is total because custkey
+    // is the group key — the limit is deterministic on both engines.
+    QueryDef("q130_returned_items_q10",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, d).filter(
+              col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey").alias("custkey"), col("c_name"),
+            col("n_name").alias("nation"), col("c_acctbal"))
+          .agg(exactSum(rev).alias("revenue"))
+          .orderBy(col("revenue").desc, col("custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey AS custkey, c_name, n_name AS nation, c_acctbal,
+              |  ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY revenue DESC, custkey
+              |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12 shape (shipmode priority counts): a fact⋈fact join with
+    // an INEQUALITY residual (late shipment: l_shipdate ≥ o_orderdate +
+    // 90 days — the fixture's stand-in for receipt > commit, which it
+    // does not carry; l_linestatus stands in for l_shipmode), then ONE
+    // pass of conditional counts split by order priority. The interval
+    // arithmetic is pure timestamp addition, identical across engines;
+    // the counts stay integral end-to-end (CAST ... AS BIGINT on the
+    // DuckDB side — its SUM over integers widens to HUGEINT).
+    QueryDef("q131_shipmode_priority_q12",
+      (s, d) => {
+        val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy(col("l_linestatus").alias("shipmode"))
+          .agg(
+            sum(when(urgent, lit(1L)).otherwise(lit(0L))).alias("high_line_count"),
+            sum(when(urgent, lit(0L)).otherwise(lit(1L))).alias("low_line_count"))
+      },
+      Some("""SELECT l_linestatus AS shipmode,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship): the partsupp grain
+    // is DERIVED (distinct l_partkey×l_suppkey — the fixture carries no
+    // partsupp, the q122 convention), part attributes filter with a
+    // negated brand, a negated LIKE, and a size IN-list, suppliers with
+    // negative balance are excluded via NOT IN (decorrelated to a
+    // left-anti join whose tiny exclusion side broadcasts — PlanSpec
+    // pins it), and the output is COUNT(DISTINCT supplier) per
+    // attribute triple under a total order.
+    QueryDef("q132_parts_suppliers_q16",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excluded = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        ps.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_brand") =!= "Brand#5" &&
+                !col("p_type").like("PROMO%") &&
+                col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").alias("brand"), col("p_type").alias("ptype"),
+            col("p_size").alias("psize"))
+          .agg(countDistinct(col("l_suppkey")).alias("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("brand"), col("ptype"), col("psize"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT p_brand AS brand, p_type AS ptype, p_size AS psize,
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM ps
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#5'
+             |  AND p_type NOT LIKE 'PROMO%'
+             |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, brand, ptype, psize""".stripMargin))
   )
 }

@@ -267,6 +267,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbounded product join:\n$p")
   }
 
+  test("q130 Q10: selective filters pushed to both scans, top-20 without a global sort") {
+    val p = plan("q130_returned_items_q10")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"order-date window not pushed to the orders scan:\n$p")
+    // the limit must plan as TakeOrderedAndProject (per-partition top-20 +
+    // driver merge), never a global Sort of the full customer grain
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 plans a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q131 Q12: one pass — each fact scanned once, counts in one aggregate") {
+    val p = plan("q131_shipmode_priority_q12")
+    // both conditional counts ride the same aggregate over the same join —
+    // a second scan of either fact would double the dominant cost at scale
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert("orders\\.parquet".r.findAllIn(p).length == 1,
+      s"orders scanned more than once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q132 Q16: NOT IN decorrelates to a broadcast anti join, part filters pushed") {
+    val p = plan("q132_parts_suppliers_q16")
+    assert(p.contains("LeftAnti"), s"supplier exclusion is not an anti join:\n$p")
+    // the In(p_size, ...) pushdown is also present but plan toString
+    // truncates long filter lists — the brand filter proves the part
+    // scan receives pushed predicates
+    assert(p.contains("Not(EqualTo(p_brand,Brand#5))"),
+      s"part attribute filters not pushed to the part scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"exclusion/part legs not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
