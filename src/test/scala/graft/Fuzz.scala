@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Random-plan differential fuzzer: seeded generator over the core
-  * relational surface (filter / project / join / aggregate / having /
-  * distinct / window), evaluated twice —
+  * relational surface (filter / project / inner+left join / semi + anti
+  * join / union / aggregate / having / distinct / window), evaluated
+  * twice —
   *
   *  1. through Spark (DataFrame API → Catalyst → Tungsten), and
   *  2. through a NAIVE Scala-collections interpreter written against SQL
@@ -56,12 +57,26 @@ object Fuzz {
   final case class SumL(col: String) extends AggFn   // Long column sums only
   final case class MinC(col: String) extends AggFn
   final case class MaxC(col: String) extends AggFn
+  /** avg over a LONG column only: Spark's `Average` over integral input
+    * accumulates an exact Long sum and divides once at the end
+    * (`sum.toDouble / count`), which is exactly what the interpreter
+    * computes — one identical IEEE division on both sides. (A double
+    * column's sum is order-dependent across partitions — never fuzzable.)
+    */
+  final case class AvgL(col: String) extends AggFn
 
   sealed trait Rel
   final case class Base(name: String) extends Rel
   final case class FilterR(in: Rel, p: Pred) extends Rel
   final case class ProjectR(in: Rel, cols: Seq[(String, Expr)]) extends Rel
   final case class JoinR(l: Rel, r: Rel, lk: String, rk: String, left: Boolean) extends Rel
+  /** left-semi (anti = false) / left-anti (anti = true) on key equality;
+    * output schema is the LEFT side only. SQL semantics: a null left key
+    * matches nothing, so semi drops it and anti keeps it.
+    */
+  final case class SemiR(l: Rel, r: Rel, lk: String, rk: String, anti: Boolean) extends Rel
+  /** bag-semantics positional union of two same-schema relations */
+  final case class UnionR(a: Rel, b: Rel) extends Rel
   final case class AggR(in: Rel, key: String, aggs: Seq[(String, AggFn)]) extends Rel
   final case class DistinctR(in: Rel) extends Rel
   /** row_number() over (partition by part order by ord, tiebreak) */
@@ -99,12 +114,15 @@ object Fuzz {
       val inSchema = schemaOf(in)
       cs.map { case (n, e) => n -> resolveType(e, inSchema) }
     case JoinR(l, rr, _, _, _) => schemaOf(l) ++ schemaOf(rr)
+    case SemiR(l, _, _, _, _)  => schemaOf(l)
+    case UnionR(a, _)          => schemaOf(a)
     case AggR(in, k, aggs) =>
       val inSchema = schemaOf(in)
       val kt = inSchema.find(_._1 == k).get._2
       (k -> kt) +: aggs.map { case (n, fn) =>
         n -> (fn match {
           case CountStar | SumL(_) => TLong
+          case AvgL(_) => TDouble
           case MinC(c) => inSchema.find(_._1 == c).get._2
           case MaxC(c) => inSchema.find(_._1 == c).get._2
         })
@@ -161,6 +179,10 @@ object Fuzz {
     case JoinR(l, rr, lk, rk, leftJoin) =>
       val (dl, dr) = (toDF(spark, sfDir, l), toDF(spark, sfDir, rr))
       dl.join(dr, dl(lk) === dr(rk), if (leftJoin) "left" else "inner")
+    case SemiR(l, rr, lk, rk, anti) =>
+      val (dl, dr) = (toDF(spark, sfDir, l), toDF(spark, sfDir, rr))
+      dl.join(dr, dl(lk) === dr(rk), if (anti) "left_anti" else "left_semi")
+    case UnionR(a, b) => toDF(spark, sfDir, a).union(toDF(spark, sfDir, b))
     case AggR(in, k, aggs) =>
       toDF(spark, sfDir, in).groupBy(col(k)).agg(
         aggCol(aggs.head._1, aggs.head._2),
@@ -178,6 +200,7 @@ object Fuzz {
     case SumL(c)   => sum(col(c).cast("long")).alias(name)
     case MinC(c)   => min(col(c)).alias(name)
     case MaxC(c)   => max(col(c)).alias(name)
+    case AvgL(c)   => avg(col(c).cast("long")).alias(name)
   }
 
   // ---- naive interpreter -------------------------------------------------
@@ -277,9 +300,20 @@ object Fuzz {
               if (vs.isEmpty) null else vs.sum
             case MinC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = true)
             case MaxC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = false)
+            case AvgL(c) =>
+              val vs = rows.map(_(c)).filter(_ != null).map(toL)
+              if (vs.isEmpty) null else vs.sum.toDouble / vs.size
           })
         }.toMap)
       }.toSeq
+    case SemiR(l, rr, lk, rk, anti) =>
+      val keys = evalRel(tables, rr).map(_(rk)).filter(_ != null).toSet
+      evalRel(tables, l).filter { row =>
+        val k = row(lk)
+        val matched = k != null && keys.contains(k)
+        if (anti) !matched else matched
+      }
+    case UnionR(a, b) => evalRel(tables, a) ++ evalRel(tables, b)
     case DistinctR(in) => evalRel(tables, in).distinct
     case WindowR(in, part, ord, tb) =>
       evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
@@ -358,7 +392,17 @@ object Fuzz {
   // ---- seeded generator --------------------------------------------------
 
   final class Gen(seed: Long) {
-    private val rnd = new scala.util.Random(seed)
+    // java.util.Random's first power-of-2-bounded nextInt draws from the
+    // TOP bits of one LCG step, which barely vary across small sequential
+    // raw seeds (every seed in 1..200 put the first nextInt(8) in {5,6});
+    // finalize the seed with a splitmix64 round so the corpus spreads.
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    private val rnd = new scala.util.Random(mix(seed))
     private var derivedN = 0
     private def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
 
@@ -381,8 +425,18 @@ object Fuzz {
           case 0 => And(a, b); case 1 => Or(a, b); case 2 => Not(a)
         }
       } else {
-        val (c, _) = pick(schema)
-        Cmp(pick(Seq("<", "<=", "=", "!=", ">", ">=")), ColRef(c), litFor(c))
+        val (c, t) = pick(schema)
+        // 1-in-4 leaves compare two COLUMNS of the same kind (numeric with
+        // numeric, string with string) instead of a literal: long-vs-double
+        // is safe because both sides promote via exact toDouble (fixture
+        // longs are far below 2^53)
+        val sameKind = schema.filter { case (c2, t2) =>
+          c2 != c && ((t2 == TString) == (t == TString))
+        }
+        val rhs: Expr =
+          if (sameKind.nonEmpty && rnd.nextInt(4) == 0) ColRef(pick(sameKind)._1)
+          else litFor(c)
+        Cmp(pick(Seq("<", "<=", "=", "!=", ">", ">=")), ColRef(c), rhs)
       }
     }
 
@@ -420,7 +474,7 @@ object Fuzz {
 
     def gen(): Rel = {
       // bottom: a base, a natural-key join, or a window over orders
-      val bottom: Rel = rnd.nextInt(5) match {
+      val bottom: Rel = rnd.nextInt(8) match {
         case 0 => Base(pick(Seq("customer", "orders", "nation")))
         case 1 => JoinR(Base("orders"), Base("customer"),
           "o_custkey", "c_custkey", left = rnd.nextBoolean())
@@ -430,6 +484,18 @@ object Fuzz {
         case 4 => JoinR(
           FilterR(Base("orders"), genPred(schemas("orders"), 1)),
           Base("customer"), "o_custkey", "c_custkey", left = rnd.nextBoolean())
+        case 5 => SemiR(Base("customer"),
+          FilterR(Base("orders"), genPred(schemas("orders"), 1)),
+          "c_custkey", "o_custkey", anti = rnd.nextBoolean())
+        case 6 => SemiR(Base("orders"),
+          FilterR(Base("customer"), genPred(schemas("customer"), 1)),
+          "o_custkey", "c_custkey", anti = rnd.nextBoolean())
+        case 7 =>
+          // positional union of two differently-filtered copies of one
+          // base — schemas are identical by construction
+          val t = pick(Seq("customer", "orders"))
+          UnionR(FilterR(Base(t), genPred(schemas(t), 1)),
+            FilterR(Base(t), genPred(schemas(t), 1)))
       }
       val mid = stack(bottom, rnd.nextInt(3))
       // optionally aggregate (and optionally filter the aggregate = HAVING)
@@ -446,6 +512,8 @@ object Fuzz {
           val aggs = Seq("cnt" -> (CountStar: AggFn)) ++
             (if (longCols.nonEmpty && rnd.nextBoolean())
               Seq("s" -> (SumL(pick(longCols)): AggFn)) else Seq.empty) ++
+            (if (longCols.nonEmpty && rnd.nextBoolean())
+              Seq("av" -> (AvgL(pick(longCols)): AggFn)) else Seq.empty) ++
             (if (rnd.nextBoolean())
               Seq("mn" -> (MinC(pick(anyCols)): AggFn)) else Seq.empty) ++
             (if (rnd.nextBoolean())

@@ -1,9 +1,10 @@
 package graft
 
 /** Differential fuzzing of the core relational surface: 200 seeded random
-  * plans (filter / project / join / agg / having / distinct / window over
-  * customer⋈orders⋈nation) evaluated through Spark AND through [[Fuzz]]'s
-  * naive SQL-semantics interpreter, compared as canonical multisets.
+  * plans (filter / project / inner+left join / semi+anti join / union /
+  * agg / having / distinct / window over customer⋈orders⋈nation)
+  * evaluated through Spark AND through [[Fuzz]]'s naive SQL-semantics
+  * interpreter, compared as canonical multisets.
   *
   * The seed corpus is `1 to 200` with [[Fuzz.Gen]]'s deterministic
   * derivation — committing the generator commits the corpus, so a
@@ -38,13 +39,25 @@ class FuzzSpec extends SparkSpec {
   test("the generated corpus exercises every operator of the surface") {
     // guards against a generator regression that silently stops producing
     // some operator (the differential test would then vacuously pass on it)
+    def predFeats(p: Pred): Set[String] = p match {
+      case Cmp(_, ColRef(_), ColRef(_)) => Set("colcolcmp")
+      case Cmp(_, _, _)                 => Set.empty
+      case And(a, b)                    => predFeats(a) ++ predFeats(b)
+      case Or(a, b)                     => predFeats(a) ++ predFeats(b)
+      case Not(a)                       => predFeats(a)
+    }
     def ops(r: Rel): Set[String] = r match {
       case Base(_)              => Set("base")
-      case FilterR(in, _)       => ops(in) + "filter"
+      case FilterR(in, p)       => ops(in) + "filter" ++ predFeats(p)
       case ProjectR(in, _)      => ops(in) + "project"
       case JoinR(l, rr, _, _, left) =>
         ops(l) ++ ops(rr) + (if (left) "leftjoin" else "innerjoin")
-      case AggR(in, _, _)       => ops(in) + "agg"
+      case SemiR(l, rr, _, _, anti) =>
+        ops(l) ++ ops(rr) + (if (anti) "antijoin" else "semijoin")
+      case UnionR(a, b)         => ops(a) ++ ops(b) + "union"
+      case AggR(in, _, aggs)    =>
+        ops(in) + "agg" ++
+          (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
     }
@@ -52,7 +65,8 @@ class FuzzSpec extends SparkSpec {
       acc ++ ops(new Gen(seed.toLong).gen())
     }
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
-      "agg", "distinct", "window")
+      "semijoin", "antijoin", "union", "agg", "avg", "distinct", "window",
+      "colcolcmp")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
