@@ -437,6 +437,37 @@ object MiscQueries {
       },
       Some("""SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
              |EXCEPT
-             |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'""".stripMargin))
+             |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
+    // Epoch upsampling mix — the weight-ABOVE-1 half of recipe mixing
+    // (q90/q117 are the ≤1 half): heavy sources repeat 2.3× (2 full
+    // passes + an md5-drawn 0.3 pass), tail sources contribute a 0.7
+    // fractional pass. Zero shuffle — one narrow explode + a map-side
+    // filter — and the draw is portable md5 keyed by (doc, pass), so the
+    // REPLICATED row set itself hash-verifies against DuckDB computing
+    // the same mixture independently. Thresholds come from the shared
+    // hexThreshold on the BINARY value of the fraction (2.3 − 2 is
+    // 0x1.333…p-2, not 0.3), so both engines cut the md5 space at the
+    // identical 128-bit point.
+    QueryDef("q133_epoch_upsample_mix",
+      (s, d) => {
+        val weights = (0 until 20).map(i => s"src$i" -> (if (i < 5) 2.3 else 0.7)).toMap
+        graft.ops.Mixing.mixCorpora(
+            Tables.documents(s, d), "source", "doc_id", weights)
+          .select(col("doc_id"), col("source"), col("pass"))
+      },
+      Some {
+        val tHeavy = graft.ops.Sampling.hexThreshold(2.3 - 2)
+        val tTail = graft.ops.Sampling.hexThreshold(0.7)
+        val heavy = (0 until 5).map(i => s"'src$i'").mkString(", ")
+        val tail = (5 until 20).map(i => s"'src$i'").mkString(", ")
+        s"""WITH p AS (SELECT pass FROM range(0, 3) t(pass)),
+           |draw AS (SELECT d.doc_id, d.source, p.pass,
+           |  md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.pass AS VARCHAR) || ':42') AS k
+           |  FROM documents d CROSS JOIN p)
+           |SELECT doc_id, source, pass FROM draw
+           |WHERE (source IN ($heavy) AND (pass < 2 OR (pass = 2 AND k < '$tHeavy')))
+           |   OR (source IN ($tail) AND pass = 0 AND k < '$tTail')""".stripMargin
+      })
   )
 }

@@ -336,6 +336,13 @@ class PlanSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("q133 epoch upsampling mix is zero-shuffle (explode + map-side filter)") {
+    val p = plan("q133_epoch_upsample_mix")
+    assert(!p.contains("Exchange"),
+      s"the mix must stay narrow — a shuffle here costs the full 2.3x corpus at scale:\n$p")
+    assert(p.contains("Generate explode"), s"expected a literal-sequence explode:\n$p")
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
