@@ -468,6 +468,37 @@ object MiscQueries {
            |SELECT doc_id, source, pass FROM draw
            |WHERE (source IN ($heavy) AND (pass < 2 OR (pass = 2 AND k < '$tHeavy')))
            |   OR (source IN ($tail) AND pass = 0 AND k < '$tTail')""".stripMargin
-      })
+      }),
+
+    // Deterministic shard-and-order export — the training pipeline's
+    // final "globally shuffle, then shard" step stated WITHOUT a global
+    // sort: the shard is the first md5 nibble (16-way uniform), the
+    // in-shard order is the remaining md5 string — one hash exchange on
+    // the shard key and 16 independent in-partition sorts, so position
+    // assignment parallelizes across the cluster instead of funneling
+    // 100 TB through a single total-order sort. Draw and order are
+    // portable md5, so every (doc, shard, position) triple hash-verifies
+    // against DuckDB deriving the same permutation.
+    QueryDef("q134_shard_shuffle_export",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = md5(concat(col("doc_id").cast("string"), lit(":shard:42")))
+        Tables.documents(s, d).select(col("doc_id"), k.alias("__k"))
+          .withColumn("shard",
+            expr("locate(substring(__k, 1, 1), '0123456789abcdef') - 1")
+              .cast(LongType))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("__k"), col("doc_id")))
+            .cast(LongType))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  md5(CAST(doc_id AS VARCHAR) || ':shard:42') AS k FROM documents),
+             |s AS (SELECT doc_id, k,
+             |  CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT) AS shard
+             |  FROM t)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+             |FROM s""".stripMargin))
   )
 }

@@ -343,6 +343,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"expected a literal-sequence explode:\n$p")
   }
 
+  test("q134 shard export shuffles ONCE on the shard key, never to one partition") {
+    val p = plan("q134_shard_shuffle_export")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange (shard key), got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"exchange must hash on shard (parallel in-shard sorts):\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
+      s"a global funnel defeats the sharded-sort design:\n$p")
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
