@@ -151,4 +151,49 @@ trait DedupComponents { self: DedupMinHash =>
     labels.select(col("id"), col("component").alias("keeper"),
       (col("id") === col("component")).alias("is_keeper"))
   }
+
+  /** Leakage-safe train/val/test split: every document is assigned to a
+    * split by the portable md5 draw on its near-dup CLUSTER representative
+    * (min id of its connected component; itself for singletons), so two
+    * near-duplicate documents can NEVER land on opposite sides of a split
+    * boundary — the property that makes held-out evaluation honest.
+    * Splitting on the raw doc id (the naive approach) leaks: a test doc's
+    * 0.95-Jaccard twin trains the model on the answer.
+    *
+    * `splits` are (name, weight) in declaration order with weights summing
+    * to 1; the draw `md5(rep ":" seed)` is compared against cumulative
+    * [[Sampling.hexThreshold]] boundaries, so any engine with a standard
+    * md5 reproduces the assignment bit-for-bit (the q90 portability
+    * contract). Output: (idCol, rep, split_name) for every input row.
+    *
+    * Scale shape: the cluster labels cost is [[resolveNearDupClustersExact]]
+    * (LSH band join + O(log d) pointer-doubling rounds); everything after
+    * is one left join against the (small — only clustered docs carry
+    * labels) label frame plus a map-side hash — no extra shuffle, stable
+    * under repartitioning. At 100 TB the label frame is the deduped
+    * cluster membership, orders of magnitude smaller than the corpus.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)],
+                       threshold: Double = 0.9,
+                       seed: String = "42"): DataFrame = {
+    require(splits.nonEmpty, "empty split recipe")
+    splits.foreach { case (n, w) =>
+      require(w > 0.0, s"non-positive weight for split $n: $w")
+    }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val labels = resolveNearDupClustersExact(df, idCol, textCol, threshold)
+      .select(col("id").alias(idCol), col("keeper"))
+    val withRep = df.select(col(idCol)).join(labels, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("keeper"), col(idCol)))
+    val h = md5(concat(col("rep").cast("string"), lit(":" + seed)))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.zip(cum).dropRight(1).foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), c), acc) =>
+        when(h < lit(Sampling.hexThreshold(c)), name).otherwise(acc)
+    }
+    withRep.select(col(idCol), col("rep"), assign.alias("split_name"))
+  }
 }

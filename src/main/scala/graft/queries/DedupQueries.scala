@@ -225,6 +225,49 @@ object DedupQueries {
              |SELECT id, min(comp) AS keeper, (id = min(comp)) AS is_keeper
              |FROM cc GROUP BY id""".stripMargin)),
 
+    // Leakage-safe train/val/test split: the md5 split draw keys on the
+    // near-dup CLUSTER representative (q69's exactness-grade clustering),
+    // so near-duplicates never straddle a split boundary — the honest-
+    // held-out-eval primitive a naive per-doc draw violates. The oracle
+    // recomputes the clustering as a recursive-CTE transitive closure and
+    // applies the same portable draw, so the full assignment hash-verifies.
+    QueryDef("q135_leakage_safe_split",
+      (s, d) => Dedup.leakageSafeSplit(
+        Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        threshold = 0.9),
+      Some {
+        val t1 = graft.ops.Sampling.hexThreshold(0.8)
+        val t2 = graft.ops.Sampling.hexThreshold(0.9)
+        s"""WITH RECURSIVE t AS (
+           |  SELECT doc_id,
+           |         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+           |  FROM documents WHERE doc_id < 500),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |              len(list_distinct(list_cat(a.toks, b.toks))), 6) >= 0.9),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs),
+           |cc AS (
+           |  SELECT src AS id, src AS comp FROM edges
+           |  UNION
+           |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+           |lab AS (SELECT id, min(comp) AS keeper FROM cc GROUP BY id),
+           |r AS (
+           |  SELECT d.doc_id, coalesce(l.keeper, d.doc_id) AS rep
+           |  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+           |  LEFT JOIN lab l ON d.doc_id = l.id)
+           |SELECT doc_id, rep,
+           |  CASE WHEN md5(CAST(rep AS VARCHAR) || ':42') < '$t1' THEN 'train'
+           |       WHEN md5(CAST(rep AS VARCHAR) || ':42') < '$t2' THEN 'val'
+           |       ELSE 'test' END AS split_name
+           |FROM r""".stripMargin
+      }),
+
     QueryDef("q42_minhash_neardup",
       (s, d) => Dedup.minHashNearDup(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5),

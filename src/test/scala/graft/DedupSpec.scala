@@ -348,6 +348,33 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh.nonEmpty)
   }
 
+  test("leakageSafeSplit never separates near-duplicates and covers every doc") {
+    val df = graft.sources.Tables.documents(spark, sf001)
+      .filter(col("doc_id") < 500)
+    val out = Dedup.leakageSafeSplit(df, "doc_id", "text",
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // total function: one assignment per input doc, names from the recipe
+    assert(out.size == df.count())
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the leakage property: every brute-force near-dup pair shares a split
+    val pairs = Dedup.tokenJaccardPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles a split")
+      assert(out(a)._1 == out(b)._1, s"pair ($a,$b) got different reps")
+    }
+    // the draw is cluster-level: singletons rep themselves, and the split
+    // fractions land near the recipe on ~hundreds of clusters
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.foreach { case (id, (rep, _)) =>
+      if (!clustered.contains(id)) assert(rep == id, s"singleton $id rep $rep")
+    }
+    val trainShare = out.values.count(_._2 == "train").toDouble / out.size
+    assert(trainShare > 0.65 && trainShare < 0.95, s"train share $trainShare")
+  }
+
   test("decontaminateBloom equals decontaminateExact at any fpp") {
     val all = graft.sources.Tables.documents(spark, sf001)
     val evalSet = all.filter(col("doc_id") % 23 === 0)
