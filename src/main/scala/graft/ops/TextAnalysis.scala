@@ -235,6 +235,50 @@ object TextAnalysis {
           .alias("fingerprint"))
   }
 
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the count of shared distinct word k-grams and the Jaccard similarity
+    * of the two gram sets — the "is my mix leaking between sources"
+    * report a curation pipeline runs before fixing per-source weights
+    * (q110 answers "is THIS doc contaminated"; this answers "which SOURCE
+    * pairs overlap at all, and how badly"). Pairs with zero shared grams
+    * are absent — at 20 sources the dense matrix is tiny, but at
+    * thousands of sources the sparse form is the only one that scales.
+    *
+    * Scale shape: ONE explode→distinct shuffle builds the (source, gram)
+    * set; the self-join keys on gram (identical subplans — Spark reuses
+    * the exchange) with per-gram fan-out bounded by the source count, and
+    * the per-source sizes (#sources rows) broadcast onto the result. No
+    * global collect, no cartesian: a gram shared by s sources costs
+    * s·(s−1)/2 join rows, the exact size of the answer it contributes to.
+    */
+  def sourceOverlapMatrix(df: DataFrame, sourceCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    // bind the token array before shingles reads it (element_at on an
+    // unbound expression re-splits per element — the pinnedFilter family)
+    // The explicit isnotnull(gram) is load-bearing for REUSE, not
+    // semantics (concat_ws grams are never null): the join sides infer it
+    // from the equi-key, and without it here the sizes legs' subplan
+    // differs by exactly that filter — four separate corpus scans instead
+    // of one reused gram-distinct exchange (observed on the initial plan).
+    val grams = df
+      .select(col(sourceCol).alias("src"), TextFunctions.tokens(col(textCol)).alias("__tk"))
+      .select(col("src"), explode(TextFunctions.shingles(col("__tk"), k)).alias("gram"))
+      .filter(col("gram").isNotNull && col("src").isNotNull)
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).alias("n"))
+    val shared = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").alias("src_a"), col("b.src").alias("src_b"))
+      .agg(count(lit(1)).alias("shared_grams"))
+    shared
+      .join(broadcast(sizes.select(col("src").alias("src_a"), col("n").alias("__na"))), "src_a")
+      .join(broadcast(sizes.select(col("src").alias("src_b"), col("n").alias("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("__na") + col("__nb") - col("shared_grams")), 6).alias("jaccard"))
+  }
+
   // ---- oracle SQL fragments ---------------------------------------------
 
   def langScoreSql(lang: String): String = {

@@ -189,6 +189,28 @@ object TextQueries {
              |FROM documents""".stripMargin)),
 
     // The end-to-end curation chain (see corpusCuration scaladoc).
+    // Cross-source contamination matrix: which SOURCE pairs share word
+    // 5-grams, and how badly — the mix-level complement to q110's
+    // per-document decontamination. String grams on both engines, so the
+    // sparse (src_a, src_b, shared, jaccard) matrix hash-verifies.
+    QueryDef("q136_source_overlap_matrix",
+      (s, d) => TextAnalysis.sourceOverlapMatrix(
+        Tables.documents(s, d), "source", "text", k = 5),
+      Some(s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+              |g AS (SELECT DISTINCT source, unnest(list_transform(range(len(tk) - 4),
+              |        i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5])))
+              |        AS gram
+              |      FROM t),
+              |s AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+              |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+              |       FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+              |       GROUP BY 1, 2)
+              |SELECT sh.src_a, sh.src_b, sh.shared_grams,
+              |  round(CAST(sh.shared_grams AS DOUBLE) /
+              |        (sa.n + sb.n - sh.shared_grams), 6) AS jaccard
+              |FROM sh JOIN s sa ON sh.src_a = sa.source
+              |        JOIN s sb ON sh.src_b = sb.source""".stripMargin)),
+
     QueryDef("q97_corpus_curation",
       (s, d) => corpusCuration(s, d),
       Some(corpusCurationSql)),

@@ -353,6 +353,35 @@ class PlanSpec extends SparkSpec {
       s"a global funnel defeats the sharded-sort design:\n$p")
   }
 
+  test("q135 split assignment adds no shuffle beyond the clustering") {
+    val df = SparkEntry.queries("q135_leakage_safe_split")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus side reads doc_id ONLY (projection pruned to the key)...
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"split should scan the id column only:\n$p")
+    // ...and the (small) label frame broadcasts onto it; the md5 draw is
+    // a pure projection. A sort/range exchange here would mean the split
+    // went through a global ordering it does not need.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join against the label frame:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
+      s"global funnel in the split path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q136 overlap matrix computes the gram set once (stage reuse), no cartesian") {
+    val df = SparkEntry.queries("q136_source_overlap_matrix")(spark, sf001)
+    df.collect() // AQE performs exchange/stage reuse at runtime only
+    val p = df.queryExecution.executedPlan.toString
+    // four consumers (self-join both sides + two size legs) must share ONE
+    // corpus scan+explode: without reuse this query reads 100 TB four times
+    assert(p.contains("ReusedExchange"),
+      s"gram-distinct exchange not reused across consumers:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must key on gram:\n$p")
+  }
+
   test("q73 partition filter prunes at the listing, not post-scan") {
     val df = SparkEntry.queries("q73_partitioned_roundtrip")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
