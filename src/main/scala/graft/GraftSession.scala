@@ -28,6 +28,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixtures annotate timestamps isAdjustedToUTC=false (parquet NTZ);
+      // read them as session-TZ TimestampType — with the UTC session TZ the
+      // instant is identical, and the whole engine (unix_micros arithmetic,
+      // window binning, the DuckDB oracle dump) stays on one timestamp type
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // dynamic: overwriting one ingest_date/year-month-day partition
       // replaces ONLY that partition — static overwrite (the default)
       // would truncate the whole table on an incremental re-run

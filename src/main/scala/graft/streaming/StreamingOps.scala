@@ -16,12 +16,14 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Schema of the events fixture as written (ts = nanos long — the file
-    * source needs an explicit schema; we convert to a microsecond
-    * timestamp, matching graft.sources.Tables.events).
+  /** Schema of the events fixture (the file source needs an explicit
+    * schema — no inference on streams). `ts` is microsecond-precision;
+    * the NTZ annotation on the fixture reads as session-TZ TimestampType
+    * under the engine's `inferTimestampNTZ=false` posture, matching
+    * graft.sources.Tables.events.
     */
   val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -32,7 +34,6 @@ object StreamingOps {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Incremental file ingest, the batch-stream unification shape: each
     * invocation processes exactly the files that arrived in `srcDir`
