@@ -47,18 +47,24 @@ object Bench {
 
     // Matched-scale shape comparison FIRST (full runs only): the
     // reference's literal job structure vs the library's, same fixtures,
-    // same deliverables, pristine session. See ShapeBench.
+    // same deliverables, pristine session. Runs under the SAME trust
+    // machinery as the per-query bench (round-8 verdict #1): interleaved
+    // reps, median+min reported, jobs/bytes-gated retry — the headline
+    // baseline ratio is a median of ≥5 paired runs, never one sample.
     val shape =
       if (args.isEmpty || args.headOption.contains("shape")) {
         try {
-          val (ref, ours) = ShapeBench.compare(spark, sfDir)
+          val (ref, ours) = ShapeBench.compareRepped(spark, sfDir, Reps)
           // Locale.ROOT: the f-interpolator is locale-sensitive and would
           // emit comma decimals (invalid JSON) on e.g. de_DE JVMs
           String.format(java.util.Locale.ROOT,
-            ""","baseline_shape_sec":%.3f,"graft_shape_sec":%.3f,"shape_speedup":%.3f,"baseline_shape_jobs":%d,"graft_shape_jobs":%d,"baseline_shape_scan_mb":%d,"graft_shape_scan_mb":%d""",
-            Double.box(ref.sec), Double.box(ours.sec), Double.box(ref.sec / ours.sec),
-            Long.box(ref.jobs), Long.box(ours.jobs),
-            Long.box(ref.scanBytes / 1048576), Long.box(ours.scanBytes / 1048576))
+            ""","shape_reps":%d,"baseline_shape_sec":%.3f,"baseline_shape_min_sec":%.3f,"graft_shape_sec":%.3f,"graft_shape_min_sec":%.3f,"shape_speedup":%.3f,"baseline_shape_jobs":%d,"graft_shape_jobs":%d,"baseline_shape_scan_mb":%d,"graft_shape_scan_mb":%d""",
+            Int.box(math.max(ref.reps, ours.reps)),
+            Double.box(ref.med.sec), Double.box(ref.minSec),
+            Double.box(ours.med.sec), Double.box(ours.minSec),
+            Double.box(ref.med.sec / ours.med.sec),
+            Long.box(ref.med.jobs), Long.box(ours.med.jobs),
+            Long.box(ref.med.scanBytes / 1048576), Long.box(ours.med.scanBytes / 1048576))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] shape compare failed: ${e.getMessage}")
@@ -213,17 +219,29 @@ object Bench {
     // The round-record capture keeps only a bounded TAIL of stdout, and
     // the full line above (~8 KB at 126 queries) gets beheaded by it —
     // round 7's snapshot held an unparseable fragment. The LAST line is
-    // therefore a compact self-contained record (< 2 KB: headline
-    // numbers + per-query medians keyed by query number) that survives
-    // any tail window intact; [min, jobs, scan_mb] detail stays in
-    // BENCH_DETAIL.json (committed) for attribution diffs.
+    // therefore a compact self-contained record that survives the tail
+    // window intact. Round-8 verdict #7: prefer a final line carrying the
+    // FULL per-query [median,min,jobs,scan_mb] (keyed by query number, 2
+    // decimals) so the rN snapshot alone supports regression adjudication
+    // without BENCH_DETAIL.json — but ONLY when it stays under a 3.8 KB
+    // budget; a line the tail window beheads is unparseable and worth
+    // less than medians-only. Fallback: the medians-only map (~1.5 KB).
+    val detailCompact = results.map { case (k, (r, minSec)) =>
+      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d]""",
+        k.takeWhile(_ != '_'), Double.box(if (r.ok) r.sec else -r.sec),
+        Double.box(minSec), Long.box(r.jobs), Long.box(r.scanBytes / 1048576))
+    }.mkString("{", ",", "}")
     val medians = results.map { case (k, (r, _)) =>
       String.format(java.util.Locale.ROOT, """"%s":%.2f""",
         k.takeWhile(_ != '_'), Double.box(if (r.ok) r.sec else -r.sec))
     }.mkString("{", ",", "}")
-    println(String.format(java.util.Locale.ROOT,
+    val compactLine = String.format(java.util.Locale.ROOT,
+      """{"metric":"total","unit":"sec","reps":%d,"failures":%s%s%s,"legend":"queries: name -> [median_sec, min_sec, jobs, scan_mb]","queries":%s,"detail":"BENCH_DETAIL.json","value":%.3f,"sf":"%s"}""",
+      Int.box(Reps), failures, shape, preparedJson, detailCompact, Double.box(total), sfDir)
+    val fallbackLine = String.format(java.util.Locale.ROOT,
       """{"metric":"total","unit":"sec","reps":%d,"failures":%s%s%s,"medians":%s,"detail":"BENCH_DETAIL.json","value":%.3f,"sf":"%s"}""",
-      Int.box(Reps), failures, shape, preparedJson, medians, Double.box(total), sfDir))
+      Int.box(Reps), failures, shape, preparedJson, medians, Double.box(total), sfDir)
+    println(if (compactLine.length <= 3800) compactLine else fallbackLine)
     spark.stop()
   }
 }

@@ -86,8 +86,9 @@ object GenSf {
       Seq("o_orderkey" -> orderS, "o_custkey" -> custS)), "orders")
     write(replicate(read("lineitem"),
       Seq("l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem")
-    // ts stays as-is (nanos long under the session's nanosAsLong): traffic
-    // scaling = 10× the users and events inside the same time range
+    // ts stays as-is (micros-NTZ timestamp in current fixtures; a legacy
+    // nanos fixture would pass through as a long): traffic scaling = 10×
+    // the users and events inside the same time range
     write(replicate(read("events"),
       Seq("event_id" -> eventS, "user_id" -> userS)), "events")
     write(replicate(read("documents"), Seq("doc_id" -> docS), (d, i) =>

@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.sql.shuffle.partitions` defaults to the local core count here;
   *    on a real cluster this is overridden to ~2-3x total executor cores and
   *    AQE coalesces down from there.
-  *  - Nanosecond parquet timestamps (the `events` fixture) are read as raw
-  *    nanos longs (`nanosAsLong`) and converted to microsecond timestamps by
-  *    the source layer ([[graft.sources.Tables.events]]) — Spark's
-  *    TimestampType is microsecond-precision.
+  *  - The `events` fixture stores `ts` as parquet TIMESTAMP(MICROS,
+  *    isAdjustedToUTC=false) (NTZ). With `inferTimestampNTZ` disabled and a
+  *    UTC session timezone it reads as microsecond TimestampType with the
+  *    identical instant; [[graft.sources.Tables.events]] also keeps a
+  *    dynamic branch for legacy nanos-long fixtures (`nanosAsLong`).
   *  - UTC session timezone so timestamp semantics match the DuckDB oracle.
   */
 object GraftSession {

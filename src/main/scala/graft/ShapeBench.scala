@@ -241,4 +241,77 @@ object ShapeBench {
     val ours = graftShape(spark, sfDir)
     (ref, ours)
   }
+
+  /** Median-rep record for one shape: the rep with the median wall time
+    * (its jobs/bytes ride along — one real run, not a mix) plus the min
+    * wall time across all reps. Same semantics as Bench's per-query
+    * record: identical jobs/bytes with median >> min is environment
+    * noise, not a plan change.
+    */
+  final case class ShapeStats(med: ShapeResult, minSec: Double, reps: Int)
+
+  private def statsOf(rs: Seq[ShapeResult]): ShapeStats =
+    ShapeStats(rs.sortBy(_.sec).apply(rs.size / 2), rs.map(_.sec).min, rs.size)
+
+  /** Noise detector — the EXACT rule Bench applies to queries (round-7
+    * ADVICE: jobs/bytes equality between the median and min reps is
+    * checked, not assumed): median > 2x min at equal jobs and ~equal
+    * scan bytes is load, not a plan regression.
+    */
+  private def noisy(rs: Seq[ShapeResult]): Boolean = {
+    val s = statsOf(rs)
+    val minRep = rs.minBy(_.sec)
+    s.minSec > 0 && s.med.sec > 2 * s.minSec &&
+      s.med.jobs == minRep.jobs &&
+      math.abs(s.med.scanBytes - minRep.scanBytes) <=
+        math.max(minRep.scanBytes / 10, 1L << 20)
+  }
+
+  /** Trustworthy shape comparison (round-8 verdict #1: the headline
+    * baseline ratio must not rest on a single un-repped sample — r8's
+    * committed record showed 0.82x while three same-plan measurements sat
+    * at 2.57-2.59x).
+    *
+    * Runs the two shapes INTERLEAVED (ref, graft, ref, graft, ...) for
+    * `reps` rounds, so a transient load spike lands on one rep of each
+    * shape — which the median absorbs — instead of on every rep of
+    * whichever shape it coincided with. Then one retry round per shape
+    * under the same jobs/bytes-gated rule as Bench's queries: a noisy
+    * median (median > 2x min at unchanged jobs/bytes) is re-measured and
+    * the cleaner (lower-median) rep set kept; the min stays the global
+    * min, so a genuinely slow shape cannot launder its number.
+    */
+  def compareRepped(spark: SparkSession, sfDir: String,
+                    reps: Int): (ShapeStats, ShapeStats) = {
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def runSet(): (Vector[ShapeResult], Vector[ShapeResult]) = {
+      var refs = Vector.empty[ShapeResult]
+      var ours = Vector.empty[ShapeResult]
+      for (_ <- 1 to reps) {
+        refs :+= referenceShape(spark, sfDir); sweep()
+        ours :+= graftShape(spark, sfDir); sweep()
+      }
+      (refs, ours)
+    }
+    val (refs1, ours1) = runSet()
+    // Retry is per-shape-pair: if EITHER median is noise-suspect, re-run
+    // the full interleaved set (keeping the pairing honest) and take, per
+    // shape, the rep set with the lower median; the reported min is the
+    // GLOBAL min across both sets, so a genuinely slow shape cannot
+    // launder its number through the retry.
+    if (noisy(refs1) || noisy(ours1)) {
+      System.err.println("[shape] noisy median detected (median > 2x min at equal jobs/bytes); re-measuring")
+      val (refs2, ours2) = runSet()
+      def merge(a: Vector[ShapeResult], b: Vector[ShapeResult]): ShapeStats = {
+        val (sa, sb) = (statsOf(a), statsOf(b))
+        val keep = if (sb.med.sec < sa.med.sec) sb else sa
+        keep.copy(minSec = math.min(sa.minSec, sb.minSec), reps = a.size + b.size)
+      }
+      (merge(refs1, refs2), merge(ours1, ours2))
+    } else (statsOf(refs1), statsOf(ours1))
+  }
 }

@@ -35,8 +35,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Fixture-backed oracles (q129's on-disk WAV parquet) embed the
+    // dataset-dir NAME in their scan path via the __SF_NAME__ token;
+    // substitute the actual dir here so the oracle is derived from the
+    // same sfDir the Spark side wrote under — it can't silently go stale
+    // when the driver verifies at a different scale factor.
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF_NAME__", sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

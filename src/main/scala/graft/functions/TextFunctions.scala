@@ -50,16 +50,23 @@ object TextFunctions {
     * walks the arrays pairwise. Set semantics match string shingles up to
     * 64-bit collisions (~1e-13 per pair), so Jaccard is unchanged.
     */
-  def shingleHashesFromTokenHashes(th: Column, k: Int): Column = {
+  def shingleHashesFromTokenHashes(th: Column, k: Int): Column =
+    array_distinct(shingleHashesPositional(th, k))
+
+  /** POSITIONAL hashed word k-grams from a bound token-hash column: the
+    * same chained-hash construction as [[shingleHashesFromTokenHashes]]
+    * but WITHOUT the distinct — element i is the gram starting at token
+    * position i (0-based), so `posexplode` over it yields the (pos, gram)
+    * postings the substring-dedup operator needs. Equal string grams map
+    * to equal hashes; distinct grams collide with ~1e-13/pair probability.
+    */
+  def shingleHashesPositional(th: Column, k: Int): Column = {
     val n = size(th)
     val combined = (1 until k).foldLeft(th) { (acc, j) =>
-      // zip_with pads the shorter side with null; the padded tail is
-      // sliced off below
       zip_with(acc, slice(th, lit(j + 1), greatest(n - j, lit(0))), (x, y) => xxhash64(x, y))
     }
-    array_distinct(
-      when(n >= k, slice(combined, lit(1), n - (k - 1)))
-        .otherwise(array().cast("array<bigint>")))
+    when(n >= k, slice(combined, lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** MinHash signature: `numHashes` permutations approximated by seeded

@@ -29,3 +29,4 @@ package graft.ops
   with DedupComponents
   with DedupDecontaminate
   with DedupEmbedding
+  with DedupSubstring

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Within-corpus exact substring deduplication — the Lee et al.
+  * ("Deduplicating Training Data Makes Language Models Better", 2022)
+  * ExactSubstr discipline: find and remove token spans that occur
+  * verbatim in MORE THAN ONE document of the corpus. This is the
+  * cross-document complement of [[DedupDecontaminate.decontaminateNgram]]
+  * (which checks the corpus against a bounded eval set) and of q88's
+  * within-document repetition stats: here the repeated text lives in
+  * OTHER corpus documents, so there is no small side to broadcast.
+  *
+  * Spark formulation (suffix arrays are a shared-memory construction;
+  * the k-gram postings formulation below is the shuffle-native
+  * equivalent for spans detected at k-token granularity):
+  *   1. postings: posexplode the positional k-gram hashes → one
+  *      (doc, pos, gram) row per gram occurrence — the ONLY wide op
+  *      whose input is corpus-sized (one explode + one groupBy shuffle);
+  *   2. shared grams: a gram occurring in >1 DISTINCT doc marks every
+  *      one of its occurrences as duplicated text. `min(doc) != max(doc)`
+  *      states ">1 distinct" with plain partial-aggregable min/max — no
+  *      count-distinct expansion;
+  *   3. hits: postings semi-joined to shared grams on the gram key. A
+  *      stopword-like gram (df in the thousands) makes this join key hot
+  *      on BOTH sides of the aggregate→probe pair, but unlike a pairwise
+  *      join the cost here stays LINEAR in postings — each occurrence
+  *      matches the one aggregated gram row, never other occurrences, so
+  *      skew means an uneven-but-linear partition, which AQE skew-join
+  *      splitting rebalances. The optional `maxGramDocFreq` cap is the
+  *      belt-and-braces posture for boilerplate grams (license headers
+  *      in millions of docs): capped grams are dropped from span
+  *      detection like [[DedupJaccardJoin.jaccardJoinPrefix]] df-caps
+  *      its prefixes — a SEMANTIC knob (under-dedups boilerplate), off
+  *      by default and mirrored exactly by the oracle when on;
+  *   4. spans: per-doc interval merge of hit positions (gaps-and-islands
+  *      prefix sum over a per-doc window — doc-bounded partitions, never
+  *      corpus-wide).
+  *
+  * At 100 TB: postings are ~L rows per doc of length L (narrow: two
+  * longs + an int), the groupBy and semi-join shuffle them twice, and
+  * everything after operates on hit rows only (duplicated text), which
+  * real corpora keep far smaller than postings. No all-pairs path
+  * exists at any stage.
+  */
+trait DedupSubstring {
+
+  /** (doc, pos, gram) postings at k-token granularity (pos is 0-based). */
+  private def postings(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame =
+    df.select(col(idCol).alias("__doc"),
+        TextFunctions.shingleHashesPositional(
+          TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), k)
+          .alias("__grams"))
+      .select(col("__doc"), posexplode(col("__grams")).as(Seq("__pos", "__gram")))
+
+  /** Merged duplicated-text spans per document: every maximal token
+    * interval covered by k-grams that also occur in at least one OTHER
+    * document. Returns one row per span:
+    * (doc_id, span_start, span_end, span_tokens) with 0-based inclusive
+    * token positions (BIGINT — oracle parity).
+    *
+    * `maxGramDocFreq`: when set, grams occurring in more than this many
+    * distinct documents are excluded from span detection (boilerplate
+    * guard — see the trait doc; changes semantics, default off).
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, maxGramDocFreq: Option[Int] = None): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val posts = postings(df, idCol, textCol, k)
+    val byGram = posts.groupBy(col("__gram"))
+      .agg(min(col("__doc")).alias("__dmin"), max(col("__doc")).alias("__dmax"),
+        // count_distinct only materializes when the cap needs it
+        (maxGramDocFreq match {
+          case Some(_) => countDistinct(col("__doc"))
+          case None    => lit(0L)
+        }).alias("__df"))
+    val shared = byGram
+      .filter(col("__dmin") =!= col("__dmax") &&
+        maxGramDocFreq.map(cap => col("__df") <= cap).getOrElse(lit(true)))
+      .select(col("__gram"))
+    val hits = posts.join(shared, Seq("__gram"), "left_semi")
+      .select(col("__doc"), col("__pos"),
+        (col("__pos") + lit(k - 1)).alias("__end"))
+    // Gaps-and-islands: a hit starts a new span iff its start position
+    // exceeds the running max end of all earlier hits by more than 1
+    // (contiguous spans merge — removed text should come out as one
+    // block, not k-token confetti). Window partitions are per-doc.
+    val byPos = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val prevMaxEnd = max(col("__end"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+        when(col("__pos") > coalesce(prevMaxEnd, lit(-2)) + 1, 1).otherwise(0))
+      .over(byPos)
+    hits.withColumn("__island", island)
+      .groupBy(col("__doc"), col("__island"))
+      .agg(min(col("__pos")).alias("span_start"), max(col("__end")).alias("span_end"))
+      .select(col("__doc").alias("doc_id"),
+        col("span_start").cast("bigint").alias("span_start"),
+        col("span_end").cast("bigint").alias("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("bigint").alias("span_tokens"))
+  }
+
+  /** Whole-corpus substring dedup: every document with its duplicated
+    * spans REMOVED (tokens covered by any cross-document span dropped,
+    * survivors re-joined with single spaces), plus per-doc accounting.
+    * Documents with no duplicated spans pass through with their token-
+    * normalized text. Output: (doc_id, tokens_total, n_spans,
+    * tokens_removed, cleaned_text).
+    *
+    * The span filter is a higher-order `filter` over the token array
+    * against the doc's own (collected, doc-bounded) span list — codegen
+    * HOFs, no UDF; per-doc cost O(tokens x spans).
+    */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, k, maxGramDocFreq)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).alias("__spans"),
+        count(lit(1)).alias("n_spans"),
+        sum(col("span_tokens")).alias("tokens_removed"))
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).alias("doc_id"), toks.alias("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("bigint").alias("tokens_total"),
+        coalesce(col("n_spans"), lit(0L)).alias("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).alias("tokens_removed"),
+        concat_ws(" ", filter(col("__toks"), (_, i) =>
+          !exists(coalesce(col("__spans"),
+              array().cast("array<struct<span_start:bigint,span_end:bigint>>")),
+            s => i.cast("bigint").between(s("span_start"), s("span_end")))))
+          .alias("cleaned_text"))
+  }
+}

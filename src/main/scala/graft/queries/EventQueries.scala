@@ -10,10 +10,11 @@ import graft.ops.Aggregations.exactSumSql
 /** Time-series queries over the `events` fixture (SURVEY §2.5 W1-W2 and the
   * §2.9 batch time-window extension).
   *
-  * DuckDB sees `events.ts` at nanosecond precision while Spark reads it
-  * truncated to microseconds; every oracle therefore works on a CTE that
-  * casts `ts` to microsecond TIMESTAMP first, so both engines see identical
-  * values (both casts truncate).
+  * `events.ts` is micros-NTZ in the current fixtures, so Spark and DuckDB
+  * already see identical microsecond values; every oracle still works on a
+  * CTE that casts `ts` to microsecond TIMESTAMP first, which is a no-op
+  * today and keeps the oracles correct if a nanos-precision fixture (the
+  * legacy format Tables.events still handles) ever reappears.
   */
 object EventQueries {
 

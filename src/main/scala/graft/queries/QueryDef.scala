@@ -11,8 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every computed column aliased identically on both sides;
   *  - double sums/avgs go through exact Decimal(30,8) accumulation;
   *  - computed integers are BIGINT on both sides;
-  *  - `events.ts` (nanos in parquet) is truncated to microseconds on both
-  *    sides (`CAST(ts AS TIMESTAMP)` in DuckDB, source conversion in Spark).
+  *  - `events.ts` (micros-NTZ in current parquet fixtures) reads as the
+  *    same microsecond instant in both engines; oracles still apply
+  *    `CAST(ts AS TIMESTAMP)` defensively for any legacy nanos fixture.
   */
 final case class QueryDef(
     name: String,

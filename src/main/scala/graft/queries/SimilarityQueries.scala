@@ -239,6 +239,6 @@ object SimilarityQueries {
              |  round(sqrt(CAST(list_sum(list_transform(samples,
              |    x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(samples)) / 32768.0, 9) AS rms,
              |  CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak
-             |FROM parquet_scan('/root/repo/target/graft_audio/sf0.01/media/*.parquet')""".stripMargin))
+             |FROM parquet_scan('/root/repo/target/graft_audio/__SF_NAME__/media/*.parquet')""".stripMargin))
   )
 }

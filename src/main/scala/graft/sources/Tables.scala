@@ -25,11 +25,12 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** `events` is written with nanosecond timestamps; the session reads them
-    * as nanos longs (`spark.sql.legacy.parquet.nanosAsLong=true`) and we
-    * truncate to microseconds here (floor division — matches DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)` truncation, which the oracle SQL applies on
-    * its side).
+  /** `events.ts` is TIMESTAMP(MICROS, isAdjustedToUTC=false) in the current
+    * fixtures — already a timestamp on read (the `case _` branch). The
+    * LongType branch handles legacy nanos-long fixtures (read as raw longs
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`) by truncating to
+    * microseconds (floor division — matches DuckDB's
+    * `CAST(ts_ns AS TIMESTAMP)` truncation in the oracle SQL).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")

@@ -17,10 +17,17 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   /** Schema of the events fixture (the file source needs an explicit
-    * schema — no inference on streams). `ts` is microsecond-precision;
-    * the NTZ annotation on the fixture reads as session-TZ TimestampType
-    * under the engine's `inferTimestampNTZ=false` posture, matching
-    * graft.sources.Tables.events.
+    * schema — no inference on streams). `ts` is parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false); requesting TimestampType here makes the
+    * parquet reader surface it as a UTC instant under the engine's UTC
+    * session TZ — `inferTimestampNTZ=false` is irrelevant on this path
+    * (it only affects schema INFERENCE, i.e. the batch/inferred read in
+    * graft.sources.Tables.events).
+    *
+    * Micros-NTZ-only assumption: a legacy nanos-long events fixture (the
+    * format Tables.events' LongType branch still handles dynamically)
+    * would NOT read under this schema — file streams cannot infer, so the
+    * streaming surface supports only the current micros fixture layout.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),

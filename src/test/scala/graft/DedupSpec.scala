@@ -554,4 +554,72 @@ class DedupSpec extends SparkSpec {
           s"(missing=${(brute -- prefix).size}, extra=${(prefix -- brute).size})")
     }
   }
+
+  // ---- within-corpus exact substring dedup (Lee et al. ExactSubstr) ----
+
+  private val sharedRun = (1 to 10).map(i => s"s$i").mkString(" ")
+
+  test("exactSubstringSpans finds a planted cross-doc substring at exact positions") {
+    val df = docs(
+      1L -> s"a1 a2 a3 $sharedRun a4 a5",   // run at tokens 3..12
+      2L -> s"b1 $sharedRun b2 b3 b4",      // run at tokens 1..10
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every 8-gram fully inside the 10-token run is shared; the boundary
+    // grams mix doc-local context and stay unique — the merged span is
+    // exactly the planted run in each doc
+    assert(spans == Set((1L, 3L, 12L, 10L), (2L, 1L, 10L, 10L)))
+  }
+
+  test("exactSubstringSpans merges adjacent shared runs into one span") {
+    val r1 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val r2 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val df = docs(
+      1L -> s"$r1 $r2",           // R1 at 0..7, R2 at 8..15, back to back
+      2L -> s"x1 x2 $r1 x3",      // shares R1 only
+      3L -> s"y1 $r2 y2 y3")      // shares R2 only
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 8)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // hits [0,7] and [8,15] touch (8 = 7+1): one contiguous removed block
+    assert(spans == Set((0L, 15L)))
+  }
+
+  test("exactSubstringSpans ignores repetition that stays inside one document") {
+    val run = (1 to 9).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      1L -> s"$run z1 z2 $run",   // same 9-token run twice, one doc only
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    assert(Dedup.exactSubstringSpans(df, "doc_id", "text", k = 8).count() == 0)
+  }
+
+  test("exactSubstringSpans maxGramDocFreq cap drops boilerplate grams (documented under-dedup)") {
+    val df = docs(
+      1L -> s"a0 $sharedRun",
+      2L -> s"b0 $sharedRun",
+      3L -> s"c0 $sharedRun",
+      4L -> "d1 d2 d3 d4 d5 d6 d7 d8 d9")
+    val uncapped = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 8)
+    assert(uncapped.count() == 3) // run shared by docs 1-3 → one span each
+    val capped = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 8,
+      maxGramDocFreq = Some(2))
+    assert(capped.count() == 0)   // df=3 grams excluded by the cap
+    val cap3 = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 8,
+      maxGramDocFreq = Some(3))
+    assert(cap3.count() == 3)     // cap at the actual df keeps them
+  }
+
+  test("exactSubstringDedup removes exactly the span tokens and accounts for them") {
+    val df = docs(
+      1L -> s"A1 a2 a3 $sharedRun a4 a5",  // mixed case: tokens() lowercases
+      2L -> s"b1 $sharedRun b2 b3 b4",
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")
+    val out = Dedup.exactSubstringDedup(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((15L, 1L, 10L, "a1 a2 a3 a4 a5")))
+    assert(out(2L) == ((14L, 1L, 10L, "b1 b2 b3 b4")))
+    assert(out(3L) == ((12L, 0L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")))
+  }
 }
