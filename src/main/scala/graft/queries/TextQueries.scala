@@ -215,6 +215,82 @@ object TextQueries {
       (s, d) => corpusCuration(s, d),
       Some(corpusCurationSql)),
 
+    // The training-data ASSEMBLY chain end-to-end (round-8 verdict #3):
+    // curated keepers (q97's chain) → epoch-weighted mixture (q133's
+    // recipe) → concat-and-split packing (q92's discipline) → shard-and-
+    // order export (q134's layout), one DuckDB CTE chain as the oracle.
+    // Each stage is individually hash-green; this query pins the
+    // INTERFACES between them, which no individual oracle checks:
+    //  - replicas leaving the mixer get a REPLICA-UNIQUE seq_id
+    //    (doc_id*4 + pass — packing on the bare doc_id would fold
+    //    replicas onto one sort key and make bin assignment
+    //    nondeterministic under ties);
+    //  - the pass provenance survives packing inside seq_id and is
+    //    re-derived at the end (doc_id = seq_id div 4, pass = seq_id%4);
+    //  - the shard draw keys on the PACKED bin id, not the document id,
+    //    so co-packed sequences ship in the same shard file.
+    // Scale: adds one tiny distinct-bins frame + a broadcast join on top
+    // of the constituent operators' shapes — no new corpus shuffle.
+    QueryDef("q138_assembly_chain",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.LongType
+        val weights = (0 until 20).map(i => s"src$i" -> (if (i < 5) 2.3 else 0.7)).toMap
+        val mixed = graft.ops.Mixing.mixCorpora(
+            curatedDocs(s, d), "source", "doc_id", weights)
+          .withColumn("seq_id", (col("doc_id") * 4 + col("pass")).cast(LongType))
+        val packed = graft.ops.Packing.packConcatSplit(
+          mixed, "seq_id", "text", budget = 256)
+        val bins = packed.select(col("bin_id")).distinct()
+          .withColumn("__k", md5(concat(col("bin_id").cast("string"), lit(":shard:42"))))
+          .withColumn("shard",
+            expr("locate(substring(__k, 1, 1), '0123456789abcdef') - 1").cast(LongType))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("__k"), col("bin_id")))
+            .cast(LongType))
+          .select(col("bin_id"), col("shard"), col("pos"))
+        packed.join(broadcast(bins), Seq("bin_id"))
+          .select(expr("seq_id div 4").alias("doc_id"),
+            (col("seq_id") % 4).alias("pass"), col("seq_id"),
+            col("n_tokens"), col("bin_id"), col("shard"), col("pos"))
+      },
+      Some {
+        val tHeavy = graft.ops.Sampling.hexThreshold(2.3 - 2)
+        val tTail = graft.ops.Sampling.hexThreshold(0.7)
+        val heavy = (0 until 5).map(i => s"'src$i'").mkString(", ")
+        val tail = (5 until 20).map(i => s"'src$i'").mkString(", ")
+        s"""$curationCtes,
+           |cur AS (SELECT f.doc_id, f.source, d.text
+           |        FROM filtered f JOIN documents d ON d.doc_id = f.doc_id),
+           |p AS (SELECT pass FROM range(0, 3) r(pass)),
+           |mix AS (SELECT c.doc_id, c.source, c.text, p.pass,
+           |  md5(CAST(c.doc_id AS VARCHAR) || ':' || CAST(p.pass AS VARCHAR) || ':42') AS mk
+           |  FROM cur c CROSS JOIN p),
+           |mixed AS (SELECT doc_id, text, pass FROM mix
+           |  WHERE (source IN ($heavy) AND (pass < 2 OR (pass = 2 AND mk < '$tHeavy')))
+           |     OR (source IN ($tail) AND pass = 0 AND mk < '$tTail')),
+           |seq AS (SELECT doc_id * 4 + pass AS seq_id, doc_id, pass,
+           |  CAST(len($toks) AS BIGINT) AS n_tokens FROM mixed),
+           |cum AS (SELECT seq_id, doc_id, pass, n_tokens,
+           |  SUM(n_tokens) OVER (ORDER BY seq_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           |  FROM seq),
+           |packed AS (SELECT seq_id, doc_id, pass, n_tokens,
+           |  CAST((c - n_tokens) // 256 AS BIGINT) AS bin_id FROM cum),
+           |sb AS (SELECT DISTINCT bin_id FROM packed),
+           |shp AS (SELECT bin_id,
+           |  CAST(strpos('0123456789abcdef',
+           |    substr(md5(CAST(bin_id AS VARCHAR) || ':shard:42'), 1, 1)) - 1 AS BIGINT) AS shard,
+           |  md5(CAST(bin_id AS VARCHAR) || ':shard:42') AS bk FROM sb),
+           |ord AS (SELECT bin_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY bk, bin_id) AS BIGINT) AS pos
+           |  FROM shp)
+           |SELECT pk.doc_id, CAST(pk.pass AS BIGINT) AS pass,
+           |  CAST(pk.seq_id AS BIGINT) AS seq_id, pk.n_tokens, pk.bin_id,
+           |  o.shard, o.pos
+           |FROM packed pk JOIN ord o USING (bin_id)""".stripMargin
+      }),
+
     // Corpus vocabulary top-k by collection frequency (explode→aggregate;
     // ties broken by token for a total order).
     QueryDef("q89_vocabulary_topk",
@@ -318,7 +394,11 @@ object TextQueries {
     * chain, bit-exact rollup. Registered in [[all]] below as
     * q97_corpus_curation.
     */
-  private def corpusCuration(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** The curated-keeper frame the assembly chain (q138) consumes: quality
+    * gate → repetition gate → exact-dedup keepers → benchmark
+    * decontamination, with the signal columns still attached.
+    */
+  private[queries] def curatedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
     val keepers = Dedup.exactDedup(docs, "doc_id", "text").select(col("keeper_id"))
     val evalSet = docs.filter(col("doc_id") % 31 === 0)
@@ -336,14 +416,22 @@ object TextQueries {
         (col("dup_2gram_frac").isNull || col("dup_2gram_frac") <= 0.2))
       .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")
     Dedup.decontaminateExact(curated, evalSet, "doc_id", "text")
+  }
+
+  private def corpusCuration(s: org.apache.spark.sql.SparkSession, d: String) =
+    curatedDocs(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).alias("n_docs"),
         sum(col("n_tokens")).alias("total_tokens"),
         round(graft.ops.Aggregations.exactAvg(col("quality_score")), 6)
           .alias("avg_quality"))
-  }
 
-  private lazy val corpusCurationSql: String =
+  /** Shared WITH-body of the curation chain through the `filtered` CTE
+    * (curated keeper ids + signals) — q97 aggregates it, q138 feeds it
+    * into the mixing/packing/sharding chain. One string so the two
+    * oracles can never drift.
+    */
+  private lazy val curationCtes: String =
     s"""WITH t AS (SELECT doc_id, text, lang, source, $toks AS tk FROM documents),
        |stats AS (SELECT doc_id, lang, source,
        |  CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -372,7 +460,10 @@ object TextQueries {
        |  WHERE quality_score >= 0.5 AND (dup2 IS NULL OR dup2 <= 0.2)
        |    AND doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
        |    AND doc_id IN (SELECT doc_id FROM norm
-       |                   WHERE nt NOT IN (SELECT nt FROM norm WHERE doc_id % 31 = 0)))
+       |                   WHERE nt NOT IN (SELECT nt FROM norm WHERE doc_id % 31 = 0)))""".stripMargin
+
+  private lazy val corpusCurationSql: String =
+    s"""$curationCtes
        |SELECT lang, source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  round(${exactAvgSql("quality_score")}, 6) AS avg_quality

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Random-plan differential fuzzer: seeded generator over the core
-  * relational surface (filter / project / inner+left join / semi + anti
-  * join / union / aggregate / having / distinct / window), evaluated
-  * twice —
+  * relational surface (filter / project / inner+left+right+full join /
+  * semi + anti join / union / intersect + except / aggregate / having /
+  * distinct / window), evaluated twice —
   *
   *  1. through Spark (DataFrame API → Catalyst → Tungsten), and
   *  2. through a NAIVE Scala-collections interpreter written against SQL
@@ -69,7 +69,13 @@ object Fuzz {
   final case class Base(name: String) extends Rel
   final case class FilterR(in: Rel, p: Pred) extends Rel
   final case class ProjectR(in: Rel, cols: Seq[(String, Expr)]) extends Rel
-  final case class JoinR(l: Rel, r: Rel, lk: String, rk: String, left: Boolean) extends Rel
+  /** Key-equality join; `jt` ∈ inner | left | right | full. Outer-join
+    * null padding × three-valued logic is where engines genuinely
+    * disagree (round-8 verdict #5), so all four types are fuzzed. Sides
+    * always have disjoint column names (generator invariant), so the
+    * interpreter's map-merge equals Spark's positional schema concat.
+    */
+  final case class JoinR(l: Rel, r: Rel, lk: String, rk: String, jt: String) extends Rel
   /** left-semi (anti = false) / left-anti (anti = true) on key equality;
     * output schema is the LEFT side only. SQL semantics: a null left key
     * matches nothing, so semi drops it and anti keeps it.
@@ -77,6 +83,12 @@ object Fuzz {
   final case class SemiR(l: Rel, r: Rel, lk: String, rk: String, anti: Boolean) extends Rel
   /** bag-semantics positional union of two same-schema relations */
   final case class UnionR(a: Rel, b: Rel) extends Rel
+  /** SET-semantics INTERSECT / EXCEPT (DISTINCT forms — what Spark's
+    * `intersect`/`except` implement): distinct rows of `a` present
+    * (resp. absent) in `b`, with NULL-SAFE row equality — unlike the
+    * `=` of a join predicate, two all-NULL rows compare EQUAL here.
+    */
+  final case class SetR(a: Rel, b: Rel, except: Boolean) extends Rel
   final case class AggR(in: Rel, key: String, aggs: Seq[(String, AggFn)]) extends Rel
   final case class DistinctR(in: Rel) extends Rel
   /** row_number() over (partition by part order by ord, tiebreak) */
@@ -116,6 +128,7 @@ object Fuzz {
     case JoinR(l, rr, _, _, _) => schemaOf(l) ++ schemaOf(rr)
     case SemiR(l, _, _, _, _)  => schemaOf(l)
     case UnionR(a, _)          => schemaOf(a)
+    case SetR(a, _, _)         => schemaOf(a)
     case AggR(in, k, aggs) =>
       val inSchema = schemaOf(in)
       val kt = inSchema.find(_._1 == k).get._2
@@ -176,13 +189,16 @@ object Fuzz {
       val inSchema = schemaOf(in)
       toDF(spark, sfDir, in)
         .select(cs.map { case (n, e) => toColumn(e, inSchema).alias(n) }: _*)
-    case JoinR(l, rr, lk, rk, leftJoin) =>
+    case JoinR(l, rr, lk, rk, jt) =>
       val (dl, dr) = (toDF(spark, sfDir, l), toDF(spark, sfDir, rr))
-      dl.join(dr, dl(lk) === dr(rk), if (leftJoin) "left" else "inner")
+      dl.join(dr, dl(lk) === dr(rk), jt)
     case SemiR(l, rr, lk, rk, anti) =>
       val (dl, dr) = (toDF(spark, sfDir, l), toDF(spark, sfDir, rr))
       dl.join(dr, dl(lk) === dr(rk), if (anti) "left_anti" else "left_semi")
     case UnionR(a, b) => toDF(spark, sfDir, a).union(toDF(spark, sfDir, b))
+    case SetR(a, b, except) =>
+      val (da, db) = (toDF(spark, sfDir, a), toDF(spark, sfDir, b))
+      if (except) da.except(db) else da.intersect(db)
     case AggR(in, k, aggs) =>
       toDF(spark, sfDir, in).groupBy(col(k)).agg(
         aggCol(aggs.head._1, aggs.head._2),
@@ -279,17 +295,31 @@ object Fuzz {
     case FilterR(in, p) => evalRel(tables, in).filter(evalPred(p, _).contains(true))
     case ProjectR(in, cs) =>
       evalRel(tables, in).map(row => cs.map { case (n, e) => n -> evalExpr(e, row) }.toMap)
-    case JoinR(l, rr, lk, rk, leftJoin) =>
-      val rows = evalRel(tables, rr)
+    case JoinR(l, rr, lk, rk, jt) =>
+      val lrows = evalRel(tables, l)
+      val rrows = evalRel(tables, rr)
+      val leftSchema = schemaOf(l).map(_._1)
       val rightSchema = schemaOf(rr).map(_._1)
-      val byKey = rows.filter(_(rk) != null).groupBy(_(rk))
-      evalRel(tables, l).flatMap { lr =>
+      val byKey = rrows.filter(_(rk) != null).groupBy(_(rk))
+      // matched pairs + left padding (a null left key matches nothing;
+      // under left/full it surfaces once with a null-padded right side)
+      val leftPart = lrows.flatMap { lr =>
         val k = lr(lk)
         val matches = if (k == null) Seq.empty else byKey.getOrElse(k, Seq.empty)
         if (matches.nonEmpty) matches.map(lr ++ _)
-        else if (leftJoin) Seq(lr ++ rightSchema.map(_ -> (null: Any)).toMap)
+        else if (jt == "left" || jt == "full")
+          Seq(lr ++ rightSchema.map(_ -> (null: Any)).toMap)
         else Seq.empty
       }
+      // right padding: right rows whose key is null or unmatched by any
+      // left key surface once with a null-padded left side
+      val rightPad =
+        if (jt == "right" || jt == "full") {
+          val lKeys = lrows.map(_(lk)).filter(_ != null).toSet
+          rrows.filter(r0 => r0(rk) == null || !lKeys.contains(r0(rk)))
+            .map(r0 => leftSchema.map(_ -> (null: Any)).toMap ++ r0)
+        } else Seq.empty
+      leftPart ++ rightPad
     case AggR(in, k, aggs) =>
       evalRel(tables, in).groupBy(_(k)).map { case (kv, rows) =>
         (Map[String, Any](k -> kv) ++ aggs.map { case (n, fn) =>
@@ -314,6 +344,15 @@ object Fuzz {
         if (anti) !matched else matched
       }
     case UnionR(a, b) => evalRel(tables, a) ++ evalRel(tables, b)
+    case SetR(a, b, except) =>
+      // NULL-safe row equality via the canonical rendering (the same one
+      // the multiset compare uses): distinct rows of a, kept by presence
+      // (intersect) or absence (except) in b
+      val cols = schemaOf(a).map(_._1)
+      val bKeys = evalRel(tables, b).map(r => canon(cols, r(_))).toSet
+      evalRel(tables, a)
+        .groupBy(r => canon(cols, r(_))).toSeq
+        .collect { case (k, rs) if bKeys.contains(k) != except => rs.head }
     case DistinctR(in) => evalRel(tables, in).distinct
     case WindowR(in, part, ord, tb) =>
       evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
@@ -472,18 +511,21 @@ object Fuzz {
         }
       }
 
+    private def joinType(): String = pick(Seq("inner", "left", "right", "full"))
+
     def gen(): Rel = {
-      // bottom: a base, a natural-key join, or a window over orders
-      val bottom: Rel = rnd.nextInt(8) match {
+      // bottom: a base, a natural-key join (all four types — outer-join
+      // padding is fuzz-worthy territory), a set op, or a window
+      val bottom: Rel = rnd.nextInt(9) match {
         case 0 => Base(pick(Seq("customer", "orders", "nation")))
         case 1 => JoinR(Base("orders"), Base("customer"),
-          "o_custkey", "c_custkey", left = rnd.nextBoolean())
+          "o_custkey", "c_custkey", joinType())
         case 2 => JoinR(Base("customer"), Base("nation"),
-          "c_nationkey", "n_nationkey", left = rnd.nextBoolean())
+          "c_nationkey", "n_nationkey", joinType())
         case 3 => WindowR(Base("orders"), "o_custkey", "o_totalprice", "o_orderkey")
         case 4 => JoinR(
           FilterR(Base("orders"), genPred(schemas("orders"), 1)),
-          Base("customer"), "o_custkey", "c_custkey", left = rnd.nextBoolean())
+          Base("customer"), "o_custkey", "c_custkey", joinType())
         case 5 => SemiR(Base("customer"),
           FilterR(Base("orders"), genPred(schemas("orders"), 1)),
           "c_custkey", "o_custkey", anti = rnd.nextBoolean())
@@ -496,6 +538,14 @@ object Fuzz {
           val t = pick(Seq("customer", "orders"))
           UnionR(FilterR(Base(t), genPred(schemas(t), 1)),
             FilterR(Base(t), genPred(schemas(t), 1)))
+        case 8 =>
+          // INTERSECT / EXCEPT of two differently-filtered copies of one
+          // base: overlapping-but-unequal row sets by construction, so
+          // both the kept and dropped branches are exercised
+          val t = pick(Seq("customer", "orders"))
+          SetR(FilterR(Base(t), genPred(schemas(t), 1)),
+            FilterR(Base(t), genPred(schemas(t), 1)),
+            except = rnd.nextBoolean())
       }
       val mid = stack(bottom, rnd.nextInt(3))
       // optionally aggregate (and optionally filter the aggregate = HAVING)

@@ -1,10 +1,10 @@
 package graft
 
 /** Differential fuzzing of the core relational surface: 200 seeded random
-  * plans (filter / project / inner+left join / semi+anti join / union /
-  * agg / having / distinct / window over customer⋈orders⋈nation)
-  * evaluated through Spark AND through [[Fuzz]]'s naive SQL-semantics
-  * interpreter, compared as canonical multisets.
+  * plans (filter / project / inner+left+right+full join / semi+anti join /
+  * union / intersect+except / agg / having / distinct / window over
+  * customer⋈orders⋈nation) evaluated through Spark AND through [[Fuzz]]'s
+  * naive SQL-semantics interpreter, compared as canonical multisets.
   *
   * The seed corpus is `1 to 200` with [[Fuzz.Gen]]'s deterministic
   * derivation — committing the generator commits the corpus, so a
@@ -50,11 +50,12 @@ class FuzzSpec extends SparkSpec {
       case Base(_)              => Set("base")
       case FilterR(in, p)       => ops(in) + "filter" ++ predFeats(p)
       case ProjectR(in, _)      => ops(in) + "project"
-      case JoinR(l, rr, _, _, left) =>
-        ops(l) ++ ops(rr) + (if (left) "leftjoin" else "innerjoin")
+      case JoinR(l, rr, _, _, jt) => ops(l) ++ ops(rr) + s"${jt}join"
       case SemiR(l, rr, _, _, anti) =>
         ops(l) ++ ops(rr) + (if (anti) "antijoin" else "semijoin")
       case UnionR(a, b)         => ops(a) ++ ops(b) + "union"
+      case SetR(a, b, except)   =>
+        ops(a) ++ ops(b) + (if (except) "except" else "intersect")
       case AggR(in, _, aggs)    =>
         ops(in) + "agg" ++
           (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
@@ -65,8 +66,8 @@ class FuzzSpec extends SparkSpec {
       acc ++ ops(new Gen(seed.toLong).gen())
     }
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
-      "semijoin", "antijoin", "union", "agg", "avg", "distinct", "window",
-      "colcolcmp")
+      "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
+      "except", "agg", "avg", "distinct", "window", "colcolcmp")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
