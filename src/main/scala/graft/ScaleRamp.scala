@@ -55,7 +55,17 @@ object ScaleRamp {
         val n = emb.count()
         graft.ops.Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k = 10,
           nCentroids = math.max(16, math.sqrt(n.toDouble).toInt), nProbe = 8)
-      })
+      }),
+      // q135's operator without the oracle-bounding doc_id cap (the
+      // recursive-CTE oracle is why the registry form stops at 500 docs):
+      // cluster-aware split over the WHOLE corpus — the family's most
+      // expensive member (round-8 verdict #6), dominated by
+      // resolveNearDupClustersExact's prefix-Jaccard candidates +
+      // pointer-doubling CC
+      "x_leakage_split_full" -> (() => graft.ops.Dedup.leakageSafeSplit(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        threshold = 0.9))
     ).filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
 
     val results = runs.map { case (name, mk) =>

