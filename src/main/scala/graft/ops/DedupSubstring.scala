@@ -81,7 +81,20 @@ trait DedupSubstring {
     * guard — see the trait doc; changes semantics, default off).
     */
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-                          k: Int, maxGramDocFreq: Option[Int] = None): DataFrame = {
+                          k: Int, maxGramDocFreq: Option[Int] = None): DataFrame =
+    exactSubstringSpansKeep(df, idCol, textCol, k, keepFirst = false, maxGramDocFreq)
+
+  /** [[exactSubstringSpans]] with the keep-one-copy knob. `keepFirst =
+    * true` is the Lee et al. canonical-copy discipline: each shared
+    * gram's occurrences in its EARLIEST document (min doc id) are NOT
+    * marked, so exactly one copy of every duplicated substring survives
+    * in the corpus; `false` marks every occurrence (remove-everywhere —
+    * the decontamination-flavored default, where duplicated text is
+    * unwanted wherever it appears).
+    */
+  def exactSubstringSpansKeep(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, keepFirst: Boolean,
+                              maxGramDocFreq: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be positive")
     val posts = postings(df, idCol, textCol, k)
     val byGram = posts.groupBy(col("__gram"))
@@ -94,8 +107,12 @@ trait DedupSubstring {
     val shared = byGram
       .filter(col("__dmin") =!= col("__dmax") &&
         maxGramDocFreq.map(cap => col("__df") <= cap).getOrElse(lit(true)))
-      .select(col("__gram"))
-    val hits = posts.join(shared, Seq("__gram"), "left_semi")
+      .select(col("__gram"), col("__dmin"))
+    // keep-first joins on the gram AND compares the doc against the
+    // gram's earliest holder — an inner join (not semi) because __dmin
+    // rides along; hit multiplicity is unchanged (one gram row each)
+    val marked = posts.join(shared, Seq("__gram"))
+    val hits = (if (keepFirst) marked.filter(col("__doc") =!= col("__dmin")) else marked)
       .select(col("__doc"), col("__pos"),
         (col("__pos") + lit(k - 1)).alias("__end"))
     // Gaps-and-islands: a hit starts a new span iff its start position

@@ -421,6 +421,36 @@ object DedupQueries {
               |    len(list_filter(coalesce(spl.spans, []),
               |      sp2 -> (ix - 1) >= sp2[1] AND (ix - 1) <= sp2[2])) = 0), ' '), '')
               |    AS cleaned_text
-              |FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id""".stripMargin))
+              |FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id""".stripMargin)),
+
+    // Keep-first substring dedup (the Lee-et-al. canonical-copy
+    // discipline): spans are marked only in documents that are NOT the
+    // earliest holder of the gram, so exactly one copy of every
+    // duplicated substring survives the corpus. Same postings/merge
+    // machinery as q137 with the per-gram min-doc exclusion.
+    QueryDef("q140_substring_dedup_keepfirst",
+      (s, d) => Dedup.exactSubstringSpansKeep(Tables.documents(s, d),
+        "doc_id", "text", k = 8, keepFirst = true),
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+              |          FROM documents),
+              |p AS (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos FROM t),
+              |g AS (SELECT doc_id, pos, concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3],
+              |        tk[pos+4], tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS gram
+              |      FROM p),
+              |sh AS (SELECT gram, min(doc_id) AS dmin FROM g
+              |       GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+              |h AS (SELECT g.doc_id, g.pos, g.pos + 7 AS e
+              |      FROM g JOIN sh ON g.gram = sh.gram
+              |      WHERE g.doc_id <> sh.dmin),
+              |m AS (SELECT doc_id, pos, e,
+              |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              |             THEN 1 ELSE 0 END AS brk FROM h),
+              |i AS (SELECT doc_id, pos, e,
+              |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              |  CAST(max(e) AS BIGINT) AS span_end,
+              |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+              |FROM i GROUP BY doc_id, island""".stripMargin))
   )
 }

@@ -610,6 +610,23 @@ class DedupSpec extends SparkSpec {
     assert(cap3.count() == 3)     // cap at the actual df keeps them
   }
 
+  test("exactSubstringSpansKeep(keepFirst) leaves one canonical copy per duplicated run") {
+    val df = docs(
+      5L -> s"a1 a2 $sharedRun a3",     // earliest holder of every shared gram
+      7L -> s"b1 $sharedRun b2 b3",
+      9L -> s"$sharedRun c1 c2 c3")
+    val spans = Dedup.exactSubstringSpansKeep(df, "doc_id", "text", k = 8,
+        keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 5 (min id) keeps its copy untouched; docs 7 and 9 lose theirs
+    assert(spans == Set((7L, 1L, 10L), (9L, 0L, 9L)))
+    // remove-everywhere marks all three
+    val all = Dedup.exactSubstringSpansKeep(df, "doc_id", "text", k = 8,
+        keepFirst = false)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(all == Set(5L, 7L, 9L))
+  }
+
   test("exactSubstringDedup removes exactly the span tokens and accounts for them") {
     val df = docs(
       1L -> s"A1 a2 a3 $sharedRun a4 a5",  // mixed case: tokens() lowercases
