@@ -93,6 +93,13 @@ object Fuzz {
   final case class DistinctR(in: Rel) extends Rel
   /** row_number() over (partition by part order by ord, tiebreak) */
   final case class WindowR(in: Rel, part: String, ord: String, tiebreak: String) extends Rel
+  /** ORDER BY every column (schema order, ASC NULLS FIRST) + LIMIT n —
+    * the TakeOrderedAndProject path. The full-column sort is total up to
+    * exact duplicate rows, and ties among exact duplicates cannot change
+    * the result MULTISET, so the comparison stays sound without a unique
+    * key.
+    */
+  final case class SortLimitR(in: Rel, n: Int) extends Rel
 
   // ---- schemas of the three fuzz tables ---------------------------------
 
@@ -142,6 +149,7 @@ object Fuzz {
       }
     case DistinctR(in)    => schemaOf(in)
     case WindowR(in, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
+    case SortLimitR(in, _) => schemaOf(in)
   }
 
   // ---- Spark evaluation --------------------------------------------------
@@ -209,6 +217,9 @@ object Fuzz {
       toDF(spark, sfDir, in).withColumn("rn",
         row_number().over(Window.partitionBy(col(part)).orderBy(col(ord), col(tb)))
           .cast("long"))
+    case SortLimitR(in, n) =>
+      val cols = schemaOf(in).map { case (c, _) => col(c).asc_nulls_first }
+      toDF(spark, sfDir, in).orderBy(cols: _*).limit(n)
   }
 
   private def aggCol(name: String, fn: AggFn): Column = fn match {
@@ -354,6 +365,12 @@ object Fuzz {
         .groupBy(r => canon(cols, r(_))).toSeq
         .collect { case (k, rs) if bKeys.contains(k) != except => rs.head }
     case DistinctR(in) => evalRel(tables, in).distinct
+    case SortLimitR(in, n) =>
+      val cols = schemaOf(in).map(_._1)
+      evalRel(tables, in).sortWith { (a, b) =>
+        val it = cols.iterator.map(c => cmpNullsFirst(a(c), b(c))).dropWhile(_ == 0)
+        it.hasNext && it.next() < 0
+      }.take(n)
     case WindowR(in, part, ord, tb) =>
       evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
         grp.sortWith { (a, b) =>
@@ -554,7 +571,7 @@ object Fuzz {
         val keys = schema.filter(t => t._2 == TLong || t._2 == TString)
         if (keys.nonEmpty && rnd.nextBoolean()) Some(pick(keys)._1) else None
       }
-      aggKeyOpt match {
+      val top = aggKeyOpt match {
         case None => mid
         case Some(k) =>
           val longCols = schema.filter(_._2 == TLong).map(_._1)
@@ -574,6 +591,9 @@ object Fuzz {
               LitL(1 + rnd.nextInt(5).toLong)))
           else agg
       }
+      // 1-in-4 plans end in ORDER BY all columns + LIMIT (the
+      // TakeOrderedAndProject path — per-partition top-k + driver merge)
+      if (rnd.nextInt(4) == 0) SortLimitR(top, 1 + rnd.nextInt(60)) else top
     }
   }
 }

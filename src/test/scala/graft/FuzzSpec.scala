@@ -61,13 +61,14 @@ class FuzzSpec extends SparkSpec {
           (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
+      case SortLimitR(in, _)    => ops(in) + "sortlimit"
     }
     val seen = (1 to 200).foldLeft(Set.empty[String]) { (acc, seed) =>
       acc ++ ops(new Gen(seed.toLong).gen())
     }
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
-      "except", "agg", "avg", "distinct", "window", "colcolcmp")
+      "except", "agg", "avg", "distinct", "window", "sortlimit", "colcolcmp")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }

@@ -320,6 +320,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q138 assembly chain: broadcast-only joins, bucketed prefix sum, per-shard order") {
+    val p = plan("q138_assembly_chain")
+    // the chain adds NO corpus-sized join: keepers/eval/bins sides are all
+    // bounded frames and must broadcast — a SortMergeJoin here would mean
+    // a full corpus shuffle smuggled in by an interface regression
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
+    // packing's running sum stays per-bucket; shard position stays
+    // per-shard — neither may degrade to a global single-partition window
+    assert(p.contains("windowspecdefinition(__b"),
+      s"packing prefix sum lost its bucket partitioning:\n$p")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"shard position lost its shard partitioning:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("registry sweep: no query plans a product join or unbounded shape") {
     import graft.ops.PlanAudit
     // BroadcastNestedLoopJoin is ERROR-graded by the audit because it is
