@@ -25,7 +25,12 @@ def main() -> int:
         if name not in new:
             rows.append((name, old[name], None, "REMOVED"))
             continue
-        (os_, oj, ob), (ns, nj, nb) = old[name], new[name]
+        # record is [median, min, jobs, scan_mb] since round 5; tolerate
+        # the pre-round-5 3-tuple [median, jobs, scan_mb] for old records
+        def unpack(rec):
+            return (rec[0], rec[-2], rec[-1], rec[1] if len(rec) == 4 else rec[0])
+        os_, oj, ob, omin = unpack(old[name])
+        ns, nj, nb, nmin = unpack(new[name])
         if os_ < 0 or ns < 0:
             rows.append((name, old[name], new[name], "FAILED"))
             continue
@@ -33,8 +38,12 @@ def main() -> int:
         if ratio < thresh and ratio > 1 / thresh:
             continue
         plan_changed = (oj != nj) or abs(ob - nb) > 1
+        # min-vs-min agreement at unchanged jobs/bytes is the strongest
+        # noise signal: the plan can still run as fast as it ever did
+        min_ok = omin > 0 and nmin <= thresh * omin
         verdict = "PLAN CHANGED (jobs/bytes moved)" if plan_changed else \
-            "noise (identical jobs+bytes)"
+            ("noise (identical jobs+bytes, min unchanged)" if min_ok
+             else "noise (identical jobs+bytes)")
         rows.append((name, old[name], new[name], f"{ratio:.2f}x — {verdict}"))
 
     if not rows:
