@@ -288,6 +288,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == 150)
   }
 
+  test("nearDupIngest drops near-dups within and across batches, replay-safe") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("neardup_ingest")
+    val (src, dest, ckpt, idx) =
+      (s"$base/src", s"$base/dest", s"$base/ckpt", s"$base/index")
+    def doc(id: Long, vocab: String, swap: Int = 0) =
+      (id, (1 to 50).map(i => if (i <= swap) s"sw${vocab}$i" else s"$vocab$i").mkString(" "))
+    val schema = Seq(doc(0L, "a")).toDF("doc_id", "text").schema
+    def ingest(): Unit = StreamingOps.nearDupIngest(
+      spark, src, dest, ckpt, idx, schema, "doc_id", "text")
+
+    // batch 1: doc 2 is a near-dup of doc 1 (48/50 shared tokens →
+    // jaccard 48/52 ≈ 0.923 ≥ 0.9); docs 3-5 disjoint vocabularies
+    Seq(doc(1, "a"), doc(2, "a", swap = 2), doc(3, "b"), doc(4, "c"), doc(5, "d"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    ingest()
+    val after1 = spark.read.parquet(dest).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(1L, 3L, 4L, 5L), s"within-batch near-dup must drop: $after1")
+
+    // batch 2: doc 6 near-dups doc 3 ACROSS batches (index probe), doc 7 fresh
+    Seq(doc(6, "b", swap = 2), doc(7, "e"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    ingest()
+    val after2 = spark.read.parquet(dest).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(1L, 3L, 4L, 5L, 7L), s"cross-batch near-dup must drop: $after2")
+
+    // the index holds exactly the survivors' signatures
+    assert(spark.read.parquet(idx).select("__id")
+      .collect().map(_.getLong(0)).toSet == after2)
+
+    // no new files → a run commits nothing and rewrites nothing
+    ingest()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 5 && out.select("doc_id").distinct().count() == 5,
+      "replay with no new files must be a no-op")
+  }
+
   test("streaming corpus ingest: dedup then chunk matches the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
