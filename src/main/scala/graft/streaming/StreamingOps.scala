@@ -145,6 +145,62 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Embedding-modality twin of [[nearDupIngest]]: streaming ingestion of
+    * vectors with cosine near-dup filtering against the persisted
+    * [[graft.ops.Dedup.embeddingIndex]]. Same per-batch discipline —
+    * within-batch greedy min-id filter, asymmetric batch x corpus probe
+    * ([[graft.ops.Dedup.embeddingNearDupAgainst]], which fail-louds on an
+    * index built with a different sketch width via the persisted
+    * `__nbits`), survivors + their index rows as per-batch
+    * dynamic-overwrite partitions. `planes = 0, bands = 1` defaults to
+    * the prefilter-only layout (exhaustive band, hamming prefilter does
+    * the pruning) — callers at corpus scale pass a
+    * `LshParams.hyperplaneForCorpus` layout instead.
+    */
+  def embeddingNearDupIngest(spark: SparkSession, srcDir: String,
+                             destDir: String, checkpointDir: String,
+                             indexDir: String, schema: StructType,
+                             idCol: String, vecCol: String,
+                             threshold: Double, dim: Int,
+                             planes: Int = 0, bands: Int = 1,
+                             prefilterBits: Int = 512): Unit = {
+    import graft.ops.Dedup
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.foreachBatch { (batch0: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val withinDrops = Dedup.embeddingNearDup(batch, idCol, vecCol,
+              threshold, dim, planes, bands, prefilterBits)
+            .select(col("id_b").alias("__drop")).distinct()
+          val keptWithin = batch.join(withinDrops,
+            col(idCol) === col("__drop"), "left_anti")
+          val indexExists = {
+            val dir = new java.io.File(indexDir)
+            dir.isDirectory && dir.listFiles != null &&
+              dir.listFiles.exists(f => f.getName.startsWith("batch="))
+          }
+          val survivors =
+            if (!indexExists) keptWithin
+            else {
+              val vsIndex = Dedup.embeddingNearDupAgainst(
+                  spark.read.parquet(indexDir), keptWithin, idCol, vecCol,
+                  threshold, dim, planes, bands, prefilterBits)
+                .select(col("new_id").alias("__drop")).distinct()
+              keptWithin.join(vsIndex, col(idCol) === col("__drop"), "left_anti")
+            }
+          survivors.withColumn("batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch").parquet(destDir)
+          Dedup.embeddingIndex(survivors, idCol, vecCol, dim, prefilterBits)
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch").parquet(indexDir)
+        } finally { batch.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Hourly tumbling aggregation with a watermark (late data beyond the
     * watermark is dropped; state for closed windows is evicted).
     */

@@ -327,6 +327,35 @@ class StreamingSpec extends SparkSpec {
       "replay with no new files must be a no-op")
   }
 
+  test("embeddingNearDupIngest drops cosine near-dups within and across batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("emb_ingest")
+    val (src, dest, ckpt, idx) =
+      (s"$base/src", s"$base/dest", s"$base/ckpt", s"$base/index")
+    def basis(axis: Int, noise: Float = 0f) =
+      Array.tabulate(8)(i => (if (i == axis) 1f else 0f) + (if (i == (axis + 1) % 8) noise else 0f))
+    val schema = Seq((0L, basis(0))).toDF("vec_id", "embedding").schema
+    def ingest(): Unit = StreamingOps.embeddingNearDupIngest(
+      spark, src, dest, ckpt, idx, schema, "vec_id", "embedding",
+      threshold = 0.9, dim = 8)
+
+    // batch 1: vec 2 is a noisy copy of vec 1 (cosine ≈ 0.995); 3-4 orthogonal
+    Seq((1L, basis(0)), (2L, basis(0, 0.1f)), (3L, basis(2)), (4L, basis(4)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    ingest()
+    assert(spark.read.parquet(dest).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+    // batch 2: vec 5 near-dups vec 3 across batches; vec 6 fresh
+    Seq((5L, basis(2, 0.1f)), (6L, basis(6)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    ingest()
+    assert(spark.read.parquet(dest).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 6L))
+    assert(spark.read.parquet(idx).select("__id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 6L))
+  }
+
   test("streaming corpus ingest: dedup then chunk matches the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
