@@ -451,6 +451,35 @@ object DedupQueries {
               |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
               |  CAST(max(e) AS BIGINT) AS span_end,
               |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+              |FROM i GROUP BY doc_id, island""".stripMargin)),
+
+    // The boilerplate-guard knob under oracle: grams above the doc-freq
+    // cap are excluded from span detection (the documented under-dedup
+    // posture for license-header-class grams), and the oracle states the
+    // identical cap as a HAVING bound — the knob is hash-gated, not just
+    // spec-asserted.
+    QueryDef("q141_substring_dedup_dfcap",
+      (s, d) => Dedup.exactSubstringSpans(Tables.documents(s, d),
+        "doc_id", "text", k = 8, maxGramDocFreq = Some(3)),
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+              |          FROM documents),
+              |p AS (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos FROM t),
+              |g AS (SELECT doc_id, pos, concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3],
+              |        tk[pos+4], tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS gram
+              |      FROM p),
+              |sh AS (SELECT gram FROM g GROUP BY gram
+              |       HAVING min(doc_id) <> max(doc_id) AND count(DISTINCT doc_id) <= 3),
+              |h AS (SELECT doc_id, pos, pos + 7 AS e FROM g
+              |      WHERE gram IN (SELECT gram FROM sh)),
+              |m AS (SELECT doc_id, pos, e,
+              |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              |             THEN 1 ELSE 0 END AS brk FROM h),
+              |i AS (SELECT doc_id, pos, e,
+              |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              |  CAST(max(e) AS BIGINT) AS span_end,
+              |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
               |FROM i GROUP BY doc_id, island""".stripMargin))
   )
 }

@@ -16,9 +16,13 @@ package graft
 class FuzzSpec extends SparkSpec {
   import Fuzz._
 
+  // GRAFT_FUZZ_SEEDS widens the corpus for local shake-outs (e.g. 1000);
+  // the committed gate stays at 200 so CI time is bounded
+  private val nSeeds = sys.env.getOrElse("GRAFT_FUZZ_SEEDS", "200").toInt
+
   test("200 seeded random plans agree with the naive interpreter (multiset-exact)") {
     val tables = loadTables(spark, sf001)
-    val failures = (1 to 200).iterator.flatMap { seed =>
+    val failures = (1 to nSeeds).iterator.flatMap { seed =>
       val rel = new Gen(seed.toLong).gen()
       val sparkM = sparkMultiset(toDF(spark, sf001, rel))
       val naiveM = naiveMultiset(schemaOf(rel).map(_._1), evalRel(tables, rel))
