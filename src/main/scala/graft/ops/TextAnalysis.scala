@@ -107,6 +107,50 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Statistical LM quality signals (the CCNet/KenLM-style filter, stated
+    * WITHOUT transcendental functions so it stays hash-exact across
+    * engines): a bigram model is fit on the corpus itself by MLE —
+    * p(w2|w1) = corpus-count(w1 w2) / corpus-count(w1) — and each document
+    * is scored by the mean conditional probability of its bigrams plus
+    * the fraction of "rare" bigrams (p ≤ rareThreshold). Low mean-prob /
+    * high rare-frac flags the same degenerate text perplexity filtering
+    * flags, with rational arithmetic in place of log-space (ln's last-ulp
+    * drift across libm builds breaks hash gates — the q109 lesson; the
+    * doc RANKING is order-isomorphic to mean log-prob for the extreme
+    * tails a filter cuts). c1 is the corpus UNIGRAM count (all positions,
+    * including doc-final tokens), so probabilities per prefix sum to
+    * slightly under 1 — irrelevant to a filter, simpler on both engines.
+    *
+    * Scale shape: one explode→agg per order (unigram table is
+    * vocab-sized → broadcast; bigram table shuffles on the gram key,
+    * aggregate-then-probe like the substring-dedup postings — linear,
+    * AQE-split on hot grams). Probabilities are rounded to 6 dp before
+    * the exact-decimal mean, the proven q97 avg_quality discipline.
+    * Docs with < 2 tokens emit (0, null, null).
+    */
+  def bigramLmSignals(df: DataFrame, idCol: String, textCol: String,
+                      rareThreshold: Double = 0.01): DataFrame = {
+    val base = df.select(col(idCol).alias("__doc"),
+      TextFunctions.tokens(col(textCol)).alias("__tk"))
+    val uniCounts = base.select(explode(col("__tk")).alias("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).alias("__c1"))
+    val bi = base.select(col("__doc"), explode(grams(col("__tk"), 2)).alias("__g2"))
+    val biCounts = bi.groupBy(col("__g2")).agg(count(lit(1)).alias("__c2"))
+    val probs = bi.join(biCounts, Seq("__g2"))
+      .withColumn("__w1", substring_index(col("__g2"), " ", 1))
+      .join(broadcast(uniCounts), col("__w1") === col("__w"))
+      .withColumn("__p", round(col("__c2").cast("double") / col("__c1"), 6))
+    val perDoc = probs.groupBy(col("__doc"))
+      .agg(count(lit(1)).alias("n_bigrams"),
+        round(Aggregations.exactAvg(col("__p")), 6).alias("mean_bigram_prob"),
+        round(Aggregations.countIf(col("__p") <= rareThreshold).cast("double") /
+          count(lit(1)), 6).alias("rare_frac"))
+    base.select(col("__doc").alias(idCol))
+      .join(perDoc, col(idCol) === col("__doc"), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).alias("n_bigrams"),
+        col("mean_bigram_prob"), col("rare_frac"))
+  }
+
   /** BPE-ish token counting (builder brief): whitespace tokens plus an
     * approximate subword count — ceil(len/4) units per token, the classic
     * ~4-chars-per-BPE-token heuristic. Pure integer arithmetic → oracle-

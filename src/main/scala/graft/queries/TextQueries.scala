@@ -215,6 +215,34 @@ object TextQueries {
       (s, d) => corpusCuration(s, d),
       Some(corpusCurationSql)),
 
+    // Statistical LM quality signals (CCNet/KenLM-style filter without
+    // log space): corpus-fit MLE bigram model, per-doc mean conditional
+    // probability + rare-bigram fraction. Rational arithmetic and 6-dp
+    // rounding on both engines → hash-exact (ln would drift across libm
+    // builds, the q109 lesson).
+    QueryDef("q142_bigram_lm_quality",
+      (s, d) => TextAnalysis.bigramLmSignals(
+        Tables.documents(s, d), "doc_id", "text", rareThreshold = 0.01),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              |u AS (SELECT unnest(tk) AS w FROM t),
+              |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+              |b AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+              |        THEN list_transform(range(len(tk) - 1),
+              |          i -> concat_ws(' ', tk[i+1], tk[i+2]))
+              |        ELSE CAST([] AS VARCHAR[]) END) AS g2 FROM t),
+              |c2 AS (SELECT g2, count(*) AS c2 FROM b GROUP BY g2),
+              |p AS (SELECT b.doc_id, round(CAST(c2.c2 AS DOUBLE) / c1.c1, 6) AS prob
+              |      FROM b JOIN c2 USING (g2)
+              |             JOIN c1 ON split_part(b.g2, ' ', 1) = c1.w),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |        round(${exactAvgSql("prob")}, 6) AS mean_bigram_prob,
+              |        round(CAST(sum(CASE WHEN prob <= 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+              |              / count(*), 6) AS rare_frac
+              |        FROM p GROUP BY doc_id)
+              |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+              |  agg.mean_bigram_prob, agg.rare_frac
+              |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // The training-data ASSEMBLY chain end-to-end (round-8 verdict #3):
     // curated keepers (q97's chain) → epoch-weighted mixture (q133's
     // recipe) → concat-and-split packing (q92's discipline) → shard-and-

@@ -9,6 +9,21 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("bigramLmSignals computes closed-form MLE probabilities") {
+    // corpus: unigrams a:3 b:3 c:1 z:1; bigrams "a b":3 "b a":1 "b c":1
+    // p(a b)=3/3=1.0, p(b a)=1/3≈0.333333, p(b c)=1/3≈0.333333
+    val df = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "z")
+    val out = TextAnalysis.bigramLmSignals(df, "doc_id", "text", rareThreshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L)    // bigrams: a b, b a, a b
+    assert(math.abs(out(1L).getDouble(2) - 0.777778) < 1e-9) // (1+1/3+1)/3
+    assert(math.abs(out(1L).getDouble(3) - 0.333333) < 1e-9) // 1 of 3 rare at t=0.4
+    assert(out(2L).getLong(1) == 2L)
+    assert(math.abs(out(2L).getDouble(2) - 0.666667) < 1e-9) // (1+1/3)/2
+    assert(math.abs(out(2L).getDouble(3) - 0.5) < 1e-9)
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
   test("tokenStats computes counts on a known sentence") {
     val df = docs(1L -> "The cat sat, the cat ran!")
     val r = TextAnalysis.tokenStats(df, "text").head()
