@@ -55,6 +55,31 @@ trait DedupDecontaminate {
     train.join(contaminated, col(idCol) === col("__gid"), "left_anti")
   }
 
+  /** Contamination AUDIT report — the complement of the drop-based
+    * decontamination ops: instead of silently removing leaked documents,
+    * emit WHICH (train, eval) pairs share word n-grams and how many, so
+    * a data owner can adjudicate before deleting. Same gram space as
+    * [[decontaminateNgram]] (distinct word n-grams per doc); the eval
+    * side is bounded and broadcast, the corpus explodes grams once and
+    * never shuffles — output is the sparse pair matrix, the per-doc-pair
+    * analog of [[TextAnalysis.sourceOverlapMatrix]]'s source-level view.
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 5): DataFrame = {
+    require(n >= 1, "n must be positive")
+    def grams(df: DataFrame, id: String) = df.select(
+      col(idCol).alias(id),
+      // shingles() is already distinct per doc, so each shared gram
+      // contributes exactly one row per (train, eval) pair below
+      explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), n)).alias("__gram"))
+    grams(train, "train_id")
+      .join(broadcast(grams(evalSet, "eval_id")), Seq("__gram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).alias("shared_grams"))
+  }
+
   /** [[decontaminateExact]] via a broadcast Bloom filter — the layout for
     * when the eval set is too large to broadcast as raw keys but its Bloom
     * filter still fits (~1.2 bytes/key at 1% fpp vs 8+ bytes for the key

@@ -151,6 +151,41 @@ object TextAnalysis {
         col("mean_bigram_prob"), col("rare_frac"))
   }
 
+  /** EXACT corpus-quantile cut without a global sort: keep rows whose
+    * `scoreCol` is at or above the exact `quantile` (e.g. 0.1 = drop the
+    * bottom decile). The 100 TB layout exploits the engine's scores
+    * being DISCRETE (every quality signal here is rounded to 6 dp):
+    *   1. groupBy(score) → per-value counts — one map-side-combined
+    *      shuffle whose output is the DISTINCT-VALUE histogram
+    *      (≤ 10^6-ish rows at 6 dp, corpus-size-independent);
+    *   2. running sum over the SORTED HISTOGRAM — the only ordered
+    *      window, over the small frame, never the corpus;
+    *   3. the cutoff value (smallest score with cumulative count >
+    *      quantile·n, i.e. rank ⌈q·n⌉+? — lower-quantile semantics:
+    *      the ⌊q·n⌋-th smallest row is the last one dropped) comes back
+    *      as a 1-row broadcast and filters the corpus map-side.
+    * Exactness: unlike approx_percentile (q119's rows-only territory)
+    * this is the true order statistic, and the whole derivation is
+    * engine-portable integer arithmetic.
+    */
+  def quantileCut(df: DataFrame, scoreCol: String,
+                  quantile: Double): DataFrame = {
+    require(quantile >= 0.0 && quantile < 1.0, s"quantile in [0,1): $quantile")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(scoreCol).alias("__s"))
+      .agg(count(lit(1)).alias("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum(col("__c")).alias("__n"))
+    // drop count = floor(quantile * n); cutoff = smallest score whose
+    // cumulative count exceeds it (that score's rows survive)
+    val cutoff = cum.crossJoin(broadcast(total))
+      .filter(col("__cum") > floor(lit(quantile) * col("__n")))
+      .agg(min(col("__s")).alias("__cut"))
+    df.join(broadcast(cutoff), col(scoreCol) >= col("__cut")).drop("__cut")
+  }
+
   /** BPE-ish token counting (builder brief): whitespace tokens plus an
     * approximate subword count — ceil(len/4) units per token, the classic
     * ~4-chars-per-BPE-token heuristic. Pure integer arithmetic → oracle-

@@ -480,6 +480,31 @@ object DedupQueries {
               |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
               |  CAST(max(e) AS BIGINT) AS span_end,
               |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
-              |FROM i GROUP BY doc_id, island""".stripMargin))
+              |FROM i GROUP BY doc_id, island""".stripMargin)),
+
+    // Contamination AUDIT report: the drop-based decontamination ops
+    // (q68/q70/q77/q110) silently remove; this emits WHICH (train, eval)
+    // pairs share word 5-grams and how many — the evidence a data owner
+    // adjudicates before deleting. Eval side broadcast; corpus explodes
+    // grams once, never shuffles.
+    QueryDef("q143_contamination_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 31 =!= 0),
+          docs.filter(col("doc_id") % 31 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+              |          FROM documents),
+              |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(tk) - 4),
+              |        i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5])))
+              |        AS gram
+              |      FROM t)
+              |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+              |  CAST(count(*) AS BIGINT) AS shared_grams
+              |FROM g a JOIN g b ON a.gram = b.gram
+              |WHERE a.doc_id % 31 <> 0 AND b.doc_id % 31 = 0
+              |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -215,6 +215,28 @@ object TextQueries {
       (s, d) => corpusCuration(s, d),
       Some(corpusCurationSql)),
 
+    // EXACT corpus-quantile filter (drop the bottom decile by quality)
+    // without a global sort: distinct-value histogram → running sum over
+    // the small sorted histogram → 1-row cutoff broadcast back as a
+    // map-side filter. Value-level semantics: rows TIED with the cutoff
+    // value all survive (splitting a tied value would be row-arbitrary).
+    // The oracle states the identical histogram cut.
+    QueryDef("q144_quality_quantile_cut",
+      (s, d) => TextAnalysis.quantileCut(
+        TextAnalysis.curationSignals(Tables.documents(s, d), "text")
+          .select(col("doc_id"), col("quality_score")),
+        "quality_score", quantile = 0.1),
+      Some(s"""$curationCtes,
+              |hist AS (SELECT quality_score AS s, count(*) AS c FROM q GROUP BY 1),
+              |tot AS (SELECT count(*) AS n FROM q),
+              |cum AS (SELECT s, sum(c) OVER (ORDER BY s
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |        FROM hist),
+              |cut AS (SELECT min(s) AS cut FROM cum, tot
+              |        WHERE cum > floor(0.1 * n))
+              |SELECT doc_id, quality_score FROM q, cut
+              |WHERE quality_score >= cut""".stripMargin)),
+
     // Statistical LM quality signals (CCNet/KenLM-style filter without
     // log space): corpus-fit MLE bigram model, per-doc mean conditional
     // probability + rare-bigram fraction. Rational arithmetic and 6-dp

@@ -354,7 +354,10 @@ class PlanSpec extends SparkSpec {
       "q74_ann_lsh_exhaustive", "q76_embedding_pairs_exhaustive",
       "q120_incremental_embedding_neardup",
       //  - q128: Q11 HAVING — the 1-row global total is the broadcast side
-      "q128_supplier_share_q11")
+      "q128_supplier_share_q11",
+      //  - q144: exact quantile cut — the 1-row cutoff frame is the
+      //    broadcast side of the >= join; the corpus is probed map-side
+      "q144_quality_quantile_cut")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
