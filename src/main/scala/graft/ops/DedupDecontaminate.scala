@@ -43,11 +43,15 @@ trait DedupDecontaminate {
                          idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
     require(n >= 1, "n must be positive")
-    def grams(df: DataFrame) = df.select(
-      col(idCol).alias("__gid"),
-      explode(TextFunctions.shingleHashesFromTokenHashes(
-        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))), n))
-        .alias("__gram"))
+    // token hashes BOUND before the shingle chain consumes them (the
+    // TextFunctions contract — shingleHashes references its argument n+1
+    // times and the unbound form re-evaluates tokenize+hash per reference)
+    def grams(df: DataFrame) = df
+      .select(col(idCol).alias("__gid"),
+        TextFunctions.tokenHashes(TextFunctions.tokens(col(textCol))).alias("__th"))
+      .select(col("__gid"),
+        explode(TextFunctions.shingleHashesFromTokenHashes(col("__th"), n))
+          .alias("__gram"))
     val evalGrams = grams(evalSet).select(col("__gram")).distinct()
     val contaminated = grams(train)
       .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
