@@ -168,6 +168,80 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image RESIZE (the brief's missing multimodal op between decode
+    * and feature-extract): decode → nearest-neighbor downscale so the
+    * longest side is ≤ `maxSide` → re-encode as PNG. Nearest-neighbor via
+    * `AffineTransformOp.TYPE_NEAREST_NEIGHBOR` because its output is
+    * EXACTLY defined (source pixel at the floor of the inverse mapping) —
+    * bit-identical across JVMs/platforms, where bilinear kernels may
+    * differ in last-ulp rounding; PNG re-encode because PNG is lossless,
+    * so the resized pixel CONTENT (not the container bytes) is the
+    * deterministic artifact MultimodalSpec pins. Images already within
+    * bounds pass through pixel-identical (PNG re-encode, resized =
+    * false). Non-image/corrupt rows degrade with decode_ok = false and
+    * null content — one bad blob cannot fail a 100 TB batch. Same
+    * mapPartitions codec batching as [[decodeImages]] (codec context is
+    * the justified mapPartitions use).
+    */
+  def resizeImages(media: DataFrame, maxSide: Int = 4): DataFrame = {
+    require(maxSide >= 1, "maxSide must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("decode_ok", BooleanType),
+      StructField("resized", BooleanType),
+      StructField("orig_width", IntegerType), StructField("orig_height", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("content"), col("media_type"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          val img =
+            if (bytes != null && mediaType != null && mediaType.startsWith("image/"))
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+            else null
+          if (img == null)
+            Row(id, mediaType, false, false, null, null, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (math.max(w, h) <= maxSide)
+              Row(id, "image/png", true, false, Int.box(w), Int.box(h),
+                Int.box(w), Int.box(h), encodePng(img))
+            else {
+              val scale = maxSide.toDouble / math.max(w, h)
+              val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+                math.max(1, math.round(h * scale).toInt))
+              // normalize to a known layout first: TYPE_INT_RGB draw is
+              // defined for every ImageIO-produced color model
+              val src = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              src.getGraphics.drawImage(img, 0, 0, null)
+              val op = new java.awt.image.AffineTransformOp(
+                java.awt.geom.AffineTransform.getScaleInstance(
+                  nw.toDouble / w, nh.toDouble / h),
+                java.awt.image.AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+              val dst = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              op.filter(src, dst)
+              Row(id, "image/png", true, true, Int.box(w), Int.box(h),
+                Int.box(nw), Int.box(nh), encodePng(dst))
+            }
+          }
+        }
+      }(enc)
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Synthetic-tone schema: raw PCM samples + format metadata. Kept NEXT
     * TO the encoded WAV in the q129 fixture so an independent engine can
     * recompute every decoded statistic from the stored samples — if the

@@ -104,6 +104,53 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4) == 2.0) // aspect ratio
   }
 
+  test("resizeImages halves a two-color 8x8 to 4x4 with pure nearest-neighbor pixels") {
+    import spark.implicits._
+    // left half pure red, right half pure blue: NN never blends, so every
+    // output pixel must be exactly one of the two source colors, 8 of
+    // each, with the left output column red and the right one blue
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray, "image/png"))
+      .toDF("media_id", "content", "media_type")
+    val r = Multimodal.resizeImages(media, maxSide = 4).head()
+    assert(r.getAs[Boolean]("decode_ok") && r.getAs[Boolean]("resized"))
+    assert(r.getAs[Int]("orig_width") == 8 && r.getAs[Int]("width") == 4)
+    assert(r.getAs[Int]("height") == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    val px = for (y <- 0 until 4; x <- 0 until 4) yield (x, back.getRGB(x, y) & 0xFFFFFF)
+    assert(px.forall { case (_, c) => c == 0xFF0000 || c == 0x0000FF },
+      s"nearest-neighbor must never blend: ${px.map(_._2.toHexString)}")
+    assert(px.count(_._2 == 0xFF0000) == 8 && px.count(_._2 == 0x0000FF) == 8)
+    assert(px.filter(_._1 == 0).forall(_._2 == 0xFF0000))
+    assert(px.filter(_._1 == 3).forall(_._2 == 0x0000FF))
+  }
+
+  test("resizeImages passes through in-bounds images and degrades on corrupt rows") {
+    import spark.implicits._
+    val small = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(small, "png", bos)
+    val media = Seq(
+      (1L, bos.toByteArray, "image/png"),
+      (2L, Array[Byte](9, 9, 9), "image/png"),
+      (3L, bos.toByteArray, "text/plain"))
+      .toDF("media_id", "content", "media_type")
+    val out = Multimodal.resizeImages(media, maxSide = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("decode_ok") && !out(1L).getAs[Boolean]("resized"))
+    assert(out(1L).getAs[Int]("width") == 3 && out(1L).getAs[Int]("height") == 2)
+    assert(!out(2L).getAs[Boolean]("decode_ok") && out(2L).isNullAt(8))
+    assert(!out(3L).getAs[Boolean]("decode_ok"), "non-image type must not decode")
+  }
+
   test("decodeImages falls back to stub features on corrupt, non-image or NULL rows") {
     import spark.implicits._
     val media = Seq(
