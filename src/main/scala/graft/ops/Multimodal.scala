@@ -327,6 +327,63 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL audio decimation — integer-factor downsampling by frame
+    * selection (keep every `factor`-th frame), decode → select →
+    * re-encode WAV at rate/factor. Plain decimation (no anti-alias
+    * filter) because its output is EXACTLY defined — every kept sample
+    * is a verbatim source sample, so the full pipeline hash-verifies
+    * against an oracle selecting the same frames from stored samples
+    * (q145), where an interpolating/filtering resampler's kernel would
+    * be implementation-defined. The frame-sample primitive of the
+    * multimodal tier (the video analog stays stubbed — no JDK codec).
+    * Non-audio/undecodable rows degrade to null content.
+    */
+  def decimateAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("content"), col("media_type"), col("n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          val out: Option[Array[Byte]] =
+            if (bytes == null || mediaType == null || !mediaType.startsWith("audio/")) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16) None
+              else {
+                val data = ais.readAllBytes()
+                val frameSize = fmt.getFrameSize
+                val nFrames = data.length / frameSize
+                val outFrames = (nFrames + factor - 1) / factor
+                val pcm = new Array[Byte](outFrames * frameSize)
+                var f = 0
+                while (f < outFrames) {
+                  System.arraycopy(data, f * factor * frameSize, pcm, f * frameSize, frameSize)
+                  f += 1
+                }
+                val outFmt = new javax.sound.sampled.AudioFormat(
+                  fmt.getSampleRate / factor, 16, fmt.getChannels, true, fmt.isBigEndian)
+                val outAis = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(pcm), outFmt, outFrames.toLong)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(outAis,
+                  javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                Some(bos.toByteArray)
+              }
+            } catch { case _: Exception => None }
+          out match {
+            case Some(wav) => Row(id, wav, "audio/wav", wav.length.toLong)
+            case None      => Row(id, null, mediaType, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Decoded-audio schema: format metadata + signal statistics. */
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),

@@ -239,6 +239,40 @@ object SimilarityQueries {
              |  round(sqrt(CAST(list_sum(list_transform(samples,
              |    x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(samples)) / 32768.0, 9) AS rms,
              |  CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak
-             |FROM parquet_scan('/root/repo/target/graft_audio/__SF_NAME__/media/*.parquet')""".stripMargin))
+             |FROM parquet_scan('/root/repo/target/graft_audio/__SF_NAME__/media/*.parquet')""".stripMargin)),
+
+    // Decimation (frame-sampling) under the same hash gate as q129: the
+    // decode → keep-every-2nd-frame → re-encode → decode round trip must
+    // reproduce, sample-for-sample, the oracle's selection of the SAME
+    // frames from the stored samples (1-based list slice per frame). A
+    // one-frame offset, header misparse at the halved rate, or a
+    // filtering resampler sneaking in diverges the hashes.
+    QueryDef("q145_audio_decimate",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_audio/$sfName/media"
+        Multimodal.wavFromTones(Multimodal.tonesFromDocuments(Tables.documents(s, d)))
+          .write.mode("overwrite").parquet(out)
+        Multimodal.decodeAudio(
+            Multimodal.decimateAudio(s.read.parquet(out), factor = 2))
+          .select(col("media_id"), col("decode_ok"),
+            col("sample_rate"), col("channels"), col("n_frames"),
+            round(col("duration_s"), 9).alias("duration_s"),
+            round(col("rms"), 9).alias("rms"), col("peak"))
+      },
+      Some("""WITH m AS (SELECT media_id, channels, sample_rate,
+             |  flatten(list_transform(range((len(samples) // channels + 1) // 2),
+             |    f -> samples[f*2*channels + 1 : f*2*channels + channels])) AS ds
+             |  FROM parquet_scan('/root/repo/target/graft_audio/__SF_NAME__/media/*.parquet'))
+             |SELECT media_id,
+             |  true AS decode_ok,
+             |  CAST(sample_rate // 2 AS INTEGER) AS sample_rate,
+             |  channels,
+             |  CAST(len(ds) // channels AS BIGINT) AS n_frames,
+             |  round(CAST(len(ds) // channels AS DOUBLE) / (sample_rate // 2), 9) AS duration_s,
+             |  round(sqrt(CAST(list_sum(list_transform(ds,
+             |    x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(ds)) / 32768.0, 9) AS rms,
+             |  CAST(list_max(list_transform(ds, x -> abs(x))) AS BIGINT) AS peak
+             |FROM m""".stripMargin))
   )
 }

@@ -217,6 +217,41 @@ class MultimodalSpec extends SparkSpec {
     assert(s.getAs[Long]("peak") == 8192L)
   }
 
+  test("decimateAudio keeps exactly the even frames (closed-form square selection)") {
+    import spark.implicits._
+    // mono frame-alternating square +A/-A: frames 0,2,4,... are +A, so
+    // decimation by 2 keeps ONLY +A samples — rms = peak = A exactly,
+    // which no filtering/interpolating resampler would produce (its
+    // kernel would blend the sign flips). Off-by-one-frame bugs flip
+    // half the kept samples negative and shift nothing else: rms stays A
+    // but a 3-frame variant below catches the phase too.
+    val alt = Array.tabulate(1000)(t => if (t % 2 == 0) 9000 else -9000)
+    val tones = Seq((20L, 8000, 1, alt.toSeq))
+      .toDF("media_id", "sample_rate", "channels", "samples")
+    val out = Multimodal.decodeAudio(
+        Multimodal.decimateAudio(Multimodal.wavFromTones(tones), factor = 2))
+      .head()
+    assert(out.getAs[Boolean]("decode_ok"))
+    assert(out.getAs[Int]("sample_rate") == 4000)
+    assert(out.getAs[Long]("n_frames") == 500L)
+    assert(out.getAs[Double]("duration_s") == 0.125)
+    assert(out.getAs[Double]("rms") == 9000.0 / 32768.0) // every kept sample is +9000
+    assert(out.getAs[Long]("peak") == 9000L)
+
+    // period-3 pattern [+A, 0, -A, +A, 0, -A, ...] decimated by 3 keeps
+    // only the +A phase — pins WHICH frame the selection starts on
+    val tri = Array.tabulate(999)(t => (t % 3) match {
+      case 0 => 7000; case 1 => 0; case _ => -7000 })
+    val out3 = Multimodal.decodeAudio(
+        Multimodal.decimateAudio(Multimodal.wavFromTones(
+          Seq((21L, 9000, 1, tri.toSeq)).toDF("media_id", "sample_rate", "channels", "samples")),
+          factor = 3))
+      .head()
+    assert(out3.getAs[Long]("n_frames") == 333L)
+    assert(out3.getAs[Double]("rms") == 7000.0 / 32768.0,
+      "decimation must start at frame 0 (the +A phase)")
+  }
+
   test("decodeAudio degrades to decode_ok=false on non-audio, corrupt or null rows") {
     import spark.implicits._
     val media = Seq(
