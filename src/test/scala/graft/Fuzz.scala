@@ -93,6 +93,14 @@ object Fuzz {
   final case class DistinctR(in: Rel) extends Rel
   /** row_number() over (partition by part order by ord, tiebreak) */
   final case class WindowR(in: Rel, part: String, ord: String, tiebreak: String) extends Rel
+  /** sum(`valCol`) over (partition by part order by ord, tiebreak
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW) as "runsum" — exercises
+    * running-frame aggregation semantics (null-skipping inside the
+    * frame, Long accumulation) that row_number cannot. The ordering
+    * carries the tiebreak so the frame contents are total.
+    */
+  final case class WinSumR(in: Rel, part: String, ord: String, tiebreak: String,
+                           valCol: String) extends Rel
   /** ORDER BY every column (schema order, ASC NULLS FIRST) + LIMIT n —
     * the TakeOrderedAndProject path. The full-column sort is total up to
     * exact duplicate rows, and ties among exact duplicates cannot change
@@ -149,6 +157,7 @@ object Fuzz {
       }
     case DistinctR(in)    => schemaOf(in)
     case WindowR(in, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
+    case WinSumR(in, _, _, _, _) => schemaOf(in) :+ ("runsum" -> TLong)
     case SortLimitR(in, _) => schemaOf(in)
   }
 
@@ -217,6 +226,12 @@ object Fuzz {
       toDF(spark, sfDir, in).withColumn("rn",
         row_number().over(Window.partitionBy(col(part)).orderBy(col(ord), col(tb)))
           .cast("long"))
+    case WinSumR(in, part, ord, tb, v) =>
+      import org.apache.spark.sql.expressions.Window
+      toDF(spark, sfDir, in).withColumn("runsum",
+        sum(col(v).cast("long")).over(
+          Window.partitionBy(col(part)).orderBy(col(ord), col(tb))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     case SortLimitR(in, n) =>
       val cols = schemaOf(in).map { case (c, _) => col(c).asc_nulls_first }
       toDF(spark, sfDir, in).orderBy(cols: _*).limit(n)
@@ -378,6 +393,23 @@ object Fuzz {
           if (c != 0) c < 0 else cmpNullsFirst(a(tb), b(tb)) < 0
         }.zipWithIndex.map { case (row, i) => row + ("rn" -> ((i + 1).toLong: Any)) }
       }.toSeq
+    case WinSumR(in, part, ord, tb, v) =>
+      evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
+        val sorted = grp.sortWith { (a, b) =>
+          val c = cmpNullsFirst(a(ord), b(ord))
+          if (c != 0) c < 0 else cmpNullsFirst(a(tb), b(tb)) < 0
+        }
+        // SQL running sum: nulls inside the frame are skipped; a frame of
+        // only-null values yields null (sum over empty set)
+        var acc: Any = null
+        sorted.map { row =>
+          row(v) match {
+            case null => ()
+            case x    => acc = (if (acc == null) 0L else toL(acc)) + toL(x)
+          }
+          row + ("runsum" -> acc)
+        }
+      }.toSeq
   }
 
   private def minMax(vs: Seq[Any], isMin: Boolean): Any =
@@ -533,7 +565,7 @@ object Fuzz {
     def gen(): Rel = {
       // bottom: a base, a natural-key join (all four types — outer-join
       // padding is fuzz-worthy territory), a set op, or a window
-      val bottom: Rel = rnd.nextInt(9) match {
+      val bottom: Rel = rnd.nextInt(10) match {
         case 0 => Base(pick(Seq("customer", "orders", "nation")))
         case 1 => JoinR(Base("orders"), Base("customer"),
           "o_custkey", "c_custkey", joinType())
@@ -563,6 +595,15 @@ object Fuzz {
           SetR(FilterR(Base(t), genPred(schemas(t), 1)),
             FilterR(Base(t), genPred(schemas(t), 1)),
             except = rnd.nextBoolean())
+        case 9 =>
+          // running sum over a join of any type: outer padding feeds the
+          // null-skipping frame path. Determinism: within a (part, ord,
+          // tb) tie class the summed value c_custkey is CONSTANT (matched
+          // rows of one customer) so any tie order yields the same
+          // multiset; padded rows carry a unique non-null tb.
+          WinSumR(JoinR(Base("orders"), Base("customer"),
+            "o_custkey", "c_custkey", joinType()),
+            "o_custkey", "o_totalprice", "c_custkey", "c_custkey")
       }
       val mid = stack(bottom, rnd.nextInt(3))
       // optionally aggregate (and optionally filter the aggregate = HAVING)

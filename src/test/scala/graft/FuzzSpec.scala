@@ -65,6 +65,7 @@ class FuzzSpec extends SparkSpec {
           (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
+      case WinSumR(in, _, _, _, _) => ops(in) + "winsum"
       case SortLimitR(in, _)    => ops(in) + "sortlimit"
     }
     val seen = (1 to 200).foldLeft(Set.empty[String]) { (acc, seed) =>
@@ -72,7 +73,8 @@ class FuzzSpec extends SparkSpec {
     }
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
-      "except", "agg", "avg", "distinct", "window", "sortlimit", "colcolcmp")
+      "except", "agg", "avg", "distinct", "window", "winsum", "sortlimit",
+      "colcolcmp")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
