@@ -21,6 +21,48 @@ object TimeSeries {
       .groupBy((col("window_start") +: groupCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Gap-fill a tumbling aggregate: emit a row for EVERY bucket of the
+    * dense time spine between the corpus min and max bucket (per group),
+    * with `fillZero` columns coalesced to 0 on the synthesized rows. The
+    * dense-spine join is the standard dashboard/feature-store shape a
+    * bare groupBy cannot produce (absent buckets simply don't exist).
+    *
+    * Scale: the spine is built from ONE 2-value global aggregate
+    * (min/max bucket — a broadcastable 1-row frame), sequenced per
+    * GROUP with a literal-interval `sequence` + explode: |groups| ×
+    * |buckets| narrow rows, no corpus re-scan; the fill join hashes on
+    * (bucket, group) against the already-aggregated frame (small), never
+    * against raw events.
+    */
+  def gapFillTumbling(df: DataFrame, tsCol: String, unit: String,
+                      groupCols: Seq[String], aggs: Seq[Column],
+                      fillZero: Seq[String]): DataFrame = {
+    val agged = tumblingAgg(df, tsCol, unit, groupCols, aggs)
+    val bounds = agged.agg(
+      min(col("window_start")).alias("__lo"), max(col("window_start")).alias("__hi"))
+    val groups = agged.select(groupCols.map(col): _*).distinct()
+    val spine = groups.crossJoin(broadcast(bounds))
+      .select((explode(sequence(col("__lo"), col("__hi"),
+          expr(s"INTERVAL 1 $unit"))).alias("window_start") +: groupCols.map(col)): _*)
+    val filled = spine.join(agged, "window_start" +: groupCols, "left")
+    fillZero.foldLeft(filled) { (acc, c) =>
+      acc.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+  }
+
+  /** Last-observation-carried-forward over a (possibly gap-filled)
+    * ordered series: null values of `valCol` take the most recent
+    * non-null value of the same group (nulls before the first
+    * observation stay null). One per-group window — `last(ignoreNulls)`
+    * over the running frame; no self-join, no corpus re-scan.
+    */
+  def locf(df: DataFrame, groupCols: Seq[String], orderCol: String,
+           valCol: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
   /** Sessionization by inactivity gap: a new session starts when the gap to
     * the previous event of the same `userCol` exceeds `gapSeconds`.
     * session_id is 1-based per user. Gap arithmetic is done on integral

@@ -200,6 +200,59 @@ object EventQueries {
               |    AS BIGINT) AS week_offset,
               |  COUNT(DISTINCT a.user_id) AS n_users
               |FROM a JOIN f USING (user_id)
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // Gap-filled hourly series: q22's aggregate joined onto the DENSE
+    // per-type time spine (a bare groupBy cannot emit absent buckets).
+    // Counts zero-fill; sums stay NULL on synthesized rows (SQL's sum of
+    // an empty set), which q147's LOCF then carries forward.
+    QueryDef("q146_gapfill_hourly",
+      (s, d) => TimeSeries.gapFillTumbling(Tables.events(s, d), "ts", "hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).alias("n_events"),
+          Aggregations.exactSum(col("value")).alias("total_value")),
+        fillZero = Seq("n_events")),
+      Some(s"""WITH $evCte,
+              |a AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |        COUNT(*) AS n_events, ${exactSumSql("value")} AS total_value
+              |      FROM ev GROUP BY 1, 2),
+              |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM a),
+              |g AS (SELECT DISTINCT event_type FROM a),
+              |spine AS (SELECT s.window_start, g.event_type
+              |          FROM (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+              |                  AS window_start FROM b) s CROSS JOIN g)
+              |SELECT spine.window_start, spine.event_type,
+              |  coalesce(a.n_events, 0) AS n_events, a.total_value
+              |FROM spine LEFT JOIN a USING (window_start, event_type)""".stripMargin)),
+
+    // LOCF over the gap-filled series: synthesized buckets inherit the
+    // most recent observed hourly total per event type (nulls before the
+    // first observation stay null — nothing to carry).
+    QueryDef("q147_locf_hourly",
+      (s, d) => TimeSeries.locf(
+        TimeSeries.gapFillTumbling(Tables.events(s, d), "ts", "hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).alias("n_events"),
+            Aggregations.exactSum(col("value")).alias("total_value")),
+          fillZero = Seq("n_events")),
+        Seq("event_type"), "window_start", "total_value", "total_value_filled"),
+      Some(s"""WITH $evCte,
+              |a AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |        COUNT(*) AS n_events, ${exactSumSql("value")} AS total_value
+              |      FROM ev GROUP BY 1, 2),
+              |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM a),
+              |g AS (SELECT DISTINCT event_type FROM a),
+              |spine AS (SELECT s.window_start, g.event_type
+              |          FROM (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+              |                  AS window_start FROM b) s CROSS JOIN g),
+              |f AS (SELECT spine.window_start, spine.event_type,
+              |        coalesce(a.n_events, 0) AS n_events, a.total_value
+              |      FROM spine LEFT JOIN a USING (window_start, event_type))
+              |SELECT window_start, event_type, n_events, total_value,
+              |  last_value(total_value IGNORE NULLS) OVER (
+              |    PARTITION BY event_type ORDER BY window_start
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS total_value_filled
+              |FROM f""".stripMargin))
   )
 }
