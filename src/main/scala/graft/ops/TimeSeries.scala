@@ -63,6 +63,36 @@ object TimeSeries {
     df.withColumn(outCol, last(col(valCol), ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation of nulls between observations (the numeric
+    * sibling of [[locf]]): a null `valCol` between two non-null
+    * neighbors takes prev + (next − prev) · frac with frac the
+    * epoch-microsecond position between their timestamps (exact integer
+    * deltas; the one double divide/multiply/add chain is stated
+    * identically in the oracle, so results are bit-reproducible).
+    * Leading nulls (no previous observation) stay null; trailing nulls
+    * (no next observation) carry the last value forward — the LOCF tail.
+    * Two per-group windows (backward last + forward first over the same
+    * sort), no self-join, no corpus re-scan.
+    */
+  def interpolateLinear(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                        valCol: String, outCol: String): DataFrame = {
+    val wb = Window.partitionBy(groupCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(groupCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col(valCol).isNotNull,
+      struct(col(tsCol).alias("t"), col(valCol).alias("v")))
+    val prev = last(obs, ignoreNulls = true).over(wb)
+    val next = first(obs, ignoreNulls = true).over(wf)
+    val frac = (unix_micros(col(tsCol)) - unix_micros(prev("t"))).cast("double") /
+      (unix_micros(next("t")) - unix_micros(prev("t")))
+    df.withColumn(outCol,
+      when(col(valCol).isNotNull, col(valCol))
+        .when(prev.isNull, lit(null))
+        .when(next.isNull, prev("v"))
+        .otherwise(prev("v") + (next("v") - prev("v")) * frac))
+  }
+
   /** Sessionization by inactivity gap: a new session starts when the gap to
     * the previous event of the same `userCol` exceeds `gapSeconds`.
     * session_id is 1-based per user. Gap arithmetic is done on integral

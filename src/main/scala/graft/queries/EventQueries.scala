@@ -253,6 +253,57 @@ object EventQueries {
               |    PARTITION BY event_type ORDER BY window_start
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |    AS total_value_filled
-              |FROM f""".stripMargin))
+              |FROM f""".stripMargin)),
+
+    // Linear interpolation over the gap-filled series: nulls between two
+    // observed buckets take the time-weighted blend of their neighbors;
+    // leading nulls stay null, trailing nulls carry forward. The double
+    // arithmetic is ONE divide/multiply/add chain stated identically in
+    // both engines over exact integer microsecond deltas, rounded at 9dp.
+    QueryDef("q148_interpolate_hourly",
+      (s, d) => {
+        val filled = TimeSeries.gapFillTumbling(Tables.events(s, d), "ts", "hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).alias("n_events"),
+            Aggregations.exactSum(col("value")).alias("total_value")),
+          fillZero = Seq("n_events"))
+        TimeSeries.interpolateLinear(filled, Seq("event_type"),
+            "window_start", "total_value", "total_value_interp")
+          .select(col("window_start"), col("event_type"), col("n_events"),
+            round(col("total_value_interp"), 9).alias("total_value_interp"))
+      },
+      Some(s"""WITH $evCte,
+              |a AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |        COUNT(*) AS n_events, ${exactSumSql("value")} AS total_value
+              |      FROM ev GROUP BY 1, 2),
+              |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM a),
+              |g AS (SELECT DISTINCT event_type FROM a),
+              |spine AS (SELECT s.window_start, g.event_type
+              |          FROM (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+              |                  AS window_start FROM b) s CROSS JOIN g),
+              |f AS (SELECT spine.window_start, spine.event_type,
+              |        coalesce(a.n_events, 0) AS n_events, a.total_value
+              |      FROM spine LEFT JOIN a USING (window_start, event_type)),
+              |w AS (SELECT window_start, event_type, n_events, total_value,
+              |        last_value(CASE WHEN total_value IS NOT NULL
+              |            THEN {'t': window_start, 'v': total_value} END IGNORE NULLS)
+              |          OVER (PARTITION BY event_type ORDER BY window_start
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+              |        first_value(CASE WHEN total_value IS NOT NULL
+              |            THEN {'t': window_start, 'v': total_value} END IGNORE NULLS)
+              |          OVER (PARTITION BY event_type ORDER BY window_start
+              |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+              |      FROM f)
+              |SELECT window_start, event_type, n_events,
+              |  round(CASE
+              |    WHEN total_value IS NOT NULL THEN total_value
+              |    WHEN prev IS NULL THEN NULL
+              |    WHEN next IS NULL THEN struct_extract(prev, 'v')
+              |    ELSE struct_extract(prev, 'v') +
+              |      (struct_extract(next, 'v') - struct_extract(prev, 'v')) *
+              |      (CAST(epoch_us(window_start) - epoch_us(struct_extract(prev, 't')) AS DOUBLE) /
+              |       (epoch_us(struct_extract(next, 't')) - epoch_us(struct_extract(prev, 't'))))
+              |    END, 9) AS total_value_interp
+              |FROM w""".stripMargin))
   )
 }
