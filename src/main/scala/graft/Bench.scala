@@ -226,9 +226,15 @@ object Bench {
     // without BENCH_DETAIL.json — but ONLY when it stays under a 3.8 KB
     // budget; a line the tail window beheads is unparseable and worth
     // less than medians-only. Fallback: the medians-only map (~1.5 KB).
+    // Tightest encoding that still supports snapshot-alone regression
+    // adjudication: bare query number as the key, median at 2 dp, min at
+    // 1 dp (distinguishes a 2x load swing for anything >= 0.2 s, which is
+    // all the noise rule ever adjudicates), jobs + scan_mb exact. Full
+    // 2-dp detail stays in BENCH_DETAIL.json.
     val detailCompact = results.map { case (k, (r, minSec)) =>
-      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d]""",
-        k.takeWhile(_ != '_'), Double.box(if (r.ok) r.sec else -r.sec),
+      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.1f,%d,%d]""",
+        k.stripPrefix("q").takeWhile(_ != '_'),
+        Double.box(if (r.ok) r.sec else -r.sec),
         Double.box(minSec), Long.box(r.jobs), Long.box(r.scanBytes / 1048576))
     }.mkString("{", ",", "}")
     val medians = results.map { case (k, (r, _)) =>
@@ -236,7 +242,7 @@ object Bench {
         k.takeWhile(_ != '_'), Double.box(if (r.ok) r.sec else -r.sec))
     }.mkString("{", ",", "}")
     val compactLine = String.format(java.util.Locale.ROOT,
-      """{"metric":"total","unit":"sec","reps":%d,"failures":%s%s%s,"legend":"queries: name -> [median_sec, min_sec, jobs, scan_mb]","queries":%s,"detail":"BENCH_DETAIL.json","value":%.3f,"sf":"%s"}""",
+      """{"metric":"total","unit":"sec","reps":%d,"fmt":"qnum:[med_s,min_s,jobs,scan_mb]","failures":%s%s%s,"queries":%s,"value":%.3f,"sf":"%s"}""",
       Int.box(Reps), failures, shape, preparedJson, detailCompact, Double.box(total), sfDir)
     val fallbackLine = String.format(java.util.Locale.ROOT,
       """{"metric":"total","unit":"sec","reps":%d,"failures":%s%s%s,"medians":%s,"detail":"BENCH_DETAIL.json","value":%.3f,"sf":"%s"}""",
