@@ -93,6 +93,59 @@ object TimeSeries {
         .otherwise(prev("v") + (next("v") - prev("v")) * frac))
   }
 
+  /** Exponentially weighted moving average per group: s_0 = x_0,
+    * s_t = alpha·x_t + (1−alpha)·s_{t−1} over the series ordered by
+    * `orderCol`. The recurrence is inherently sequential, and the usual
+    * window formulation (sum of pow(1−alpha, k)·x terms) leans on libm
+    * `pow`, whose last-ulp drift breaks cross-engine exactness — so each
+    * emitted value is a LEFT FOLD over its ordered prefix (collect →
+    * array_sort on the (order, value) struct → per-element prefix
+    * `aggregate`): the identical IEEE multiply/add chain in any engine
+    * (DuckDB mirrors it with list_reduce over list_slice). Null values
+    * carry the previous state forward.
+    *
+    * Cost is quadratic in GROUP LENGTH (prefix fold per element) — the
+    * op contracts to BOUNDED per-entity series (hundreds-to-thousands of
+    * points), the Packing per-bucket-fold posture, NOT a billion-row
+    * group; groups parallelize across the cluster.
+    */
+  def ewma(df: DataFrame, groupCols: Seq[String], orderCol: String,
+           valCol: String, alpha: Double, outCol: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    val pairs = df.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).alias("o"),
+        col(valCol).alias("v")))).alias("__series"))
+    val folded = pairs.withColumn("__out",
+      expr(s"""
+        transform(__series, (e, i) ->
+          struct(e.o AS o,
+            aggregate(slice(__series, 1, i + 1), CAST(NULL AS DOUBLE),
+              (acc, x) -> CASE WHEN x.v IS NULL THEN acc
+                               WHEN acc IS NULL THEN CAST(x.v AS DOUBLE)
+                               ELSE $alpha * x.v + ${1 - alpha} * acc END) AS s))
+      """))
+    folded.select((groupCols.map(col) :+
+        explode(col("__out")).alias("__e")): _*)
+      .select((groupCols.map(col) :+ col("__e.o").alias(orderCol) :+
+        col("__e.s").alias(outCol)): _*)
+  }
+
+  /** Per-group discrete differences along the ordered series: previous
+    * value, absolute delta, and percent change (null at the first row of
+    * each group and where the previous value is 0 — SQL-null, never a
+    * division blow-up). One lag window; arithmetic is the same
+    * subtract/divide in both engines.
+    */
+  def deltas(df: DataFrame, groupCols: Seq[String], orderCol: String,
+             valCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    val prev = lag(col(valCol), 1).over(w)
+    df.withColumn("prev_value", prev)
+      .withColumn("delta", col(valCol) - prev)
+      .withColumn("pct_change",
+        when(prev.isNotNull && prev =!= 0.0, (col(valCol) - prev) / prev))
+  }
+
   /** Sessionization by inactivity gap: a new session starts when the gap to
     * the previous event of the same `userCol` exceeds `gapSeconds`.
     * session_id is 1-based per user. Gap arithmetic is done on integral

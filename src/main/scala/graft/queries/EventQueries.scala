@@ -304,6 +304,82 @@ object EventQueries {
               |      (CAST(epoch_us(window_start) - epoch_us(struct_extract(prev, 't')) AS DOUBLE) /
               |       (epoch_us(struct_extract(next, 't')) - epoch_us(struct_extract(prev, 't'))))
               |    END, 9) AS total_value_interp
-              |FROM w""".stripMargin))
+              |FROM w""".stripMargin)),
+
+    // EWMA over the LOCF-filled hourly series. alpha = 0.25 (an exact
+    // binary fraction, so "0.25"/"0.75" parse to identical doubles in
+    // both engines); the oracle re-derives every value as the SAME left
+    // fold via list_reduce over the null-filtered ordered prefix —
+    // DuckDB's first-element initialization matches the fold's
+    // first-non-null seeding exactly.
+    QueryDef("q149_ewma_hourly",
+      (s, d) => TimeSeries.ewma(locfFilled(s, d),
+          Seq("event_type"), "window_start", "total_value_filled",
+          alpha = 0.25, outCol = "ewma")
+        .select(col("event_type"), col("window_start"),
+          round(col("ewma"), 9).alias("ewma")),
+      Some(s"""$locfCtes,
+              |e AS (SELECT event_type,
+              |        list(window_start ORDER BY window_start) AS os,
+              |        list(total_value_filled ORDER BY window_start) AS vs
+              |      FROM l GROUP BY event_type),
+              |x AS (SELECT event_type, unnest(os) AS window_start,
+              |        unnest(list_transform(range(len(vs)), i ->
+              |          CASE WHEN len(list_filter(vs[1:i+1], q -> q IS NOT NULL)) = 0
+              |               THEN NULL
+              |               ELSE list_reduce(list_filter(vs[1:i+1], q -> q IS NOT NULL),
+              |                      (acc, q) -> 0.25 * q + 0.75 * acc) END)) AS ewma
+              |      FROM e)
+              |SELECT event_type, window_start, round(ewma, 9) AS ewma FROM x""".stripMargin)),
+
+    // Discrete differences over the same series: previous value, delta,
+    // percent change (null at each group's first row and at zero bases).
+    QueryDef("q150_deltas_hourly",
+      (s, d) => TimeSeries.deltas(locfFilled(s, d),
+          Seq("event_type"), "window_start", "total_value_filled")
+        .select(col("event_type"), col("window_start"), col("total_value_filled"),
+          col("prev_value"), col("delta"),
+          round(col("pct_change"), 9).alias("pct_change")),
+      Some(s"""$locfCtes
+              |SELECT event_type, window_start, total_value_filled,
+              |  lag(total_value_filled) OVER w AS prev_value,
+              |  total_value_filled - lag(total_value_filled) OVER w AS delta,
+              |  round(CASE WHEN lag(total_value_filled) OVER w IS NOT NULL
+              |         AND lag(total_value_filled) OVER w <> 0.0
+              |        THEN (total_value_filled - lag(total_value_filled) OVER w)
+              |             / lag(total_value_filled) OVER w END, 9) AS pct_change
+              |FROM l
+              |WINDOW w AS (PARTITION BY event_type ORDER BY window_start)""".stripMargin))
   )
+
+  /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */
+  private def locfFilled(s: org.apache.spark.sql.SparkSession, d: String) =
+    TimeSeries.locf(
+      TimeSeries.gapFillTumbling(Tables.events(s, d), "ts", "hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).alias("n_events"),
+          Aggregations.exactSum(col("value")).alias("total_value")),
+        fillZero = Seq("n_events")),
+      Seq("event_type"), "window_start", "total_value", "total_value_filled")
+
+  /** Shared oracle CTE chain through the LOCF frame `l`. */
+  private lazy val locfCtes: String =
+    s"""WITH $evCte,
+       |a AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |        COUNT(*) AS n_events, ${exactSumSql("value")} AS total_value
+       |      FROM ev GROUP BY 1, 2),
+       |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM a),
+       |g AS (SELECT DISTINCT event_type FROM a),
+       |spine AS (SELECT s.window_start, g.event_type
+       |          FROM (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+       |                  AS window_start FROM b) s CROSS JOIN g),
+       |f AS (SELECT spine.window_start, spine.event_type,
+       |        coalesce(a.n_events, 0) AS n_events, a.total_value
+       |      FROM spine LEFT JOIN a USING (window_start, event_type)),
+       |l AS (SELECT window_start, event_type, n_events, total_value,
+       |        last_value(total_value IGNORE NULLS) OVER (
+       |          PARTITION BY event_type ORDER BY window_start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS total_value_filled
+       |      FROM f)""".stripMargin
 }

@@ -358,9 +358,10 @@ class PlanSpec extends SparkSpec {
       //  - q144: exact quantile cut — the 1-row cutoff frame is the
       //    broadcast side of the >= join; the corpus is probed map-side
       "q144_quality_quantile_cut",
-      //  - q146-q148: gap-fill family — the 1-row min/max bounds frame is
+      //  - q146-q150: gap-fill family — the 1-row min/max bounds frame is
       //    crossed into the distinct-groups frame to build the time spine
-      "q146_gapfill_hourly", "q147_locf_hourly", "q148_interpolate_hourly")
+      "q146_gapfill_hourly", "q147_locf_hourly", "q148_interpolate_hourly",
+      "q149_ewma_hourly", "q150_deltas_hourly")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
