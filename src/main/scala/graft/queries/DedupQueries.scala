@@ -14,6 +14,31 @@ import graft.functions.TextFunctions.normalizeTextSql
   */
 object DedupQueries {
 
+  /** q137's DuckDB oracle — shared verbatim by the SQL-surface twin
+    * (q151) so the Scala and SQL statements of substring dedup are gated
+    * against the same truth.
+    */
+  private lazy val substringSpansOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+       |          FROM documents),
+       |p AS (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos FROM t),
+       |g AS (SELECT doc_id, pos, concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3],
+       |        tk[pos+4], tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS gram
+       |      FROM p),
+       |sh AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       |h AS (SELECT doc_id, pos, pos + 7 AS e FROM g
+       |      WHERE gram IN (SELECT gram FROM sh)),
+       |m AS (SELECT doc_id, pos, e,
+       |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |             THEN 1 ELSE 0 END AS brk FROM h),
+       |i AS (SELECT doc_id, pos, e,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end,
+       |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+       |FROM i GROUP BY doc_id, island""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q40_dedup_exact",
@@ -362,25 +387,44 @@ object DedupQueries {
     QueryDef("q137_substring_dedup_spans",
       (s, d) => Dedup.exactSubstringSpans(Tables.documents(s, d),
         "doc_id", "text", k = 8),
-      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
-              |          FROM documents),
-              |p AS (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos FROM t),
-              |g AS (SELECT doc_id, pos, concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3],
-              |        tk[pos+4], tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS gram
-              |      FROM p),
-              |sh AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
-              |h AS (SELECT doc_id, pos, pos + 7 AS e FROM g
-              |      WHERE gram IN (SELECT gram FROM sh)),
-              |m AS (SELECT doc_id, pos, e,
-              |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-              |             THEN 1 ELSE 0 END AS brk FROM h),
-              |i AS (SELECT doc_id, pos, e,
-              |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
-              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-              |  CAST(max(e) AS BIGINT) AS span_end,
-              |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
-              |FROM i GROUP BY doc_id, island""".stripMargin)),
+      Some(substringSpansOracle)),
+
+    // The SAME pipeline stated entirely in Spark SQL (spark.sql text) —
+    // pins that a SQL-only user can run substring dedup without the
+    // Scala API: chained-hash 8-grams via nested xxhash64 (the exact
+    // construction shingleHashesPositional folds), posexplode postings,
+    // min≠max shared grams, gaps-and-islands windows. Shares q137's
+    // oracle, so the two surfaces can never drift from each other.
+    QueryDef("q151_substring_sql_surface",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""
+          WITH th AS (
+            SELECT doc_id, transform(split(trim(lower(text)), '\\s+'),
+                     x -> xxhash64(x)) AS h
+            FROM documents),
+          g AS (
+            SELECT doc_id, pos, gram FROM (SELECT * FROM th WHERE size(h) >= 8)
+            LATERAL VIEW posexplode(transform(sequence(0, size(h) - 8),
+              i -> xxhash64(xxhash64(xxhash64(xxhash64(xxhash64(xxhash64(
+                     xxhash64(h[i], h[i+1]), h[i+2]), h[i+3]), h[i+4]),
+                     h[i+5]), h[i+6]), h[i+7]))) x AS pos, gram),
+          sh AS (SELECT gram FROM g GROUP BY gram
+                 HAVING min(doc_id) <> max(doc_id)),
+          h2 AS (SELECT doc_id, pos, pos + 7 AS e FROM g
+                 WHERE gram IN (SELECT gram FROM sh)),
+          m AS (SELECT doc_id, pos, e,
+                  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                       THEN 1 ELSE 0 END AS brk FROM h2),
+          i AS (SELECT doc_id, pos, e,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+            CAST(max(e) AS BIGINT) AS span_end,
+            CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+          FROM i GROUP BY doc_id, island""")
+      },
+      Some(substringSpansOracle)),
 
     // The Lee-et-al. DELIVERABLE: the corpus with duplicated spans
     // removed — q137's spans applied back onto the token stream, plus
