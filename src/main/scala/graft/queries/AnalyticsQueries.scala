@@ -46,6 +46,75 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Statistical aggregates — population variance/stddev, covariance,
+    // correlation, skewness, excess kurtosis — derived from RAW MOMENTS
+    // (n, Σx, Σx², Σx³, Σx⁴, Σy, Σy², Σxy) accumulated in exact
+    // Decimal(30,8): order-independent (partition-count-proof) where the
+    // built-in stddev/corr's streaming double accumulators are not, and
+    // the one divide/multiply/sqrt derivation is the SAME expression
+    // text in both engines. Products stay exact in double before the
+    // decimal sum (quantities ≤ 50, prices < 2^53/1e4). One map-side-
+    // combined groupBy — the ideal 100 TB aggregate shape.
+    QueryDef("q152_statistical_aggregates",
+      (s, d) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val m = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).alias("n"),
+            exactSum(x).alias("sx"), exactSum(x * x).alias("sx2"),
+            exactSum(x * x * x).alias("sx3"),
+            exactSum(x * x * x * x).alias("sx4"),
+            exactSum(y).alias("sy"), exactSum(y * y).alias("sy2"),
+            exactSum(x * y).alias("sxy"))
+        val mx = col("sx") / col("n"); val my = col("sy") / col("n")
+        val vx = col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))
+        val vy = col("sy2") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
+        val cov = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
+        val m3 = col("sx3") / col("n") - lit(3.0) * mx * (col("sx2") / col("n")) +
+          lit(2.0) * mx * mx * mx
+        val m4 = col("sx4") / col("n") - lit(4.0) * mx * (col("sx3") / col("n")) +
+          lit(6.0) * mx * mx * (col("sx2") / col("n")) - lit(3.0) * mx * mx * mx * mx
+        m.select(col("l_returnflag"), col("n"),
+          round(mx, 6).alias("mean_qty"),
+          round(vx, 6).alias("var_pop_qty"),
+          round(sqrt(vx), 6).alias("stddev_pop_qty"),
+          round(cov, 6).alias("covar_pop"),
+          round(cov / (sqrt(vx) * sqrt(vy)), 6).alias("corr"),
+          round(m3 / (sqrt(vx) * sqrt(vx) * sqrt(vx)), 6).alias("skewness"),
+          round(m4 / (vx * vx) - lit(3.0), 6).alias("kurtosis"))
+      },
+      Some {
+        def S(e: String) = exactSumSql(e)
+        s"""WITH m AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    ${S("l_quantity")} AS sx,
+           |    ${S("l_quantity * l_quantity")} AS sx2,
+           |    ${S("l_quantity * l_quantity * l_quantity")} AS sx3,
+           |    ${S("l_quantity * l_quantity * l_quantity * l_quantity")} AS sx4,
+           |    ${S("l_extendedprice")} AS sy,
+           |    ${S("l_extendedprice * l_extendedprice")} AS sy2,
+           |    ${S("l_quantity * l_extendedprice")} AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  round(sx / n, 6) AS mean_qty,
+           |  round(sx2 / n - (sx / n) * (sx / n), 6) AS var_pop_qty,
+           |  round(sqrt(sx2 / n - (sx / n) * (sx / n)), 6) AS stddev_pop_qty,
+           |  round(sxy / n - (sx / n) * (sy / n), 6) AS covar_pop,
+           |  round((sxy / n - (sx / n) * (sy / n)) /
+           |        (sqrt(sx2 / n - (sx / n) * (sx / n)) *
+           |         sqrt(sy2 / n - (sy / n) * (sy / n))), 6) AS corr,
+           |  round((sx3 / n - 3.0 * (sx / n) * (sx2 / n) +
+           |         2.0 * (sx / n) * (sx / n) * (sx / n)) /
+           |        (sqrt(sx2 / n - (sx / n) * (sx / n)) *
+           |         sqrt(sx2 / n - (sx / n) * (sx / n)) *
+           |         sqrt(sx2 / n - (sx / n) * (sx / n))), 6) AS skewness,
+           |  round((sx4 / n - 4.0 * (sx / n) * (sx3 / n) +
+           |         6.0 * (sx / n) * (sx / n) * (sx2 / n) -
+           |         3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n)) /
+           |        ((sx2 / n - (sx / n) * (sx / n)) *
+           |         (sx2 / n - (sx / n) * (sx / n))) - 3.0, 6) AS kurtosis
+           |FROM m""".stripMargin
+      }),
+
     // TPC-H Q1-style pricing summary (scan→filter→wide agg).
     QueryDef("q26_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
