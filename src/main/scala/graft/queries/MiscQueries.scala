@@ -499,6 +499,69 @@ object MiscQueries {
              |  FROM t)
              |SELECT doc_id, shard,
              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // Fuzzy record linkage: blocking + thresholded edit distance (the
+    // entity-resolution candidate stage). Block key = (last name token,
+    // brand) — composite deterministic blocking keeps blocks tiny (max 20
+    // records at sf0.01) so the in-block quadratic never bites; oversized
+    // blocks are dropped by the maxBlock skew guard, mirrored in the
+    // oracle's window count. Spark runs the banded O(t·n) thresholded
+    // levenshtein; the oracle states the full distance with a <= filter —
+    // identical result set.
+    QueryDef("q153_fuzzy_linkage",
+      (s, d) => graft.ops.Linkage.fuzzyPairs(
+        Tables.part(s, d), "p_partkey", "p_name",
+        blockCols = Seq(element_at(split(col("p_name"), " "), -1), col("p_brand")),
+        maxDist = 3, maxBlock = 1000),
+      Some("""WITH b AS (
+             |  SELECT p_partkey, p_name, p_brand,
+             |         string_split(p_name, ' ')[-1] AS blk,
+             |         COUNT(*) OVER (PARTITION BY string_split(p_name, ' ')[-1], p_brand) AS bsz
+             |  FROM part),
+             |c AS (SELECT * FROM b WHERE bsz <= 1000)
+             |SELECT a.p_partkey AS k1, a.p_name AS name1,
+             |       b2.p_partkey AS k2, b2.p_name AS name2,
+             |       CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+             |FROM c a JOIN c b2
+             |  ON a.blk = b2.blk AND a.p_brand = b2.p_brand
+             | AND a.p_partkey < b2.p_partkey
+             |WHERE levenshtein(a.p_name, b2.p_name) <= 3""".stripMargin)),
+
+    // Entity resolution on top of q153's match graph: transitive closure
+    // (A≈B, B≈C ⇒ one entity even when dist(A,C) exceeds the budget) via
+    // the dedup family's pointer-doubling components; singletons keep
+    // their own key. The oracle rebuilds the same closure as a recursive
+    // CTE (q135's pattern), so the full per-record entity assignment
+    // hash-verifies.
+    QueryDef("q154_entity_resolution",
+      (s, d) => graft.ops.Linkage.resolveEntities(
+        Tables.part(s, d), "p_partkey", "p_name",
+        blockCols = Seq(element_at(split(col("p_name"), " "), -1), col("p_brand")),
+        maxDist = 3, maxBlock = 1000),
+      Some("""WITH RECURSIVE b AS (
+             |  SELECT p_partkey, p_name, p_brand,
+             |         string_split(p_name, ' ')[-1] AS blk,
+             |         COUNT(*) OVER (PARTITION BY string_split(p_name, ' ')[-1], p_brand) AS bsz
+             |  FROM part),
+             |c AS (SELECT * FROM b WHERE bsz <= 1000),
+             |pairs AS (
+             |  SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b
+             |  FROM c a JOIN c b2
+             |    ON a.blk = b2.blk AND a.p_brand = b2.p_brand
+             |   AND a.p_partkey < b2.p_partkey
+             |  WHERE levenshtein(a.p_name, b2.p_name) <= 3),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b AS src, id_a AS dst FROM pairs),
+             |cc AS (
+             |  SELECT src AS id, src AS comp FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+             |lab AS (SELECT id, min(comp) AS entity_id FROM cc GROUP BY id)
+             |SELECT p.p_partkey, coalesce(l.entity_id, p.p_partkey) AS entity_id
+             |FROM (SELECT DISTINCT p_partkey FROM part) p
+             |LEFT JOIN lab l ON p.p_partkey = l.id""".stripMargin))
   )
 }
