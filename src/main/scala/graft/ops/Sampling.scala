@@ -103,6 +103,32 @@ object Sampling {
     }
   }
 
+  /** Per-group document cap (the Common-Crawl-style curation rule "at most
+    * n documents per domain/source"): keep each group's top-n rows by
+    * (scoreCol desc, idCol asc — the deterministic tiebreak), emitting
+    * (groupCol, idCol, rank, score) with rank 1-based best-first.
+    *
+    * Scale: NOT a window — row_number over a hot group funnels that
+    * group through one task's sort. This runs the bounded-heap top-k
+    * aggregate ([[graft.functions.TopKPairsAgg]]): each task keeps at
+    * most n (id, score) pairs per group and partials merge map-side, so
+    * a group with a billion rows costs its scan plus O(n) state — the
+    * per-group work never concentrates. Output is group-granular; join
+    * back on idCol when full rows are needed downstream.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  score: org.apache.spark.sql.Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(n >= 1, s"cap must be >= 1: $n")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKPairsAgg(col(idCol), score, n).alias("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(groupCol),
+        col("__e.neighbor_id").alias(idCol),
+        (col("__pos") + 1).cast("long").alias("rank"),
+        col("__e.cosine").alias("score"))
+  }
+
   /** S11: preview action — row count, schema DDL, first rows. */
   final case class Preview(rowCount: Long, schemaDdl: String, rows: Seq[Row])
 

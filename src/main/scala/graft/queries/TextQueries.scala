@@ -237,6 +237,24 @@ object TextQueries {
               |SELECT doc_id, quality_score FROM q, cut
               |WHERE quality_score >= cut""".stripMargin)),
 
+    // Per-source document cap — the Common-Crawl curation rule "at most n
+    // docs per domain". NOT a window: the bounded-heap top-k aggregate
+    // (TopKPairsAgg) keeps ≤ n pairs per group per task and merges
+    // map-side, so one hot source never funnels through a single task's
+    // sort; the oracle states the same selection as row_number over
+    // (n_chars DESC, doc_id ASC) — the heap's exact tie rule.
+    QueryDef("q155_source_doc_cap",
+      (s, d) => graft.ops.Sampling.capPerGroup(
+        Tables.documents(s, d), "source", "doc_id",
+        col("n_chars").cast("double"), n = 40),
+      Some("""SELECT source, doc_id, rank, score FROM (
+             |  SELECT source, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |           ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank,
+             |    CAST(n_chars AS DOUBLE) AS score
+             |  FROM documents)
+             |WHERE rank <= 40""".stripMargin)),
+
     // Statistical LM quality signals (CCNet/KenLM-style filter without
     // log space): corpus-fit MLE bigram model, per-doc mean conditional
     // probability + rare-bigram fraction. Rational arithmetic and 6-dp

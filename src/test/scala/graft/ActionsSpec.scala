@@ -121,6 +121,26 @@ class ActionsSpec extends SparkSpec {
     assert(again.count() == sampled.count())
   }
 
+  test("capPerGroup equals the window top-n and is partition-layout-stable") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Sampling
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val got = Sampling.capPerGroup(docs, "source", "doc_id",
+        col("n_chars").cast("double"), n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val expect = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("source", "doc_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    // heap merge order must not affect the kept set
+    val again = Sampling.capPerGroup(docs.repartition(7), "source", "doc_id",
+        col("n_chars").cast("double"), n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
   test("hexThreshold maps fractions onto the md5 hex space monotonically") {
     import graft.ops.Sampling
     assert(Sampling.hexThreshold(0.0) == "0" * 32)
