@@ -191,6 +191,45 @@ object TimeSeries {
         col("session_window.end").alias("session_end"),
         col("n_events"))
 
+  /** Gaps-and-islands run collapse — the SCD Type-2 history builder:
+    * consecutive events of the same `valCol` per `groupCol` collapse into
+    * one validity interval (run), with `valid_from` = first occurrence,
+    * `valid_to` = the NEXT run's start (null on the open current run),
+    * `run_id` 1-based in time order, and the run's event count. A value
+    * that recurs after an interruption opens a NEW interval — exactly the
+    * type-2 "track history, don't overwrite" contract, and the reason a
+    * plain groupBy(user, value) cannot express this.
+    *
+    * Shape: run boundaries come from ONE window pass over the events
+    * (lag + running sum share a single (group, order) sort — one
+    * exchange), the run rollup is one hash aggregate, and the run-level
+    * lead/row_number windows act on the collapsed frame (runs ≪ events).
+    * Order must be total — pass a unique tiebreak column.
+    */
+  def collapseRuns(df: DataFrame, groupCol: String, tsCol: String,
+                   valCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val order = col(tsCol) +: tieBreak
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    val brk = when(lag(col(valCol), 1).over(w).isNull ||
+      lag(col(valCol), 1).over(w) =!= col(valCol), 1L).otherwise(0L)
+    val runs = df
+      .withColumn("__run0",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(groupCol), col(valCol), col("__run0"))
+      .agg(min(col(tsCol)).alias("valid_from"),
+        count(lit(1)).alias("n_events"))
+    // order runs by the break counter, not valid_from: tied timestamps can
+    // give two runs the same valid_from, and __run0 is strictly increasing
+    // in time order per group (a total order by construction)
+    val wr = Window.partitionBy(col(groupCol)).orderBy(col("__run0"))
+    runs
+      .withColumn("run_id", row_number().over(wr).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select(col(groupCol), col(valCol), col("run_id"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.alias("is_current"), col("n_events"))
+  }
+
   /** Per-session rollup on top of [[sessionize]]. Duration stays in exact
     * integral microseconds (a fractional-seconds double would round
     * differently across engines).

@@ -349,7 +349,39 @@ object EventQueries {
               |        THEN (total_value_filled - lag(total_value_filled) OVER w)
               |             / lag(total_value_filled) OVER w END, 9) AS pct_change
               |FROM l
-              |WINDOW w AS (PARTITION BY event_type ORDER BY window_start)""".stripMargin))
+              |WINDOW w AS (PARTITION BY event_type ORDER BY window_start)""".stripMargin)),
+
+    // Gaps-and-islands run collapse = SCD Type-2 history: consecutive
+    // same-type events per user become one validity interval; a type that
+    // recurs later opens a NEW interval (the history a groupBy(user, type)
+    // cannot express). One window exchange over events (lag + running sum
+    // share the sort), one run rollup, run-level lead/row_number on the
+    // collapsed frame. Total order via (ts, event_id).
+    QueryDef("q156_scd2_runs",
+      (s, d) => TimeSeries.collapseRuns(Tables.events(s, d),
+        "user_id", "ts", "event_type", tieBreak = Seq(col("event_id"))),
+      Some(s"""WITH $evCte,
+              |f AS (SELECT user_id, event_type, ts, event_id,
+              |        CASE WHEN lag(event_type) OVER w IS NULL
+              |               OR lag(event_type) OVER w <> event_type
+              |             THEN 1 ELSE 0 END AS brk
+              |      FROM ev
+              |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |r AS (SELECT user_id, event_type, ts,
+              |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
+              |      FROM f),
+              |g AS (SELECT user_id, event_type, run0,
+              |        min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+              |      FROM r GROUP BY user_id, event_type, run0)
+              |SELECT user_id, event_type,
+              |  CAST(row_number() OVER wr AS BIGINT) AS run_id,
+              |  valid_from,
+              |  lead(valid_from) OVER wr AS valid_to,
+              |  (lead(valid_from) OVER wr IS NULL) AS is_current,
+              |  n_events
+              |FROM g
+              |WINDOW wr AS (PARTITION BY user_id ORDER BY run0)""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

@@ -38,6 +38,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("collapseRuns builds SCD2 intervals: recurring values reopen, ties stay total") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A A B A  -> runs A(2), B(1), A(1) — A reopens after B
+    // user 2: one tied-ts pair with different types -> event_id breaks the tie
+    val df = Seq(
+      (1L, t(10), 1L, "A"), (2L, t(20), 1L, "A"), (3L, t(30), 1L, "B"),
+      (4L, t(40), 1L, "A"),
+      (10L, t(100), 2L, "X"), (11L, t(100), 2L, "Y")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.TimeSeries.collapseRuns(df, "user_id", "ts", "event_type",
+        tieBreak = Seq(col("event_id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5), r.getLong(6)))
+    val u1 = out.filter(_._1 == 1L).sortBy(_._3)
+    assert(u1.map(x => (x._2, x._3, x._4, x._5, x._7)).toSeq == Seq(
+      ("A", 1L, t(10), Some(t(30)), 2L),
+      ("B", 2L, t(30), Some(t(40)), 1L),
+      ("A", 3L, t(40), None, 1L)))
+    assert(u1.last._6) // open interval is current
+    val u2 = out.filter(_._1 == 2L).sortBy(_._3)
+    // tie resolved by event_id: X (id 10) before Y (id 11), both runs at t=100
+    assert(u2.map(x => (x._2, x._3, x._7)).toSeq == Seq(("X", 1L, 1L), ("Y", 2L, 1L)))
+    assert(u2.head._5.contains(t(100)) && u2.last._5.isEmpty)
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()
