@@ -44,6 +44,47 @@ object Joins {
   def inner(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "inner")
 
+  /** Batch MERGE / upsert (SCD Type-1 "last write wins"): rows of `batch`
+    * REPLACE same-key rows of `target`; new keys insert. Schemas must be
+    * union-compatible by name.
+    *
+    * Scale posture: the change batch is bounded (a CDC tick, a corrections
+    * file), the target is the 100 TB side — so the target must NEVER
+    * shuffle. With `broadcastBatch` the anti join broadcasts the batch and
+    * the target streams through map-side; the whole merge is one target
+    * scan + one union, no exchange. A full-outer-join formulation (the
+    * naive MERGE) would shuffle the entire target on the key.
+    */
+  def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String],
+             broadcastBatch: Boolean = true): DataFrame = {
+    val b = if (broadcastBatch) broadcast(batch.select(keys.map(col): _*)) else
+      batch.select(keys.map(col): _*)
+    target.join(b, keys, "left_anti").unionByName(batch)
+  }
+
+  /** [[upsert]] with a per-row `action` audit column: 'kept' (target row
+    * untouched), 'updated' (batch replaced an existing key), 'inserted'
+    * (new key). Costs a SECOND map-side target pass (the semi join that
+    * learns which batch keys existed) — the audit trail's honest price;
+    * both passes stay shuffle-free under a broadcast batch.
+    */
+  def upsertWithAction(target: DataFrame, batch: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val bKeys = broadcast(batch.select(keys.map(col): _*))
+    val kept = target.join(bKeys, keys, "left_anti")
+      .withColumn("action", lit("kept"))
+    // keys of batch rows that match an existing target row: target streams
+    // against the broadcast batch, output is <= |batch| rows
+    val matched = broadcast(
+      target.join(bKeys, keys, "left_semi").select(keys.map(col): _*)
+        .withColumn("__m", lit(1)))
+    val merged = batch.join(matched, keys, "left")
+      .withColumn("action", when(col("__m").isNotNull, lit("updated"))
+        .otherwise(lit("inserted")))
+      .drop("__m")
+    kept.unionByName(merged)
+  }
+
   /** Range (interval-containment) join: pairs each `intervals` row with
     * every `points` row whose `tsCol` falls in `[startCol, endCol)`.
     *

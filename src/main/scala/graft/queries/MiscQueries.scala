@@ -562,6 +562,45 @@ object MiscQueries {
              |lab AS (SELECT id, min(comp) AS entity_id FROM cc GROUP BY id)
              |SELECT p.p_partkey, coalesce(l.entity_id, p.p_partkey) AS entity_id
              |FROM (SELECT DISTINCT p_partkey FROM part) p
-             |LEFT JOIN lab l ON p.p_partkey = l.id""".stripMargin))
+             |LEFT JOIN lab l ON p.p_partkey = l.id""".stripMargin)),
+
+    // Batch MERGE / upsert with audit actions — the dimension-maintenance
+    // primitive (SCD Type-1): a deterministic change batch (updates =
+    // custkey%7=3 with +100 balance; inserts = shifted new keys) replaces/
+    // extends the customer dimension. The target NEVER shuffles: broadcast
+    // anti join keeps untouched rows, a second map-side semi pass learns
+    // which batch keys existed ('updated' vs 'inserted'). The full-outer-
+    // join MERGE would shuffle all 100 TB of the dimension instead.
+    QueryDef("q157_merge_upsert",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val updates = cust.filter(col("c_custkey") % 7 === 3)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        val inserts = cust.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000L).alias("c_custkey"), col("c_name"),
+            col("c_nationkey"), lit(0.0).alias("c_acctbal"),
+            lit("NEW").alias("c_mktsegment"))
+        graft.ops.Joins.upsertWithAction(
+          cust, updates.unionByName(inserts), Seq("c_custkey"))
+      },
+      Some("""WITH batch AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 7 = 3
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_nationkey,
+             |         CAST(0.0 AS DOUBLE), 'NEW'
+             |  FROM customer WHERE c_custkey % 97 = 0)
+             |SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+             |       t.c_mktsegment, 'kept' AS action
+             |FROM customer t
+             |WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = t.c_custkey)
+             |UNION ALL
+             |SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+             |       b.c_mktsegment,
+             |  CASE WHEN EXISTS (SELECT 1 FROM customer t
+             |                    WHERE t.c_custkey = b.c_custkey)
+             |       THEN 'updated' ELSE 'inserted' END AS action
+             |FROM batch b""".stripMargin))
   )
 }

@@ -65,6 +65,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(u2.head._5.contains(t(100)) && u2.last._5.isEmpty)
   }
 
+  test("upsert replaces by key without shuffling the target; actions audit correctly") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val batch = Seq((2L, "b2", 99.0), (9L, "new", 0.0)).toDF("k", "name", "v")
+    val merged = graft.ops.Joins.upsert(target, batch, Seq("k"))
+    val got = merged.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (3L, "c", 30.0), (2L, "b2", 99.0), (9L, "new", 0.0)))
+    // the target side must stream: no shuffle exchange in the plan
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"upsert must not shuffle the target:\n$plan")
+    val acts = graft.ops.Joins.upsertWithAction(target, batch, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(acts == Map(1L -> "kept", 3L -> "kept", 2L -> "updated", 9L -> "inserted"))
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()
