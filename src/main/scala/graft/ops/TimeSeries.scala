@@ -191,6 +191,36 @@ object TimeSeries {
         col("session_window.end").alias("session_end"),
         col("n_events"))
 
+  /** Robust outlier detection on a per-group series: flag points whose
+    * absolute deviation from the group MEDIAN exceeds `k` × the median
+    * absolute deviation (MAD). Median/MAD resist the masking that breaks
+    * mean/stddev z-scores — one genuine spike inflates a stddev enough to
+    * hide itself, but barely moves the median.
+    *
+    * Exactness: median and MAD are exact sort-based percentiles rounded
+    * to 6 dp BEFORE the deviation/threshold arithmetic, so both engines
+    * run the identical IEEE compare on identical inputs (the q38
+    * percentile-parity discipline). Shape: two percentile aggregates over
+    * the (already aggregated, group-bounded) series + two broadcast joins
+    * of 1-row-per-group frames — nothing rescans or reshuffles the
+    * underlying events.
+    */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valCol: String,
+                     k: Double): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(round(expr(s"percentile(CAST($valCol AS DOUBLE), 0.5)"), 6).alias("med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__abs_dev", abs(col(valCol).cast("double") - col("med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(round(expr("percentile(__abs_dev, 0.5)"), 6).alias("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("abs_dev", round(col("__abs_dev"), 6))
+      .withColumn("is_outlier", col("abs_dev") > lit(k) * col("mad"))
+      .drop("__abs_dev")
+  }
+
   /** Gaps-and-islands run collapse — the SCD Type-2 history builder:
     * consecutive events of the same `valCol` per `groupCol` collapse into
     * one validity interval (run), with `valid_from` = first occurrence,

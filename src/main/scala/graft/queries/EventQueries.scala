@@ -381,7 +381,37 @@ object EventQueries {
               |  (lead(valid_from) OVER wr IS NULL) AS is_current,
               |  n_events
               |FROM g
-              |WINDOW wr AS (PARTITION BY user_id ORDER BY run0)""".stripMargin))
+              |WINDOW wr AS (PARTITION BY user_id ORDER BY run0)""".stripMargin)),
+
+    // Robust (median/MAD) outlier flags on the hourly series — the
+    // anomaly-detection sibling of q149/q150: median resists the masking
+    // that lets a spike hide inside its own inflated stddev. Median and
+    // MAD are exact percentiles rounded to 6 dp BEFORE the threshold
+    // compare (q38's parity discipline), so the boolean flag hash-matches.
+    QueryDef("q158_robust_outliers",
+      (s, d) => TimeSeries.robustOutliers(
+          TimeSeries.tumblingAgg(Tables.events(s, d), "ts", "hour",
+            Seq("event_type"),
+            Seq(Aggregations.exactSum(col("value")).alias("total_value"))),
+          Seq("event_type"), "total_value", k = 3.0)
+        .select(col("event_type"), col("window_start"), col("total_value"),
+          col("med"), col("mad"), col("abs_dev"), col("is_outlier")),
+      Some(s"""WITH $evCte,
+              |h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |        ${exactSumSql("value")} AS total_value
+              |      FROM ev GROUP BY 1, 2),
+              |m AS (SELECT event_type,
+              |        round(quantile_cont(CAST(total_value AS DOUBLE), 0.5), 6) AS med
+              |      FROM h GROUP BY 1),
+              |dv AS (SELECT h.*, m.med,
+              |        abs(CAST(total_value AS DOUBLE) - m.med) AS raw_dev
+              |      FROM h JOIN m USING (event_type)),
+              |md AS (SELECT event_type, round(quantile_cont(raw_dev, 0.5), 6) AS mad
+              |       FROM dv GROUP BY 1)
+              |SELECT dv.event_type, dv.window_start, dv.total_value, dv.med,
+              |  md.mad, round(dv.raw_dev, 6) AS abs_dev,
+              |  (round(dv.raw_dev, 6) > 3.0 * md.mad) AS is_outlier
+              |FROM dv JOIN md USING (event_type)""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

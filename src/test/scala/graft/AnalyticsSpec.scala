@@ -82,6 +82,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(acts == Map(1L -> "kept", 3L -> "kept", 2L -> "updated", 9L -> "inserted"))
   }
 
+  test("robustOutliers flags a spike the median/MAD way and keeps the bulk") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3))) :+ (("a", 21L, 500.0))
+    val out = graft.ops.TimeSeries.robustOutliers(
+        df.toDF("g", "t", "v"), Seq("g"), "v", k = 3.0)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(out(21L), "the 500.0 spike must be flagged")
+    assert((1 to 20).forall(i => !out(i.toLong)), "bulk points must not be flagged")
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()
