@@ -85,6 +85,39 @@ object Joins {
     kept.unionByName(merged)
   }
 
+  /** Snapshot diff — derive a change-data feed from two versions of a
+    * dimension: emits one row per key that was `added`, `removed`, or
+    * `changed` (null-safe column compare); unchanged keys are omitted —
+    * the CDC contract. Schemas must match.
+    *
+    * Scale posture: unlike [[upsert]] (bounded batch), BOTH sides here
+    * are full snapshots, so the full-outer join legitimately shuffles
+    * both — that cost is structural. The 100 TB mitigation is LAYOUT, not
+    * the operator: write snapshots bucketed by the key
+    * ([[Bucketing]]), and the join plans as a zip of co-partitioned
+    * scans with zero exchange.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"snapshot schemas must match: ${oldSnap.columns.toSeq} vs ${newSnap.columns.toSeq}")
+    val valCols = oldSnap.columns.filterNot(keys.contains).toSeq
+    val o = oldSnap.select(keys.map(col) ++
+      valCols.map(c => col(c).alias(s"__o_$c")): _*).withColumn("__op", lit(1))
+    val n = newSnap.select(keys.map(col) ++
+      valCols.map(c => col(c).alias(s"__n_$c")): _*).withColumn("__np", lit(1))
+    val changed =
+      if (valCols.isEmpty) lit(false)
+      else valCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__op").isNull, lit("added"))
+          .when(col("__np").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Range (interval-containment) join: pairs each `intervals` row with
     * every `points` row whose `tsCol` falls in `[startCol, endCol)`.
     *

@@ -601,6 +601,71 @@ object MiscQueries {
              |  CASE WHEN EXISTS (SELECT 1 FROM customer t
              |                    WHERE t.c_custkey = b.c_custkey)
              |       THEN 'updated' ELSE 'inserted' END AS action
-             |FROM batch b""".stripMargin))
+             |FROM batch b""".stripMargin)),
+
+    // Snapshot diff — the inverse of q157: given the customer dimension
+    // and its post-merge next version, derive the change-data feed
+    // (added/removed/changed; unchanged keys omitted). Null-safe
+    // column-wise compare; the diff recovers exactly the merge's updates
+    // ('changed') and inserts ('added'). Both sides are full snapshots,
+    // so the full-outer join's shuffle is structural — the 100 TB answer
+    // is key-bucketed snapshot layout (co-partitioned scans, no
+    // exchange), not a different operator.
+    QueryDef("q159_snapshot_diff",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        graft.ops.Joins.snapshotDiff(cust, mergedCustomer(s, d), Seq("c_custkey"))
+      },
+      Some(s"""WITH $mergedCustomerSql
+             |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+             |       WHEN n.c_custkey IS NULL THEN 'removed'
+             |       WHEN (o.c_name IS DISTINCT FROM n.c_name)
+             |         OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+             |         OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+             |         OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+             |       THEN 'changed' END AS change
+             |FROM customer o FULL OUTER JOIN new_snap n USING (c_custkey)
+             |WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
+             |       WHEN n.c_custkey IS NULL THEN 'removed'
+             |       WHEN (o.c_name IS DISTINCT FROM n.c_name)
+             |         OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+             |         OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+             |         OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+             |       THEN 'changed' END IS NOT NULL""".stripMargin))
   )
+
+  /** q157's merge applied WITHOUT the audit column — the "next snapshot"
+    * q159 diffs against.
+    */
+  private def mergedCustomer(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val cust = Tables.customer(s, d)
+    val updates = cust.filter(col("c_custkey") % 7 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val inserts = cust.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000L).alias("c_custkey"), col("c_name"),
+        col("c_nationkey"), lit(0.0).alias("c_acctbal"),
+        lit("NEW").alias("c_mktsegment"))
+    graft.ops.Joins.upsert(cust, updates.unionByName(inserts), Seq("c_custkey"))
+  }
+
+  // def, not val: `all` above initializes first and would interpolate a
+  // null val (object-init order)
+  /** Shared oracle CTEs: the q157 change batch and the merged snapshot. */
+  private def mergedCustomerSql =
+    """batch AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey,
+      |         CAST(0.0 AS DOUBLE), 'NEW'
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |new_snap AS (
+      |  SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+      |  FROM customer t
+      |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = t.c_custkey)
+      |  UNION ALL
+      |  SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment
+      |  FROM batch b)""".stripMargin
 }

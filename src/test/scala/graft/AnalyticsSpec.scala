@@ -92,6 +92,21 @@ class AnalyticsSpec extends SparkSpec {
     assert((1 to 20).forall(i => !out(i.toLong)), "bulk points must not be flagged")
   }
 
+  test("snapshotDiff classifies added/removed/changed and omits unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val nu = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0)).toDF("k", "s", "v")
+    val got = graft.ops.Joins.snapshotDiff(old, nu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // null-safe compare: null -> value and value -> null are both changes
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("k", "s")
+    val n2 = Seq((1L, Option("y")), (2L, Option.empty[String])).toDF("k", "s")
+    val g2 = graft.ops.Joins.snapshotDiff(o2, n2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2 == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()
