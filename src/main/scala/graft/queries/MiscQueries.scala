@@ -632,7 +632,29 @@ object MiscQueries {
              |         OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
              |         OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
              |         OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
-             |       THEN 'changed' END IS NOT NULL""".stripMargin))
+             |       THEN 'changed' END IS NOT NULL""".stripMargin)),
+
+    // Z-order (Morton) layout key over (customer, order-day) — the
+    // multi-dimensional clustering key whose range-partitioned sorted
+    // layout gives min/max zone pruning on BOTH dimensions (a single-
+    // column sort prunes only itself). Pure shift/and/add bit algebra —
+    // disjoint bits sum without carries — stated identically in both
+    // engines, so every interleaved key hash-verifies.
+    QueryDef("q160_zorder_key",
+      (s, d) => {
+        val x = pmod(col("o_custkey"), lit(65536L))
+        val y = pmod(expr("unix_micros(o_orderdate) div 86400000000"), lit(65536L))
+        Tables.orders(s, d).select(col("o_orderkey"),
+          x.alias("cust_bucket"), y.alias("day_bucket"),
+          graft.ops.Layout.zOrderKey(Seq(x, y), 16).alias("zval"))
+      },
+      Some {
+        val x = "o_custkey % 65536"
+        val y = "(epoch_us(o_orderdate) // 86400000000) % 65536"
+        s"""SELECT o_orderkey, $x AS cust_bucket, $y AS day_bucket,
+           |  ${graft.ops.Layout.zOrderSql(Seq(x, y), 16)} AS zval
+           |FROM orders""".stripMargin
+      })
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"

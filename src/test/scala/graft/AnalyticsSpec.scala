@@ -107,6 +107,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(g2 == Map(1L -> "changed", 2L -> "changed"))
   }
 
+  test("zOrderKey matches a reference Morton encoding; layout ranges are disjoint") {
+    import spark.implicits._
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc + (((x >> i) & 1L) << (2 * i + 1)) + (((y >> i) & 1L) << (2 * i))
+      }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 1L))
+    val df = pts.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.ops.Layout.zOrderKey(Seq(col("x"), col("y")), 16).alias("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x, y, 16), s"($x,$y)")
+    }
+    // layout: range partitions must hold disjoint, ordered z-ranges
+    val orders = graft.sources.Tables.orders(spark, sf001)
+    val z = graft.ops.Layout.zOrderKey(Seq(
+      pmod(col("o_custkey"), lit(65536L)),
+      pmod(col("o_orderkey"), lit(65536L))), 16)
+    val laid = graft.ops.Layout.zOrderLayout(orders.withColumn("zv", z), col("zv"), 8)
+    val ranges = laid
+      .select(org.apache.spark.sql.functions.spark_partition_id().alias("p"), col("zv"))
+      .groupBy("p").agg(min("zv").alias("lo"), max("zv").alias("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ => ()
+    }
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()
