@@ -37,4 +37,29 @@ object Profiling {
         Option(row.getAs[String](s"__max_$c")).orNull)
     }.toDF("column", "null_count", "distinct_count", "min_value", "max_value")
   }
+
+  /** Equal-frequency binning (feature-engineering quantile cut): assign
+    * each row the 1-based bin `1 + |{boundary < value}|` against the
+    * exact (k-1)-quantile boundaries of `valCol`, rounded to 6 dp before
+    * comparison (the q38 percentile-parity discipline).
+    *
+    * Scale posture: NOT `ntile` — a global ntile needs a total-order sort
+    * (one task owns the whole 100 TB ordering). Boundaries come from one
+    * sort-based percentile AGGREGATE (parallel, mergeable), broadcast as
+    * a 1-row array, and the bin assignment is a map-side array scan —
+    * zero shuffle on the data itself. Rows tied across a boundary land in
+    * the lower bin together (exactness over exact-equal-counts; ntile
+    * would split ties arbitrarily).
+    */
+  def binEqualFreq(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"bin count must be >= 2: $k")
+    val qs = (1 until k).map(i =>
+      round(expr(s"percentile(CAST($valCol AS DOUBLE), ${i.toDouble / k})"), 6))
+    val bounds = df.agg(array(qs: _*).alias("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        (lit(1) + size(filter(col("__bounds"),
+          b => col(valCol).cast("double") > b))).cast("long"))
+      .drop("__bounds")
+  }
 }

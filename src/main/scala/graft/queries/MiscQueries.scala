@@ -654,7 +654,38 @@ object MiscQueries {
         s"""SELECT o_orderkey, $x AS cust_bucket, $y AS day_bucket,
            |  ${graft.ops.Layout.zOrderSql(Seq(x, y), 16)} AS zval
            |FROM orders""".stripMargin
-      })
+      }),
+
+    // Equal-frequency binning (quantile cut) of the price column,
+    // reported as a per-bin histogram. NOT ntile: a global ntile funnels
+    // the total order through one task; here the 9 exact decile
+    // boundaries come from one mergeable percentile aggregate, broadcast,
+    // and bins assign map-side — zero data shuffle. Boundary ties go to
+    // the lower bin on both engines (deterministic, unlike ntile's
+    // arbitrary tie split).
+    QueryDef("q161_equal_freq_binning",
+      (s, d) => graft.ops.Profiling.binEqualFreq(
+          Tables.lineitem(s, d).select(col("l_extendedprice")),
+          "l_extendedprice", k = 10)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).alias("n"),
+          round(min(col("l_extendedprice")), 6).alias("lo"),
+          round(max(col("l_extendedprice")), 6).alias("hi")),
+      Some("""WITH b AS (
+             |  SELECT list_transform(
+             |    quantile_cont(CAST(l_extendedprice AS DOUBLE),
+             |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             |    q -> round(q, 6)) AS bounds
+             |  FROM lineitem),
+             |a AS (
+             |  SELECT l_extendedprice,
+             |    CAST(1 + len(list_filter(b.bounds,
+             |      x -> CAST(l_extendedprice AS DOUBLE) > x)) AS BIGINT) AS bin
+             |  FROM lineitem, b)
+             |SELECT bin, COUNT(*) AS n,
+             |  round(MIN(l_extendedprice), 6) AS lo,
+             |  round(MAX(l_extendedprice), 6) AS hi
+             |FROM a GROUP BY bin""".stripMargin))
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"

@@ -58,4 +58,23 @@ class ProfilingSpec extends SparkSpec {
     assert(out.forall(_._2 == 2L))          // keeper = min id of the cluster
     assert(byId(2L)._3 && !byId(5L)._3 && !byId(9L)._3)
   }
+
+  test("binEqualFreq covers all rows with ordered non-overlapping near-equal bins") {
+    val li = graft.sources.Tables.lineitem(spark, sf001).select("l_extendedprice")
+    val total = li.count()
+    val hist = graft.ops.Profiling.binEqualFreq(li, "l_extendedprice", 10)
+      .groupBy("bin").agg(count(lit(1)).alias("n"),
+        min("l_extendedprice").alias("lo"), max("l_extendedprice").alias("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(hist.map(_._1).toSeq == (1L to 10L))
+    assert(hist.map(_._2).sum == total)
+    // ranges ordered and non-overlapping; counts near total/k (ties aside)
+    hist.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+    val ideal = total.toDouble / 10
+    assert(hist.forall(b => math.abs(b._2 - ideal) < ideal * 0.2), hist.mkString(","))
+  }
 }
