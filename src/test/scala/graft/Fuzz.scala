@@ -45,6 +45,13 @@ object Fuzz {
   final case class LitS(v: String) extends Expr
   /** op ∈ + - * ; integral operands promoted to Long, any double → double */
   final case class Arith(op: Char, a: Expr, b: Expr) extends Expr
+  /** CASE WHEN p THEN t ELSE e END. Generator invariant: both branches
+    * resolve to the SAME type, so neither engine inserts a numeric
+    * promotion the other might state differently. Three-valued predicate
+    * semantics: an UNKNOWN condition takes the ELSE branch — the exact
+    * place engines historically disagree with hand-rolled interpreters.
+    */
+  final case class CaseW(p: Pred, t: Expr, e: Expr) extends Expr
 
   sealed trait Pred
   final case class Cmp(op: String, a: Expr, b: Expr) extends Pred // < <= = != > >=
@@ -132,6 +139,7 @@ object Fuzz {
       if (resolveType(a, schema) == TDouble || resolveType(b, schema) == TDouble)
         TDouble
       else TLong
+    case CaseW(_, t, _) => resolveType(t, schema) // branches same-typed
   }
 
   def schemaOf(r: Rel): Seq[(String, Typ)] = r match {
@@ -181,6 +189,9 @@ object Fuzz {
         case '-' => ca - cb
         case '*' => ca * cb
       }
+    case CaseW(p, t, e2) =>
+      when(toSparkPred(p, schema), toColumn(t, schema))
+        .otherwise(toColumn(e2, schema))
   }
 
   def toSparkPred(p: Pred, schema: Seq[(String, Typ)]): Column = p match {
@@ -263,6 +274,11 @@ object Fuzz {
         case (x, y: Double) => darith(op, toD(x), y)
         case (x, y)         => larith(op, toL(x), toL(y))
       }
+    case CaseW(p, t, e2) =>
+      // SQL: only a TRUE condition takes the THEN branch; FALSE and
+      // UNKNOWN both fall to ELSE
+      if (evalPred(p, row).contains(true)) evalExpr(t, row)
+      else evalExpr(e2, row)
   }
 
   private def toD(v: Any): Double = v match {
@@ -506,6 +522,19 @@ object Fuzz {
       case _                           => LitL(rnd.nextInt(1000).toLong)
     }
 
+    /** Literal for column `c` of type `t`: value-shaped for base columns,
+      * TYPE-shaped for derived ones (litFor's LitL fallback would
+      * type-clash a derived string column — CaseW projections create
+      * those).
+      */
+    private def litTyped(c: String, t: Typ): Expr =
+      if (schemas.values.flatten.exists(_._1 == c)) litFor(c)
+      else t match {
+        case TLong   => LitL(rnd.nextInt(1000).toLong)
+        case TDouble => LitD(rnd.nextInt(20000) / 2.0)
+        case TString => LitS(pick(Seq("O", "F", "AUTOMOBILE", "NATION_1", "ZZZ")))
+      }
+
     private def genPred(schema: Seq[(String, Typ)], depth: Int): Pred = {
       if (depth > 0 && rnd.nextInt(3) == 0) {
         val (a, b) = (genPred(schema, depth - 1), genPred(schema, depth - 1))
@@ -523,7 +552,7 @@ object Fuzz {
         }
         val rhs: Expr =
           if (sameKind.nonEmpty && rnd.nextInt(4) == 0) ColRef(pick(sameKind)._1)
-          else litFor(c)
+          else litTyped(c, t)
         Cmp(pick(Seq("<", "<=", "=", "!=", ">", ">=")), ColRef(c), rhs)
       }
     }
@@ -554,7 +583,26 @@ object Fuzz {
                 Seq(s"derived$derivedN" -> (Arith(pick(ops),
                   ColRef(a._1), ColRef(b._1)): Expr))
               } else Seq.empty
-            ProjectR(r, keep.map { case (c, _) => c -> (ColRef(c): Expr) } ++ derived)
+            // CASE WHEN derived column: both branches the same type
+            // (column of that type, or a literal shaped for the THEN
+            // column), condition a depth-1 predicate — UNKNOWN conditions
+            // exercise the fall-to-ELSE rule
+            val caseDerived =
+              if (rnd.nextInt(2) == 0) {
+                val (c, t) = pick(schema)
+                val sameT = schema.filter(x => x._2 == t && x._1 != c)
+                // literal fallback is shaped by the THEN column's TYPE, not
+                // its name: `c` may be a derived column litFor cannot map
+                // (its LitL fallback would type-clash a string branch)
+                val els: Expr =
+                  if (sameT.nonEmpty && rnd.nextBoolean()) ColRef(pick(sameT)._1)
+                  else litTyped(c, t)
+                derivedN += 1
+                Seq(s"derived$derivedN" ->
+                  (CaseW(genPred(schema, 1), ColRef(c), els): Expr))
+              } else Seq.empty
+            ProjectR(r, keep.map { case (c, _) => c -> (ColRef(c): Expr) } ++
+              derived ++ caseDerived)
           case 2 => DistinctR(r)
           case 3 => FilterR(r, genPred(schema, 1))
         }

@@ -53,7 +53,8 @@ class FuzzSpec extends SparkSpec {
     def ops(r: Rel): Set[String] = r match {
       case Base(_)              => Set("base")
       case FilterR(in, p)       => ops(in) + "filter" ++ predFeats(p)
-      case ProjectR(in, _)      => ops(in) + "project"
+      case ProjectR(in, cs)     => ops(in) + "project" ++
+        (if (cs.exists(_._2.isInstanceOf[CaseW])) Set("caseexpr") else Set.empty)
       case JoinR(l, rr, _, _, jt) => ops(l) ++ ops(rr) + s"${jt}join"
       case SemiR(l, rr, _, _, anti) =>
         ops(l) ++ ops(rr) + (if (anti) "antijoin" else "semijoin")
@@ -74,7 +75,7 @@ class FuzzSpec extends SparkSpec {
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "sortlimit",
-      "colcolcmp")
+      "colcolcmp", "caseexpr")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
