@@ -47,4 +47,48 @@ object Aggregations {
   /** DuckDB-side SQL mirror of [[exactAvg]]. */
   def exactAvgSql(expr: String): String =
     s"${exactSumSql(expr)} / COUNT($expr)"
+
+  // ---- mergeable aggregate states (incremental view maintenance) --------
+  //
+  // The lakehouse pattern: a gold aggregate is kept as a mergeable STATE
+  // (count, DECIMAL sum, min, max) so a new fact batch updates it by
+  // re-aggregating `old state ∪ batch state` — no history rescan. The sum
+  // state stays DECIMAL between merges: a double partial would round at
+  // every merge boundary and drift off the full-scan answer, while decimal
+  // partials merge exactly, so merged-then-finalized equals the one-shot
+  // aggregate BIT-FOR-BIT (that equality is q162's oracle).
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-group mergeable state over `valCol`: (keys..., n, sum_acc
+    * DECIMAL, min_v, max_v). Map-side combined like any hash aggregate.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], valCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).alias("n"),
+        sum(col(valCol).cast(Acc)).alias("sum_acc"),
+        min(col(valCol)).alias("min_v"),
+        max(col(valCol)).alias("max_v"))
+
+  /** Merge any number of compatible states: counts add, decimal sums add
+    * exactly, min/max fold. Associative + commutative — batches can merge
+    * in any order, any grouping.
+    */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).alias("n"),
+        sum(col("sum_acc")).alias("sum_acc"),
+        min(col("min_v")).alias("min_v"),
+        max(col("max_v")).alias("max_v"))
+
+  /** Read-time finalization: total/avg as doubles (one correctly-rounded
+    * decimal→double cast + one IEEE divide — the exactSum discipline).
+    */
+  def finalizeAggState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("n"),
+      col("sum_acc").cast(DoubleType).alias("total"),
+      (col("sum_acc").cast(DoubleType) / col("n")).alias("avg_v"),
+      col("min_v"), col("max_v")): _*)
 }

@@ -55,4 +55,37 @@ object Redaction {
         counts(t).map { case (n, c) => c.alias(n) } ++
         Seq(redacted(t).alias("redacted")): _*)
   }
+
+  // ---- subject-deletion (right-to-be-forgotten) propagation -------------
+
+  /** Drop every row of `df` whose `fk` matches a tombstoned key.
+    * `broadcastTombstones` holds for first-level deletion lists (bounded
+    * requests); a CASCADED key set (e.g. all order ids of deleted
+    * customers) can be a constant fraction of a fact table — leave it
+    * false there and let the anti join shuffle honestly.
+    */
+  def dropTombstoned(df: DataFrame, fk: Column, tombstones: DataFrame,
+                     broadcastTombstones: Boolean = true): DataFrame = {
+    val t0 = tombstones.select(col(tombstones.columns.head).alias("__tomb_key"))
+    val t = if (broadcastTombstones) broadcast(t0) else t0
+    df.join(t, fk === col("__tomb_key"), "left_anti")
+  }
+
+  /** Deletion-audit summary over a cascade: for each (table name, frame,
+    * FK, tombstone set, broadcast flag), one row with before/after/deleted
+    * counts — the compliance evidence a deletion job must emit. One pass
+    * per table (left join + conditional count), no second scan.
+    */
+  def tombstoneAudit(tables: Seq[(String, DataFrame, Column, DataFrame, Boolean)]): DataFrame =
+    tables.map { case (name, df, fk, tomb, bcast) =>
+      val t0 = tomb.select(col(tomb.columns.head).alias("__tomb_key"))
+        .distinct().withColumn("__t", lit(1))
+      val t = if (bcast) broadcast(t0) else t0
+      df.join(t, fk === col("__tomb_key"), "left")
+        .agg(count(lit(1)).alias("rows_before"),
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).alias("rows_deleted"))
+        .select(lit(name).alias("table_name"), col("rows_before"),
+          (col("rows_before") - col("rows_deleted")).alias("rows_after"),
+          col("rows_deleted"))
+    }.reduce(_ unionByName _)
 }

@@ -685,7 +685,83 @@ object MiscQueries {
              |SELECT bin, COUNT(*) AS n,
              |  round(MIN(l_extendedprice), 6) AS lo,
              |  round(MAX(l_extendedprice), 6) AS hi
-             |FROM a GROUP BY bin""".stripMargin))
+             |FROM a GROUP BY bin""".stripMargin)),
+
+    // Incremental aggregate maintenance (materialized-view delta merge):
+    // the per-customer gold aggregate is kept as a mergeable state
+    // (count, DECIMAL sum, min, max); a new fact batch (orders >= the
+    // cutoff) merges into the history state by re-aggregating the two
+    // state frames — no history rescan. The ORACLE is the one-shot
+    // aggregate over ALL orders: hash equality proves merged-then-
+    // finalized ≡ full scan bit-for-bit, which is exactly the mergeability
+    // contract (double partials would drift at every merge; decimal
+    // partials cannot).
+    QueryDef("q162_incremental_agg_merge",
+      (s, d) => {
+        import graft.ops.Aggregations._
+        val o = Tables.orders(s, d)
+        val cutoff = lit("1999-01-01 00:00:00").cast("timestamp")
+        val hist = aggState(o.filter(col("o_orderdate") < cutoff),
+          Seq("o_custkey"), "o_totalprice")
+        val batch = aggState(o.filter(col("o_orderdate") >= cutoff),
+          Seq("o_custkey"), "o_totalprice")
+        finalizeAggState(mergeAggStates(Seq(hist, batch), Seq("o_custkey")),
+          Seq("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, COUNT(*) AS n,
+             |  ${exactSumSql("o_totalprice")} AS total,
+             |  ${exactSumSql("o_totalprice")} / COUNT(*) AS avg_v,
+             |  MIN(o_totalprice) AS min_v,
+             |  MAX(o_totalprice) AS max_v
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // Subject-deletion propagation (right to be forgotten): tombstoned
+    // customers cascade through orders to lineitem, and the query emits
+    // the per-table compliance audit (before/after/deleted). Bounded
+    // first-level tombstones broadcast; the CASCADED order-key set is a
+    // constant fraction of the fact table, so its anti/left join shuffles
+    // honestly (flag false) instead of pretending a 100 TB-scale set
+    // broadcasts.
+    QueryDef("q163_tombstone_cascade",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val tomb = cust.filter(col("c_custkey") % 13 === 5)
+          .select(col("c_custkey").alias("key"))
+        val delOrders = ord
+          .join(broadcast(tomb), col("o_custkey") === col("key"), "left_semi")
+          .select(col("o_orderkey"))
+        graft.ops.Redaction.tombstoneAudit(Seq(
+          ("customer", cust, col("c_custkey"), tomb, true),
+          ("orders", ord, col("o_custkey"), tomb, true),
+          ("lineitem", li, col("l_orderkey"), delOrders, false)))
+      },
+      Some("""WITH tomb AS (
+             |  SELECT c_custkey AS key FROM customer WHERE c_custkey % 13 = 5),
+             |del_orders AS (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_custkey IN (SELECT key FROM tomb))
+             |SELECT 'customer' AS table_name,
+             |  (SELECT COUNT(*) FROM customer) AS rows_before,
+             |  (SELECT COUNT(*) FROM customer
+             |   WHERE c_custkey NOT IN (SELECT key FROM tomb)) AS rows_after,
+             |  (SELECT COUNT(*) FROM customer
+             |   WHERE c_custkey IN (SELECT key FROM tomb)) AS rows_deleted
+             |UNION ALL
+             |SELECT 'orders',
+             |  (SELECT COUNT(*) FROM orders),
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT key FROM tomb)),
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey IN (SELECT key FROM tomb))
+             |UNION ALL
+             |SELECT 'lineitem',
+             |  (SELECT COUNT(*) FROM lineitem),
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)),
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))""".stripMargin))
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"

@@ -138,6 +138,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("tombstone cascade leaves no dangling references and matches the audit") {
+    import graft.ops.Redaction
+    val cust = graft.sources.Tables.customer(spark, sf001)
+    val ord = graft.sources.Tables.orders(spark, sf001)
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val tomb = cust.filter(col("c_custkey") % 13 === 5)
+      .select(col("c_custkey").alias("key"))
+    val custAfter = Redaction.dropTombstoned(cust, col("c_custkey"), tomb)
+    val ordAfter = Redaction.dropTombstoned(ord, col("o_custkey"), tomb)
+    val delOrders = ord.join(broadcast(tomb), col("o_custkey") === col("key"), "left_semi")
+      .select("o_orderkey")
+    val liAfter = Redaction.dropTombstoned(li, col("l_orderkey"), delOrders,
+      broadcastTombstones = false)
+    // no scrubbed order references a deleted customer; no scrubbed lineitem
+    // references a deleted order
+    assert(ordAfter.join(broadcast(tomb), col("o_custkey") === col("key"), "left_semi")
+      .count() == 0)
+    assert(liAfter.join(ordAfter, col("l_orderkey") === ordAfter("o_orderkey"),
+      "left_anti").count() == 0)
+    // audit counts agree with the scrubbed frames
+    val audit = Redaction.tombstoneAudit(Seq(
+      ("customer", cust, col("c_custkey"), tomb, true),
+      ("orders", ord, col("o_custkey"), tomb, true),
+      ("lineitem", li, col("l_orderkey"), delOrders, false)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit("customer")._2 == custAfter.count())
+    assert(audit("orders")._2 == ordAfter.count())
+    assert(audit("lineitem")._2 == liAfter.count())
+    assert(audit.values.forall { case (b, a, dltd) => b == a + dltd })
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()
