@@ -411,7 +411,58 @@ object EventQueries {
               |SELECT dv.event_type, dv.window_start, dv.total_value, dv.med,
               |  md.mad, round(dv.raw_dev, 6) AS abs_dev,
               |  (round(dv.raw_dev, 6) > 3.0 * md.mad) AS is_outlier
-              |FROM dv JOIN md USING (event_type)""".stripMargin))
+              |FROM dv JOIN md USING (event_type)""".stripMargin)),
+
+    // Time-to-conversion analytics: first signup per user → first purchase
+    // AT OR AFTER it → delay distribution + conversion rate per signup
+    // month. The signup frame is one row per user (bounded), so the
+    // purchase match is an equi-join on user with the range as residual —
+    // never an inequality-only join. Delay stays in exact integral
+    // microseconds; percentiles follow the q38 parity discipline.
+    QueryDef("q164_time_to_convert",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).alias("signup_ts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").alias("p_ts"))
+        val conv = su.join(pu,
+            su("user_id") === pu("user_id") && col("p_ts") >= col("signup_ts"), "left")
+          .groupBy(su("user_id"), col("signup_ts"))
+          .agg(min(col("p_ts")).alias("conv_ts"))
+        conv
+          .withColumn("signup_day", date_trunc("day", col("signup_ts")))
+          .withColumn("delay_us", unix_micros(col("conv_ts")) - unix_micros(col("signup_ts")))
+          .groupBy(col("signup_day"))
+          .agg(count(lit(1)).alias("n_signups"),
+            count(col("conv_ts")).alias("n_converted"),
+            round(count(col("conv_ts")).cast("double") / count(lit(1)), 6)
+              .alias("conv_rate"),
+            round(expr("percentile(CAST(delay_us AS DOUBLE), 0.5)"), 6)
+              .alias("median_delay_us"),
+            round(expr("percentile(CAST(delay_us AS DOUBLE), 0.9)"), 6)
+              .alias("p90_delay_us"))
+      },
+      Some(s"""WITH $evCte,
+              |su AS (SELECT user_id, min(ts) AS signup_ts FROM ev
+              |       WHERE event_type = 'signup' GROUP BY user_id),
+              |conv AS (
+              |  SELECT su.user_id, su.signup_ts, min(p.ts) AS conv_ts
+              |  FROM su LEFT JOIN ev p
+              |    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+              |   AND p.ts >= su.signup_ts
+              |  GROUP BY su.user_id, su.signup_ts),
+              |dl AS (SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP) AS signup_day,
+              |         conv_ts,
+              |         epoch_us(conv_ts) - epoch_us(signup_ts) AS delay_us
+              |       FROM conv)
+              |SELECT signup_day,
+              |  COUNT(*) AS n_signups,
+              |  COUNT(conv_ts) AS n_converted,
+              |  round(CAST(COUNT(conv_ts) AS DOUBLE) / COUNT(*), 6) AS conv_rate,
+              |  round(quantile_cont(CAST(delay_us AS DOUBLE), 0.5), 6) AS median_delay_us,
+              |  round(quantile_cont(CAST(delay_us AS DOUBLE), 0.9), 6) AS p90_delay_us
+              |FROM dl GROUP BY signup_day""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

@@ -341,6 +341,33 @@ object StreamingOps {
         col("signup_id"), col("signup_ts"))
   }
 
+  /** LEFT-OUTER variant of [[attributionJoin]]: every click surfaces —
+    * matched clicks immediately, never-matched clicks as a null-padded
+    * row once the watermark proves no qualifying signup can still arrive
+    * (the signup-side watermark passing the click's match window). This
+    * is the "conversion or known-no-conversion" feed an attribution
+    * consumer needs; the inner form silently drops non-converting
+    * clicks. Same state bound: the interval condition + both-side
+    * watermarks let Spark evict join state, outer rows emit on eviction.
+    */
+  def attributionJoinOuter(clicks: DataFrame, signups: DataFrame,
+                           maxDelay: String = "1 hour",
+                           watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").alias("click_id"),
+      col("user_id"), col("ts").alias("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val s = signups.select(col("event_id").alias("signup_id"),
+      col("user_id").alias("s_user_id"), col("ts").alias("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("click_ts") &&
+        col("signup_ts") >= col("click_ts") - expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long, total: Double)
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -167,6 +167,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((200L, 100L)))
   }
 
+  test("outer attribution join emits unmatched clicks null-padded after the watermark closes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val signups = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.attributionJoinOuter(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      signups.toDF().toDF("event_id", "user_id", "ts"),
+      maxDelay = "1 hour")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_outer_out").start()
+    try {
+      signups.addData((100L, 1L, ts(10, 0)))
+      clicks.addData(
+        (200L, 1L, ts(10, 30)), // matches signup 100
+        (202L, 3L, ts(10, 15))) // no signup for user 3 → outer row later
+      q.processAllAvailable()
+      // push BOTH watermarks far past the match windows so unmatched
+      // state evicts and the null-padded row emits
+      signups.addData((900L, 9L, ts(20, 0)))
+      clicks.addData((901L, 9L, ts(20, 0)))
+      q.processAllAvailable()
+      clicks.addData((902L, 9L, ts(20, 1)))
+      signups.addData((903L, 9L, ts(20, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_outer_out")
+      .select("click_id", "signup_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows(200L).contains(100L), s"matched click wrong: $rows")
+    assert(rows.get(202L).exists(_.isEmpty), s"unmatched click must surface null-padded: $rows")
+  }
+
   test("closedSessions emits one final row per session once the watermark passes the gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
