@@ -47,6 +47,9 @@ object Linkage {
       (col(s"a.$keyCol") < col(s"b.$keyCol"))
     val d = levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol"), maxDist)
     capped.alias("a").join(capped.alias("b"), joinCond)
+      // sound prefilter: edit distance >= |length delta|, so a cheap
+      // length check skips the DP for most in-block pairs
+      .filter(abs(length(col(s"a.$nameCol")) - length(col(s"b.$nameCol"))) <= maxDist)
       .withColumn("__d", d)
       .filter(col("__d") >= 0) // thresholded form returns -1 above maxDist
       .select(

@@ -61,4 +61,38 @@ object Validation {
     val observed = df.observe(obs, (perRule ++ totals).head, (perRule ++ totals).tail: _*)
     (observed.filter(conjunction(rules)), obs)
   }
+
+  /** Cross-table aggregate reconciliation — the invariant audit between a
+    * fact header and its detail lines (does `sum(detail)` equal the
+    * header's stored total?): full-outer on the key, per-key status
+    * `match` (|Δ| ≤ tol), `mismatch`, `missing_detail` (header with no
+    * lines), `missing_fact` (orphaned lines). The detail side aggregates
+    * through exact decimal ([[Aggregations.exactSum]]-style caller-
+    * provided agg) so Δ is partition-count-independent.
+    *
+    * Scale: one shuffle each side on the shared key — structural for two
+    * fact-sized tables; bucket both by the key at write time and the join
+    * co-locates ([[Bucketing]]). The detail aggregate is map-side
+    * combined before its shuffle, so the join sees one row per key.
+    */
+  def reconcileAggregate(fact: DataFrame, factKey: String, factVal: Column,
+                         detail: DataFrame, detailKey: String, detailAgg: Column,
+                         tol: Double): DataFrame = {
+    // presence markers, not value-nullness: a present header with a NULL
+    // total must read as 'mismatch', never as a missing row
+    val f = fact.select(col(factKey).alias("key"), factVal.alias("fact_value"))
+      .withColumn("__fp", lit(1))
+    val dt = detail.groupBy(col(detailKey).alias("key"))
+      .agg(detailAgg.alias("detail_value"))
+      .withColumn("__dp", lit(1))
+    f.join(dt, Seq("key"), "full_outer")
+      .withColumn("delta", round(col("fact_value") - col("detail_value"), 6))
+      .withColumn("status",
+        when(col("__fp").isNull, lit("missing_fact"))
+          .when(col("__dp").isNull, lit("missing_detail"))
+          .when(abs(col("delta")) <= tol, lit("match"))
+          .otherwise(lit("mismatch")))
+      .withColumn("detail_value", round(col("detail_value"), 6))
+      .drop("__fp", "__dp")
+  }
 }

@@ -761,7 +761,31 @@ object MiscQueries {
              |  (SELECT COUNT(*) FROM lineitem
              |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)),
              |  (SELECT COUNT(*) FROM lineitem
-             |   WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))""".stripMargin))
+             |   WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))""".stripMargin)),
+
+    // Cross-table reconciliation audit: does each order header's stored
+    // total equal the exact-decimal sum of its lineitem lines? Emits the
+    // full per-key report (match/mismatch/missing_detail/missing_fact)
+    // with the delta — the invariant check a warehouse runs between every
+    // fact and its detail. Status uses the ROUNDED delta on both engines,
+    // so the boolean can't flip on a last-ulp disagreement.
+    QueryDef("q165_fact_detail_reconcile",
+      (s, d) => graft.ops.Validation.reconcileAggregate(
+        Tables.orders(s, d), "o_orderkey", col("o_totalprice"),
+        Tables.lineitem(s, d), "l_orderkey",
+        graft.ops.Aggregations.exactSum(col("l_extendedprice")), tol = 0.01),
+      Some(s"""WITH dt AS (
+             |  SELECT l_orderkey AS key, ${exactSumSql("l_extendedprice")} AS dv
+             |  FROM lineitem GROUP BY 1)
+             |SELECT coalesce(o.o_orderkey, dt.key) AS key,
+             |  o.o_totalprice AS fact_value,
+             |  round(dt.dv, 6) AS detail_value,
+             |  round(o.o_totalprice - dt.dv, 6) AS delta,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'missing_fact'
+             |       WHEN dt.key IS NULL THEN 'missing_detail'
+             |       WHEN abs(round(o.o_totalprice - dt.dv, 6)) <= 0.01 THEN 'match'
+             |       ELSE 'mismatch' END AS status
+             |FROM orders o FULL OUTER JOIN dt ON o.o_orderkey = dt.key""".stripMargin))
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"
