@@ -1159,6 +1159,104 @@ object AnalyticsQueries {
              |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
              |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
              |GROUP BY 1, 2, 3
-             |ORDER BY supplier_cnt DESC, brand, ptype, psize""".stripMargin))
+             |ORDER BY supplier_cnt DESC, brand, ptype, psize""".stripMargin)),
+
+    // ABC / Pareto classification per part category: parts ranked by
+    // revenue, cumulative revenue share, class A (≤80%), B (≤95%), C.
+    // Scale: the window partitions by CATEGORY — never a global
+    // single-partition ordering; revenue and the running sum both
+    // accumulate in exact decimal (window running doubles drift between
+    // Spark's incremental WindowExec and DuckDB's segment tree), and the
+    // class thresholds compare the ROUNDED share.
+    QueryDef("q166_abc_classification",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"), col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(30, 8))).alias("__rev"))
+        val w = Window.partitionBy(col("p_type"))
+          .orderBy(col("__rev").desc, col("l_partkey").asc)
+        val cum = sum(col("__rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val tot = sum(col("__rev")).over(Window.partitionBy(col("p_type")))
+        // divide as DOUBLES: decimal/decimal division scale rules differ
+        // between engines; double-cast-then-one-IEEE-divide is identical
+        val share = round(cum.cast(DoubleType) / tot.cast(DoubleType), 6)
+        rev.select(col("p_type"), col("l_partkey"),
+            col("__rev").cast(DoubleType).alias("revenue"),
+            share.alias("cum_share"),
+            when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+              .alias("abc_class"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT p_type, l_partkey,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS r
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |sh AS (
+             |  SELECT p_type, l_partkey,
+             |    CAST(CAST(r AS VARCHAR) AS DOUBLE) AS revenue,
+             |    round(
+             |      CAST(CAST(SUM(r) OVER (PARTITION BY p_type ORDER BY r DESC, l_partkey ASC
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS VARCHAR) AS DOUBLE)
+             |      / CAST(CAST(SUM(r) OVER (PARTITION BY p_type) AS VARCHAR) AS DOUBLE),
+             |      6) AS cum_share
+             |  FROM rev)
+             |SELECT p_type, l_partkey, revenue, cum_share,
+             |  CASE WHEN cum_share <= 0.8 THEN 'A'
+             |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+             |FROM sh""".stripMargin)),
+
+    // Market-basket co-occurrence: part pairs bought in the same order,
+    // with support and lift in integer-rational arithmetic (one double
+    // division chain, identical both engines). The pair self-join is
+    // WITHIN an order — bounded by lines-per-order, so pair count scales
+    // linearly with orders, never quadratically with the catalog; the
+    // per-item counts broadcast (dimension-sized).
+    QueryDef("q167_market_basket",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = items.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).alias("__n"))
+        val itemCnt = items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).alias("__c"))
+        val pairs = items.alias("a")
+          .join(items.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").alias("part_a"),
+            col("b.l_partkey").alias("part_b"))
+          .agg(count(lit(1)).alias("pair_cnt"))
+          .filter(col("pair_cnt") >= 3)
+        pairs
+          .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "part_a")
+            .withColumnRenamed("__c", "__ca")), Seq("part_a"))
+          .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "part_b")
+            .withColumnRenamed("__c", "__cb")), Seq("part_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("part_a"), col("part_b"), col("pair_cnt"),
+            round(col("pair_cnt").cast(DoubleType) / col("__n"), 6).alias("support"),
+            round(col("pair_cnt").cast(DoubleType) * col("__n") /
+              (col("__ca") * col("__cb")), 6).alias("lift"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+             |ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+             |p AS (
+             |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    COUNT(*) AS pair_cnt
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT part_a, part_b, pair_cnt,
+             |  round(CAST(pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+             |  round(CAST(pair_cnt AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6) AS lift
+             |FROM p
+             |JOIN ic ca ON p.part_a = ca.l_partkey
+             |JOIN ic cb ON p.part_b = cb.l_partkey
+             |CROSS JOIN n""".stripMargin))
   )
 }

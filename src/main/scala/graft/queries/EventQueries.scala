@@ -462,7 +462,37 @@ object EventQueries {
               |  round(CAST(COUNT(conv_ts) AS DOUBLE) / COUNT(*), 6) AS conv_rate,
               |  round(quantile_cont(CAST(delay_us AS DOUBLE), 0.5), 6) AS median_delay_us,
               |  round(quantile_cont(CAST(delay_us AS DOUBLE), 0.9), 6) AS p90_delay_us
-              |FROM dl GROUP BY signup_day""".stripMargin))
+              |FROM dl GROUP BY signup_day""".stripMargin)),
+
+    // First-order event-transition matrix (Markov counts): per-user
+    // timelines yield (prev_type, next_type) counts and row-conditional
+    // probabilities — the sequence-mining primitive behind "what happens
+    // after an error?". One window exchange on user + one hash aggregate;
+    // probability is one double division of exact integers.
+    QueryDef("q168_event_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val t = Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").alias("next_type"))
+          .agg(count(lit(1)).alias("n"))
+        val wt = Window.partitionBy(col("prev_type"))
+        t.select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(wt), 6).alias("prob"))
+      },
+      Some(s"""WITH $evCte,
+              |t AS (SELECT user_id, event_type, ts,
+              |        lag(event_type) OVER (PARTITION BY user_id
+              |                              ORDER BY ts, event_id) AS prev_type
+              |      FROM ev),
+              |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+              |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+              |SELECT prev_type, next_type, n,
+              |  round(CAST(n AS DOUBLE) /
+              |        SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+              |FROM c""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

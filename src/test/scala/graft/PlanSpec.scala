@@ -364,7 +364,9 @@ class PlanSpec extends SparkSpec {
       "q149_ewma_hourly", "q150_deltas_hourly",
       //  - q161: equal-frequency binning — the 1-row (k-1)-boundary array
       //    frame is crossed in; bin assignment probes it map-side
-      "q161_equal_freq_binning")
+      "q161_equal_freq_binning",
+      //  - q167: market basket — the 1-row order-count frame is crossed in
+      "q167_market_basket")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
