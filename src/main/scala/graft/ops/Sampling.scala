@@ -129,6 +129,32 @@ object Sampling {
         col("__e.cosine").alias("score"))
   }
 
+  /** Deterministic negative sampling for contrastive training data: for
+    * each row, `k` pseudo-random OTHER ids drawn by a multiplicative-hash
+    * residue walk — `neg_j = (id·A + (j+1)·B) mod n`, bumped by one
+    * (mod n) when it lands on the row's own id. Pure 64-bit integer
+    * arithmetic: any engine reproduces the exact draw (the md5 draws used
+    * elsewhere can't do modular indexing portably), and the negatives are
+    * stable across runs/cluster sizes — resumable training data.
+    *
+    * Contract: ids dense in [0, n) (GenSf fixtures are); `n·n < 2^63`
+    * bounds the multiply (n < ~3e9 — shard the id space beyond that).
+    * Zero shuffle: one literal-sequence explode + arithmetic.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, s"k >= 1: $k")
+    require(n >= 2 && n < 3037000499L, s"n in [2, sqrt(2^63)): $n")
+    val A = 2654435761L % n
+    val B = 40503L % n
+    val id = col(idCol)
+    val raw = pmod(pmod(id, lit(n)) * lit(A) + (col("j") + 1) * lit(B), lit(n))
+    df.select(id, explode(sequence(lit(0), lit(k - 1))).alias("j"))
+      .withColumn("neg_id",
+        when(raw === id, pmod(raw + 1, lit(n))).otherwise(raw))
+      .withColumn("j", col("j").cast("long"))
+  }
+
   /** S11: preview action — row count, schema DDL, first rows. */
   final case class Preview(rowCount: Long, schemaDdl: String, rows: Seq[Row])
 

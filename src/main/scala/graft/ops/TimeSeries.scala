@@ -191,6 +191,29 @@ object TimeSeries {
         col("session_window.end").alias("session_end"),
         col("n_events"))
 
+  /** Rolling distinct entities per bucket (the DAU/WAU metric): for each
+    * day present in the data, the count of DISTINCT `entityCol` values
+    * seen in the trailing `windowDays`-day window. Distinct-over-frame is
+    * not a window function; the scalable shape is CONTRIBUTION EXPLODE —
+    * each event contributes its entity to the `windowDays` day buckets it
+    * is visible in (bounded replication), then one hash
+    * aggregate per bucket counts distinct. No BNLJ range join, no
+    * per-day corpus rescan; a semi join restricts output to days that
+    * actually occur.
+    */
+  def rollingDistinct(df: DataFrame, tsCol: String, entityCol: String,
+                      windowDays: Int, outCol: String): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1: $windowDays")
+    val day0 = date_trunc("day", col(tsCol))
+    val contrib = df.select(col(entityCol),
+      explode(sequence(day0, day0 + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))).alias("day"))
+    val days = df.select(day0.alias("day")).distinct()
+    contrib.join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col(entityCol)).alias(outCol))
+  }
+
   /** Robust outlier detection on a per-group series: flag points whose
     * absolute deviation from the group MEDIAN exceeds `k` × the median
     * absolute deviation (MAD). Median/MAD resist the masking that breaks

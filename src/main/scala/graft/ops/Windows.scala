@@ -46,4 +46,27 @@ object Windows {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
     df.withColumn(outCol, row_number().over(w))
   }
+
+  /** 2-D skyline (Pareto frontier): rows not DOMINATED — no other row
+    * has `minimize` ≤ and `maximize` ≥ with at least one strict. The
+    * multi-objective "best tradeoffs" operator (cheapest-for-its-size).
+    *
+    * NOT the quadratic NOT-EXISTS: a row survives iff it holds its
+    * minimize-group's max AND strictly beats the running max of every
+    * cheaper group — so the only ordered pass runs over the DISTINCT
+    * minimize values (per-group max is a plain hash aggregate), and the
+    * verdict joins back on the minimize key. Ties on both axes all
+    * survive (none dominates another without strictness).
+    */
+  def skylineMinMax(df: DataFrame, minimize: String, maximize: String): DataFrame = {
+    val g = df.groupBy(col(minimize)).agg(max(col(maximize)).alias("__gmax"))
+    // one row per distinct minimize value — a rows-frame prefix max is
+    // exactly "max over all strictly cheaper groups"
+    val w = Window.orderBy(col(minimize)).rowsBetween(Window.unboundedPreceding, -1)
+    val gr = g.withColumn("__pmax", max(col("__gmax")).over(w))
+    df.join(gr, Seq(minimize))
+      .filter(col(maximize) === col("__gmax") &&
+        (col("__pmax").isNull || col(maximize) > col("__pmax")))
+      .drop("__gmax", "__pmax")
+  }
 }

@@ -1257,6 +1257,24 @@ object AnalyticsQueries {
              |FROM p
              |JOIN ic ca ON p.part_a = ca.l_partkey
              |JOIN ic cb ON p.part_b = cb.l_partkey
-             |CROSS JOIN n""".stripMargin))
+             |CROSS JOIN n""".stripMargin)),
+
+    // 2-D skyline (Pareto frontier): parts where no other part is cheaper-
+    // or-equal AND bigger-or-equal with one strict — "best price for its
+    // size". The engine runs the LINEAR shape (per-price max + prefix max
+    // over the distinct-price frame + join-back); the ORACLE states raw
+    // NOT-EXISTS dominance — two independent formulations agreeing on the
+    // hash is the strongest gate an operator gets.
+    QueryDef("q169_skyline",
+      (s, d) => graft.ops.Windows.skylineMinMax(
+          Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          minimize = "p_retailprice", maximize = "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice
+             |    AND b.p_size >= a.p_size
+             |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin))
   )
 }

@@ -492,7 +492,27 @@ object EventQueries {
               |SELECT prev_type, next_type, n,
               |  round(CAST(n AS DOUBLE) /
               |        SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // Rolling 7-day distinct users per day (the WAU metric). Distinct-
+    // over-frame is not a window function; the scalable shape is the
+    // contribution explode — each event lands in the ≤7 day buckets it is
+    // visible in (bounded replication), one hash aggregate counts
+    // distinct — no range BNLJ, no per-day rescan.
+    QueryDef("q170_rolling_distinct_users",
+      (s, d) => TimeSeries.rollingDistinct(Tables.events(s, d), "ts", "user_id",
+        windowDays = 7, outCol = "wau"),
+      Some(s"""WITH $evCte,
+              |e2 AS (SELECT user_id,
+              |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day0 FROM ev),
+              |contrib AS (
+              |  SELECT user_id, day0 + i * INTERVAL 1 DAY AS day
+              |  FROM e2 CROSS JOIN range(7) t(i)),
+              |days AS (SELECT DISTINCT day0 AS day FROM e2)
+              |SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+              |FROM contrib c
+              |WHERE c.day IN (SELECT day FROM days)
+              |GROUP BY c.day""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

@@ -255,6 +255,29 @@ object TextQueries {
              |  FROM documents)
              |WHERE rank <= 40""".stripMargin)),
 
+    // Deterministic negative sampling (contrastive-training data prep):
+    // k portable pseudo-random negatives per document via a
+    // multiplicative-hash residue walk in pure 64-bit integer arithmetic
+    // — any engine reproduces the exact draw (md5 draws cannot do modular
+    // INDEXING portably), negatives stable across runs and cluster
+    // sizes. Zero shuffle; the corpus count is the one bounded action.
+    QueryDef("q171_negative_sampling",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Sampling.negativeSamples(
+          docs.select(col("doc_id")), "doc_id", k = 4, n = docs.count())
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+             |j AS (SELECT i AS j FROM range(4) t(i)),
+             |raw AS (
+             |  SELECT doc_id, j,
+             |    ((doc_id % n.n) * (2654435761 % n.n) + (j + 1) * (40503 % n.n)) % n.n AS r,
+             |    n.n AS nn
+             |  FROM documents CROSS JOIN n CROSS JOIN j)
+             |SELECT doc_id, CAST(j AS BIGINT) AS j,
+             |  CASE WHEN r = doc_id THEN (r + 1) % nn ELSE r END AS neg_id
+             |FROM raw""".stripMargin)),
+
     // Statistical LM quality signals (CCNet/KenLM-style filter without
     // log space): corpus-fit MLE bigram model, per-doc mean conditional
     // probability + rare-bigram fraction. Rational arithmetic and 6-dp
