@@ -58,6 +58,11 @@ object Fuzz {
   final case class And(a: Pred, b: Pred) extends Pred
   final case class Or(a: Pred, b: Pred) extends Pred
   final case class Not(a: Pred) extends Pred
+  /** `c IN (v1, ..)` over non-null literals of the column's kind. 3VL: a
+    * null probe is UNKNOWN (so `NOT (x IN ...)` with null x filters the
+    * row too — the classic NOT IN trap, here with literal lists).
+    */
+  final case class InList(c: ColRef, vs: Seq[Expr]) extends Pred
 
   sealed trait AggFn
   case object CountStar extends AggFn
@@ -205,6 +210,11 @@ object Fuzz {
     case And(a, b) => toSparkPred(a, schema) && toSparkPred(b, schema)
     case Or(a, b)  => toSparkPred(a, schema) || toSparkPred(b, schema)
     case Not(a)    => !toSparkPred(a, schema)
+    case InList(c, vs) =>
+      toColumn(c, schema).isin(vs.map {
+        case LitL(v) => v; case LitD(v) => v; case LitS(v) => v
+        case other   => sys.error(s"non-literal IN value: $other")
+      }: _*)
   }
 
   def toDF(spark: SparkSession, sfDir: String, r: Rel): DataFrame = r match {
@@ -330,6 +340,18 @@ object Fuzz {
       case _                                 => None
     }
     case Not(a) => evalPred(a, row).map(!_)
+    case InList(c, vs) =>
+      val v = evalExpr(c, row)
+      if (v == null) None
+      else Some(vs.exists { lv =>
+        val w = evalExpr(lv, row)
+        (v, w) match {
+          case (x: String, y: String) => x == y
+          case (x, y) if x.isInstanceOf[Double] || y.isInstanceOf[Double] =>
+            toD(x) == toD(y)
+          case (x, y) => toL(x) == toL(y)
+        }
+      })
   }
 
   def evalRel(tables: Map[String, Seq[NRow]], r: Rel): Seq[NRow] = r match {
@@ -543,17 +565,23 @@ object Fuzz {
         }
       } else {
         val (c, t) = pick(schema)
-        // 1-in-4 leaves compare two COLUMNS of the same kind (numeric with
-        // numeric, string with string) instead of a literal: long-vs-double
-        // is safe because both sides promote via exact toDouble (fixture
-        // longs are far below 2^53)
-        val sameKind = schema.filter { case (c2, t2) =>
-          c2 != c && ((t2 == TString) == (t == TString))
+        // 1-in-5 leaves are IN-lists of 2-4 literals (often negated by the
+        // surrounding Not production — the null-probe NOT IN trap)
+        if (rnd.nextInt(5) == 0) {
+          InList(ColRef(c), (0 until 2 + rnd.nextInt(3)).map(_ => litTyped(c, t)))
+        } else {
+          // 1-in-4 leaves compare two COLUMNS of the same kind (numeric with
+          // numeric, string with string) instead of a literal: long-vs-double
+          // is safe because both sides promote via exact toDouble (fixture
+          // longs are far below 2^53)
+          val sameKind = schema.filter { case (c2, t2) =>
+            c2 != c && ((t2 == TString) == (t == TString))
+          }
+          val rhs: Expr =
+            if (sameKind.nonEmpty && rnd.nextInt(4) == 0) ColRef(pick(sameKind)._1)
+            else litTyped(c, t)
+          Cmp(pick(Seq("<", "<=", "=", "!=", ">", ">=")), ColRef(c), rhs)
         }
-        val rhs: Expr =
-          if (sameKind.nonEmpty && rnd.nextInt(4) == 0) ColRef(pick(sameKind)._1)
-          else litTyped(c, t)
-        Cmp(pick(Seq("<", "<=", "=", "!=", ">", ">=")), ColRef(c), rhs)
       }
     }
 

@@ -49,6 +49,7 @@ class FuzzSpec extends SparkSpec {
       case And(a, b)                    => predFeats(a) ++ predFeats(b)
       case Or(a, b)                     => predFeats(a) ++ predFeats(b)
       case Not(a)                       => predFeats(a)
+      case InList(_, _)                 => Set("inlist")
     }
     def ops(r: Rel): Set[String] = r match {
       case Base(_)              => Set("base")
@@ -75,7 +76,7 @@ class FuzzSpec extends SparkSpec {
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "sortlimit",
-      "colcolcmp", "caseexpr")
+      "colcolcmp", "caseexpr", "inlist")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
