@@ -1275,6 +1275,37 @@ object AnalyticsQueries {
              |  SELECT 1 FROM part b
              |  WHERE b.p_retailprice <= a.p_retailprice
              |    AND b.p_size >= a.p_size
-             |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin))
+             |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin)),
+
+    // Grouped closed-form OLS (price on quantity per returnflag):
+    // slope/intercept/R² from exact decimal raw moments — the q152
+    // discipline applied to regression; one map-side-combined aggregate,
+    // identical double derivation chain in both engines, null (not a
+    // blow-up) on zero-variance groups.
+    QueryDef("q174_grouped_ols",
+      (s, d) => graft.ops.Features.groupedOls(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
+      Some {
+        def S(e: String) = graft.ops.Aggregations.exactSumSql(e)
+        s"""WITH m AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    ${S("l_quantity")} AS sx, ${S("l_quantity * l_quantity")} AS sx2,
+           |    ${S("l_extendedprice")} AS sy,
+           |    ${S("l_extendedprice * l_extendedprice")} AS sy2,
+           |    ${S("l_quantity * l_extendedprice")} AS sxy
+           |  FROM lineitem GROUP BY l_returnflag),
+           |dd AS (
+           |  SELECT l_returnflag, n,
+           |    sx2 / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS vx,
+           |    sy2 / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS vy,
+           |    sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov,
+           |    sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my
+           |  FROM m)
+           |SELECT l_returnflag, n,
+           |  round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+           |  round(CASE WHEN vx > 0 THEN my - (cov / vx) * mx END, 6) AS intercept,
+           |  round(CASE WHEN vx > 0 AND vy > 0 THEN (cov * cov) / (vx * vy) END, 6) AS r2
+           |FROM dd""".stripMargin
+      })
   )
 }

@@ -785,7 +785,43 @@ object MiscQueries {
              |       WHEN dt.key IS NULL THEN 'missing_detail'
              |       WHEN abs(round(o.o_totalprice - dt.dv, 6)) <= 0.01 THEN 'match'
              |       ELSE 'mismatch' END AS status
-             |FROM orders o FULL OUTER JOIN dt ON o.o_orderkey = dt.key""".stripMargin))
+             |FROM orders o FULL OUTER JOIN dt ON o.o_orderkey = dt.key""".stripMargin)),
+
+    // Categorical dictionary encoding: stable dense ids in lexicographic
+    // term order (reproducible across runs/engines, unlike hash or
+    // first-seen ids); the ordered pass runs over the DISTINCT terms and
+    // the corpus takes a broadcast join — no corpus shuffle.
+    QueryDef("q172_dictionary_encode",
+      (s, d) => graft.ops.Features.dictionaryEncode(
+          Tables.customer(s, d), "c_mktsegment", "segment_id")
+        .select(col("c_custkey"), col("c_mktsegment"), col("segment_id")),
+      Some("""WITH dict AS (
+             |  SELECT c_mktsegment,
+             |    CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_id
+             |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+             |SELECT c.c_custkey, c.c_mktsegment, dict.segment_id
+             |FROM customer c JOIN dict USING (c_mktsegment)""".stripMargin)),
+
+    // Leave-one-out target encoding — the leakage-safe categorical
+    // encoder: each row gets the target mean of the OTHER rows in its
+    // category ((Σy − y)/(n − 1)); singletons null. Decimal-exact Σy,
+    // decimal subtraction, ONE double divide — hash-stable.
+    QueryDef("q173_target_encode_loo",
+      (s, d) => graft.ops.Features.targetEncodeLOO(
+          Tables.customer(s, d), "c_mktsegment", "c_acctbal", "loo_enc")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("loo_enc")),
+      Some("""WITH a AS (
+             |  SELECT c_mktsegment,
+             |    SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS sy,
+             |    COUNT(c_acctbal) AS n
+             |  FROM customer GROUP BY 1)
+             |SELECT c_custkey, c_mktsegment, c_acctbal,
+             |  CASE WHEN a.n > 1 THEN
+             |    CAST(CAST(sy - CAST(c_acctbal AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE)
+             |      / (a.n - 1)
+             |  END AS loo_enc
+             |FROM customer JOIN a USING (c_mktsegment)""".stripMargin))
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"
