@@ -358,6 +358,30 @@ object TextAnalysis {
           (col("__na") + col("__nb") - col("shared_grams")), 6).alias("jaccard"))
   }
 
+  /** Exact token-phrase search through POSITIONAL POSTINGS — the indexed
+    * search primitive: per-term postings (filtered BEFORE any shuffle, so
+    * only the query terms' rows move) joined on (doc, aligned position).
+    * At 100 TB the postings frame is a persisted inverted index written
+    * once (the q93/q120 index discipline); this op expresses the probe.
+    * A LIKE/contains scan — the oracle's formulation — reads every byte
+    * of every document instead; the two agreeing is the gate that the
+    * index path loses no matches.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val postings = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val anchor = postings.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (w, i)) =>
+      acc.join(postings.filter(col("tok") === w)
+          .select(col(idCol).alias("__id2"), (col("pos") - i).alias("__p2")),
+        col(idCol) === col("__id2") && col("pos") === col("__p2"))
+        .select(col(idCol), col("pos"))
+    }.select(col(idCol)).distinct()
+  }
+
   // ---- oracle SQL fragments ---------------------------------------------
 
   def langScoreSql(lang: String): String = {

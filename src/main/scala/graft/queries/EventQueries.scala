@@ -512,7 +512,30 @@ object EventQueries {
               |SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
               |FROM contrib c
               |WHERE c.day IN (SELECT day FROM days)
-              |GROUP BY c.day""".stripMargin))
+              |GROUP BY c.day""".stripMargin)),
+
+    // Trending entities per time window: top-3 users by exact hourly
+    // value through the bounded-heap top-k AGGREGATE (q155's engine) —
+    // per-task state ≤ k per window, map-side merged; never a
+    // whole-window sort. The oracle states the row_number formulation.
+    QueryDef("q175_trending_hourly",
+      (s, d) => {
+        val hourly = TimeSeries.tumblingAgg(Tables.events(s, d), "ts", "hour",
+          Seq("user_id"), Seq(Aggregations.exactSum(col("value")).alias("v")))
+        graft.ops.Sampling.capPerGroup(hourly, "window_start", "user_id",
+          col("v"), n = 3)
+      },
+      Some(s"""WITH $evCte,
+              |h AS (SELECT date_trunc('hour', ts) AS window_start, user_id,
+              |        ${exactSumSql("value")} AS v
+              |      FROM ev GROUP BY 1, 2)
+              |SELECT window_start, user_id, rank, score FROM (
+              |  SELECT window_start, user_id,
+              |    CAST(row_number() OVER (PARTITION BY window_start
+              |           ORDER BY v DESC, user_id ASC) AS BIGINT) AS rank,
+              |    v AS score
+              |  FROM h)
+              |WHERE rank <= 3""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

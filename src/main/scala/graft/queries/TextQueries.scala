@@ -278,6 +278,17 @@ object TextQueries {
              |  CASE WHEN r = doc_id THEN (r + 1) % nn ELSE r END AS neg_id
              |FROM raw""".stripMargin)),
 
+    // Indexed phrase search: per-term positional postings joined on
+    // aligned positions — only the query terms' postings ever move, vs
+    // the oracle's contains() scan that reads every byte. Two independent
+    // formulations agreeing on the hash = the index loses no matches.
+    QueryDef("q176_phrase_search",
+      (s, d) => TextAnalysis.phraseSearch(
+        Tables.documents(s, d), "doc_id", "text", Seq("value", "table")),
+      Some(s"""SELECT doc_id FROM documents
+             |WHERE contains(' ' || array_to_string($toks, ' ') || ' ',
+             |               ' value table ')""".stripMargin)),
+
     // Statistical LM quality signals (CCNet/KenLM-style filter without
     // log space): corpus-fit MLE bigram model, per-doc mean conditional
     // probability + rare-bigram fraction. Rational arithmetic and 6-dp

@@ -130,4 +130,20 @@ class TextAnalysisSpec extends SparkSpec {
     val fp = TextAnalysis.fingerprints(two, "text").select("fingerprint").as[Long].collect()
     assert(fp(0) != fp(1))
   }
+
+  test("phraseSearch aligns positions exactly, including repeated-token phrases") {
+    val df = docs(
+      1L -> "a b a b a",
+      2L -> "a a b",
+      3L -> "b a",
+      4L -> "a b b a")
+    def hits(phrase: String*): Set[Long] =
+      TextAnalysis.phraseSearch(df, "doc_id", "text", phrase)
+        .as[Long].collect().toSet
+    assert(hits("a", "b", "a") == Set(1L))       // needs the exact triple
+    assert(hits("a", "a") == Set(2L))            // consecutive only — not doc 1
+    assert(hits("b", "a") == Set(1L, 3L, 4L)) // doc 2 "a a b" has no "b a"
+    assert(hits("b", "b") == Set(4L))
+    assert(hits("c") == Set.empty)
+  }
 }
