@@ -382,4 +382,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"),
         col("rank"))
   }
+
+  /** Per-label mean vector (class centroids — the nearest-centroid
+    * classifier's model and the seed of embedding-space analysis).
+    * Element sums accumulate in exact decimal per (label, position) —
+    * order-independent, so the centroid doubles are bit-reproducible at
+    * any partition count; one posexplode (dim× rows, map-side combined)
+    * + one per-label re-pack of the dim-sized mean list.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val acc = org.apache.spark.sql.types.DecimalType(30, 8)
+    val e = df.select(col(labelCol),
+      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    e.groupBy(col(labelCol), col("__pos"))
+      .agg(sum(col("__v").cast("double").cast(acc)).alias("__s"),
+        count(lit(1)).alias("__n"))
+      .groupBy(col(labelCol))
+      .agg(max(col("__n")).alias("n_vectors"),
+        expr("transform(array_sort(collect_list(struct(__pos, __s, __n)))," +
+          " e -> CAST(e.__s AS DOUBLE) / e.__n)").alias("centroid"))
+  }
+
+  /** Nearest-centroid assignment: each vector takes the centroid label
+    * with the highest cosine (ties to the smaller label). The centroid
+    * frame is class-count-sized — broadcast; the corpus never shuffles
+    * for scoring, only for the id-partitioned argmax window over k rows
+    * per id.
+    */
+  def nearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, labelOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val scored = df.select(col(idCol), vd.alias("__vd"))
+      .crossJoin(broadcast(centroids.select(
+        col(centroids.columns.head).alias(labelOut), col("centroid"))))
+      .withColumn("__cos",
+        graft.functions.VectorFunctions.cosine(col("__vd"), col("centroid")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col(labelOut).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(labelOut), round(col("__cos"), 6).alias("score"))
+  }
 }

@@ -273,6 +273,72 @@ object SimilarityQueries {
              |  round(sqrt(CAST(list_sum(list_transform(ds,
              |    x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(ds)) / 32768.0, 9) AS rms,
              |  CAST(list_max(list_transform(ds, x -> abs(x))) AS BIGINT) AS peak
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Per-label embedding centroids: element sums in exact decimal per
+    // (label, position) — centroid doubles bit-reproducible at any
+    // partition count; one posexplode (map-side combined) + dim-sized
+    // re-pack. The oracle rebuilds the same means positionally.
+    QueryDef("q177_label_centroids",
+      // exploded (label, pos, mean) form: the hash gate sorts rows by all
+      // columns and LIST columns aren't sortable in the compare layer —
+      // the array-valued op output is pinned via q178, which consumes it
+      (s, d) => Similarity.labelCentroids(
+          Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "mean")))
+        .withColumn("pos", col("pos").cast("long")),
+      Some(s"""WITH e AS (
+             |  SELECT label, i AS pos,
+             |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
+             |  FROM embeddings CROSS JOIN range(64) t(i)),
+             |m AS (
+             |  SELECT label, pos,
+             |    ${graft.ops.Aggregations.exactSumSql("v")} AS sv, COUNT(*) AS n
+             |  FROM e GROUP BY 1, 2)
+             |SELECT label, CAST(n AS BIGINT) AS n_vectors,
+             |  CAST(pos AS BIGINT) AS pos, sv / n AS mean
+             |FROM m""".stripMargin)),
+
+    // Nearest-centroid classification + confusion matrix: the 10-row
+    // centroid model broadcasts, the corpus scores map-side, argmax is a
+    // k-row window per vector. Confusion counts gate the whole chain —
+    // centroids, cosine fold, deterministic tie-break — in one hash.
+    QueryDef("q178_nearest_centroid",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.labelCentroids(emb, "label", "embedding")
+          .select(col("label"), col("centroid"))
+        Similarity.nearestCentroid(emb, "vec_id", "embedding", cents, "predicted")
+          .join(emb.select(col("vec_id"), col("label").alias("true_label")), "vec_id")
+          .groupBy(col("true_label"), col("predicted"))
+          .agg(count(lit(1)).alias("n"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT label, i AS pos,
+             |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
+             |  FROM embeddings CROSS JOIN range(64) t(i)),
+             |m AS (
+             |  SELECT label, pos,
+             |    ${graft.ops.Aggregations.exactSumSql("v")} AS sv, COUNT(*) AS n
+             |  FROM e GROUP BY 1, 2),
+             |cent AS (
+             |  SELECT label AS clabel, list(sv / n ORDER BY pos) AS centroid
+             |  FROM m GROUP BY label),
+             |vd AS (
+             |  SELECT vec_id, label AS true_label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT vd.vec_id, vd.true_label, cent.clabel,
+             |    ${VectorFunctions.cosineSql("vd.v", "cent.centroid")} AS cos
+             |  FROM vd CROSS JOIN cent),
+             |best AS (
+             |  SELECT vec_id, true_label, clabel AS predicted
+             |  FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |            ORDER BY cos DESC, clabel ASC) = 1)
+             |SELECT true_label, predicted, COUNT(*) AS n
+             |FROM best GROUP BY 1, 2""".stripMargin))
   )
 }

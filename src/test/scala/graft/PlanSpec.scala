@@ -366,7 +366,10 @@ class PlanSpec extends SparkSpec {
       //    frame is crossed in; bin assignment probes it map-side
       "q161_equal_freq_binning",
       //  - q167: market basket — the 1-row order-count frame is crossed in
-      "q167_market_basket")
+      "q167_market_basket",
+      //  - q178: nearest centroid — the class-count-sized centroid model
+      //    is the broadcast side; the corpus scores map-side
+      "q178_nearest_centroid")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
