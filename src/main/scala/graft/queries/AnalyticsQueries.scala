@@ -1306,6 +1306,109 @@ object AnalyticsQueries {
            |  round(CASE WHEN vx > 0 THEN my - (cov / vx) * mx END, 6) AS intercept,
            |  round(CASE WHEN vx > 0 AND vy > 0 THEN (cov * cov) / (vx * vy) END, 6) AS r2
            |FROM dd""".stripMargin
-      })
+      }),
+
+    // Welch's two-sample t (BUILDING vs MACHINERY balances): statistic +
+    // Welch–Satterthwaite df from exact decimal moments gathered in ONE
+    // conditional-aggregate pass; the whole double derivation is the same
+    // expression chain in both engines. The A/B-test primitive.
+    QueryDef("q179_welch_t",
+      (s, d) => {
+        import graft.ops.Aggregations.{exactSum, countIf}
+        val bal = col("c_acctbal")
+        val isA = col("c_mktsegment") === "BUILDING"
+        val isB = col("c_mktsegment") === "MACHINERY"
+        val m = Tables.customer(s, d).agg(
+          countIf(isA).alias("n1"), countIf(isB).alias("n2"),
+          exactSum(when(isA, bal)).alias("s1"),
+          exactSum(when(isA, bal * bal)).alias("q1"),
+          exactSum(when(isB, bal)).alias("s2"),
+          exactSum(when(isB, bal * bal)).alias("q2"))
+        val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+        val m1 = col("s1") / n1; val m2 = col("s2") / n2
+        val v1 = (col("q1") - col("s1") * col("s1") / n1) / (n1 - 1)
+        val v2 = (col("q2") - col("s2") * col("s2") / n2) / (n2 - 1)
+        val se2 = v1 / n1 + v2 / n2
+        val t = (m1 - m2) / sqrt(se2)
+        val dfW = (se2 * se2) /
+          ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+        m.select(col("n1"), col("n2"),
+          round(m1, 6).alias("mean_a"), round(m2, 6).alias("mean_b"),
+          round(t, 6).alias("t_stat"), round(dfW, 6).alias("df_welch"))
+      },
+      Some {
+        def S(e: String) = graft.ops.Aggregations.exactSumSql(e)
+        s"""WITH m AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    ${S("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END")} AS s1,
+           |    ${S("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * c_acctbal END")} AS q1,
+           |    ${S("CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END")} AS s2,
+           |    ${S("CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * c_acctbal END")} AS q2
+           |  FROM customer),
+           |dd AS (
+           |  SELECT n1, n2,
+           |    s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
+           |    (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) AS v1,
+           |    (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) AS v2
+           |  FROM m),
+           |se AS (
+           |  SELECT *, v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+           |  FROM dd)
+           |SELECT n1, n2, round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+           |  round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+           |  round((se2 * se2) /
+           |    ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) +
+           |     (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)),
+           |    6) AS df_welch
+           |FROM se""".stripMargin
+      }),
+
+    // Chi-square independence test (priority × status): integer observed
+    // counts, expected from row/col margins, per-cell contributions
+    // rounded then DECIMAL-summed — the cell sum is order-independent
+    // where a raw double Σ over cells would drift with aggregation order.
+    // Margins are window sums over the CELL frame (30 rows), not the data.
+    QueryDef("q180_chi_square",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).alias("n"))
+        val rt = sum(col("n")).over(Window.partitionBy(col("o_orderpriority")))
+        val ct = sum(col("n")).over(Window.partitionBy(col("o_orderstatus")))
+        val tot = sum(col("n")).over(Window.partitionBy())
+        val e = rt.cast(DoubleType) * ct / tot
+        val contrib = (col("n").cast(DoubleType) - e) * (col("n").cast(DoubleType) - e) / e
+        cells.select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+            round(contrib, 6).alias("__c"), tot.alias("__tot"))
+          .agg(
+            round(sum(col("__c").cast(DecimalType(30, 8))).cast(DoubleType), 6)
+              .alias("chi2"),
+            ((countDistinct(col("o_orderpriority")) - 1) *
+              (countDistinct(col("o_orderstatus")) - 1)).alias("dof"),
+            max(col("__tot")).alias("total"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |w AS (
+             |  SELECT o_orderpriority, o_orderstatus, n,
+             |    CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS rt,
+             |    CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS ct,
+             |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+             |  FROM cells),
+             |c2 AS (
+             |  SELECT round(
+             |      (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot) *
+             |      (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * ct / tot) /
+             |      (CAST(rt AS DOUBLE) * ct / tot), 6) AS c, tot
+             |  FROM w)
+             |SELECT
+             |  round(CAST(CAST(SUM(CAST(c AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE), 6) AS chi2,
+             |  ((SELECT COUNT(DISTINCT o_orderpriority) FROM orders) - 1) *
+             |  ((SELECT COUNT(DISTINCT o_orderstatus) FROM orders) - 1) AS dof,
+             |  CAST(max(tot) AS BIGINT) AS total
+             |FROM c2""".stripMargin))
   )
 }
