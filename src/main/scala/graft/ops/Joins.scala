@@ -136,9 +136,13 @@ object Joins {
     * microseconds (`(us - pmod(us, bin)) / bin` — the subtraction makes
     * the double division exact), valid for any timestamp sign.
     */
+  /** `extraKeys`: equi-columns shared by both sides (e.g. the user id for
+    * per-entity intervals) — they join INSIDE the hash key next to the
+    * bin, so co-binned intervals of other entities never pair up.
+    */
   def rangeJoinBinned(intervals: DataFrame, points: DataFrame,
                       startCol: String, endCol: String, tsCol: String,
-                      binSeconds: Long): DataFrame = {
+                      binSeconds: Long, extraKeys: Seq[String] = Nil): DataFrame = {
     val binUs = binSeconds * 1000000L
     def binOf(us: Column): Column =
       ((us - pmod(us, lit(binUs))) / lit(binUs)).cast("long")
@@ -151,8 +155,36 @@ object Joins {
       explode(when(col(endCol) > col(startCol), sequence(s0, e0))
         .otherwise(array().cast("array<long>"))))
     val pts = points.withColumn("__bin", binOf(unix_micros(col(tsCol))))
-    binned.join(pts, Seq("__bin"))
+    binned.join(pts, "__bin" +: extraKeys)
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
+
+  /** Interval-OVERLAP join (both sides are intervals): pairs where
+    * `[aStart, aEnd)` and `[bStart, bEnd)` intersect. Same
+    * manufactured-equi-key discipline as [[rangeJoinBinned]], plus the
+    * CLAIM-BIN rule for dedup-free emission: an overlapping pair is
+    * co-binned in every bin their spans share, so each pair is kept only
+    * in the bin holding `greatest(aStart, bStart)` (the first bin where
+    * both are live) — exactly-once without a distinct over the output.
+    * Empty/inverted intervals yield zero bins on either side.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binOf(us: Column): Column =
+      ((us - pmod(us, lit(binUs))) / lit(binUs)).cast("long")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bin",
+        explode(when(col(e) > col(s),
+            sequence(binOf(unix_micros(col(s))), binOf(unix_micros(col(e)) - 1)))
+          .otherwise(array().cast("array<long>"))))
+    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bin") ===
+        binOf(unix_micros(greatest(col(aStart), col(bStart)))))
       .drop("__bin")
   }
 }

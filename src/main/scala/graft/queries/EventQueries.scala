@@ -360,28 +360,10 @@ object EventQueries {
     QueryDef("q156_scd2_runs",
       (s, d) => TimeSeries.collapseRuns(Tables.events(s, d),
         "user_id", "ts", "event_type", tieBreak = Seq(col("event_id"))),
-      Some(s"""WITH $evCte,
-              |f AS (SELECT user_id, event_type, ts, event_id,
-              |        CASE WHEN lag(event_type) OVER w IS NULL
-              |               OR lag(event_type) OVER w <> event_type
-              |             THEN 1 ELSE 0 END AS brk
-              |      FROM ev
-              |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-              |r AS (SELECT user_id, event_type, ts,
-              |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
-              |      FROM f),
-              |g AS (SELECT user_id, event_type, run0,
-              |        min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
-              |      FROM r GROUP BY user_id, event_type, run0)
-              |SELECT user_id, event_type,
-              |  CAST(row_number() OVER wr AS BIGINT) AS run_id,
-              |  valid_from,
-              |  lead(valid_from) OVER wr AS valid_to,
-              |  (lead(valid_from) OVER wr IS NULL) AS is_current,
-              |  n_events
-              |FROM g
-              |WINDOW wr AS (PARTITION BY user_id ORDER BY run0)""".stripMargin)),
+      Some(s"""WITH $scd2RunsCtes
+              |SELECT user_id, event_type, run_id, valid_from, valid_to,
+              |  (valid_to IS NULL) AS is_current, n_events
+              |FROM runs""".stripMargin)),
 
     // Robust (median/MAD) outlier flags on the hourly series — the
     // anomaly-detection sibling of q149/q150: median resists the masking
@@ -535,10 +517,124 @@ object EventQueries {
               |           ORDER BY v DESC, user_id ASC) AS BIGINT) AS rank,
               |    v AS score
               |  FROM h)
-              |WHERE rank <= 3""".stripMargin))
+              |WHERE rank <= 3""".stripMargin)),
+
+    // Temporal (effective-dated) dimension lookup — THE SCD2 consumption
+    // pattern: each error event joins the state run active at its
+    // timestamp. Open intervals close at a data-derived sentinel
+    // (max ts + 1 s, a broadcast 1-row frame); the point-in-interval join
+    // runs binned WITH the user id inside the hash key, so co-binned
+    // intervals of other users never pair. Every event lands in exactly
+    // one run — the row count is its own referential check.
+    QueryDef("q181_temporal_scd2_lookup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val runs = TimeSeries.collapseRuns(ev, "user_id", "ts", "event_type",
+          tieBreak = Seq(col("event_id")))
+        val mx = ev.agg(max(col("ts")).alias("__mts"))
+        val iv = runs.crossJoin(broadcast(mx)).select(
+          col("user_id"), col("event_type").alias("state_type"), col("run_id"),
+          col("valid_from"),
+          coalesce(col("valid_to"), col("__mts") + expr("INTERVAL 1 SECOND"))
+            .alias("valid_to_c"))
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.ops.Joins.rangeJoinBinned(iv, err,
+            "valid_from", "valid_to_c", "ts",
+            binSeconds = 21600, extraKeys = Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("state_type"), col("run_id"))
+      },
+      Some(s"""WITH $scd2RunsCtes,
+              |mx AS (SELECT max(ts) AS mts FROM ev),
+              |iv AS (SELECT user_id, event_type AS state_type, run_id, valid_from,
+              |         coalesce(valid_to, mx.mts + INTERVAL 1 SECOND) AS valid_to_c
+              |       FROM runs CROSS JOIN mx),
+              |err AS (SELECT event_id, user_id, ts FROM ev
+              |        WHERE event_type = 'error')
+              |SELECT err.event_id, err.user_id, iv.state_type, iv.run_id
+              |FROM err JOIN iv
+              |  ON err.user_id = iv.user_id
+              | AND err.ts >= iv.valid_from AND err.ts < iv.valid_to_c""".stripMargin)),
+
+    // Interval-OVERLAP join: global incident windows × per-user session
+    // windows that intersect them. The claim-bin rule (pair kept only in
+    // the bin of greatest(start, start)) makes the binned equi-join emit
+    // each pair exactly once with NO distinct; the oracle states the raw
+    // overlap inequality.
+    QueryDef("q183_interval_overlap",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val incidents = ev
+          .filter(col("event_type") === "error" && col("event_id") % 101 === 0)
+          .select(col("event_id").alias("incident_id"),
+            col("ts").alias("i_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).alias("i_end"))
+        val sessions = TimeSeries.sessionWindowAgg(ev, "user_id", "ts", 1800)
+        graft.ops.Joins.intervalOverlapJoin(incidents, sessions,
+            "i_start", "i_end", "session_start", "session_end",
+            binSeconds = 1800)
+          .select(col("incident_id"), col("user_id"),
+            col("session_start"), col("n_events"))
+      },
+      Some(s"""WITH $evCte,
+              |inc AS (
+              |  SELECT event_id AS incident_id, ts AS i_start,
+              |         ts + INTERVAL 30 MINUTE AS i_end
+              |  FROM ev WHERE event_type = 'error' AND event_id % 101 = 0),
+              |m AS (
+              |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+              |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              |           ORDER BY ts, event_id) AS prev_us
+              |  FROM ev),
+              |f2 AS (
+              |  SELECT user_id, ts, event_id,
+              |         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+              |              THEN 1 ELSE 0 END AS is_new
+              |  FROM m),
+              |sess0 AS (
+              |  SELECT user_id, ts,
+              |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                           ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM f2),
+              |sess AS (
+              |  SELECT user_id, MIN(ts) AS session_start,
+              |         MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+              |         COUNT(*) AS n_events
+              |  FROM sess0 GROUP BY user_id, sid)
+              |SELECT inc.incident_id, sess.user_id, sess.session_start,
+              |       sess.n_events
+              |FROM inc JOIN sess
+              |  ON inc.i_start < sess.session_end
+              | AND sess.session_start < inc.i_end""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */
+  /** Shared oracle CTE chain rebuilding [[TimeSeries.collapseRuns]] — the
+    * q156 run frame as `runs` (def, not val: `all` initializes first).
+    */
+  private def scd2RunsCtes =
+    s"""$evCte,
+       |f AS (SELECT user_id, event_type, ts, event_id,
+       |        CASE WHEN lag(event_type) OVER w IS NULL
+       |               OR lag(event_type) OVER w <> event_type
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM ev
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |r AS (SELECT user_id, event_type, ts,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
+       |      FROM f),
+       |g AS (SELECT user_id, event_type, run0,
+       |        min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+       |      FROM r GROUP BY user_id, event_type, run0),
+       |runs AS (SELECT user_id, event_type,
+       |    CAST(row_number() OVER wr AS BIGINT) AS run_id,
+       |    valid_from,
+       |    lead(valid_from) OVER wr AS valid_to,
+       |    n_events
+       |  FROM g
+       |  WINDOW wr AS (PARTITION BY user_id ORDER BY run0))""".stripMargin
+
   private def locfFilled(s: org.apache.spark.sql.SparkSession, d: String) =
     TimeSeries.locf(
       TimeSeries.gapFillTumbling(Tables.events(s, d), "ts", "hour",

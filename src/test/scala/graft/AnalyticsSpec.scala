@@ -169,6 +169,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(audit.values.forall { case (b, a, dltd) => b == a + dltd })
   }
 
+  test("intervalOverlapJoin emits each overlapping pair exactly once (claim-bin rule)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(m: Long) = new Timestamp(m * 60000L)
+    // long intervals spanning many shared bins — the dedup trap
+    val a = Seq((1L, t(0), t(500)), (2L, t(100), t(120)), (3L, t(600), t(610)))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, t(50), t(450)), (11L, t(115), t(117)), (12L, t(599), t(601)))
+      .toDF("b_id", "b_start", "b_end")
+    val got = graft.ops.Joins.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", binSeconds = 600)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = a.crossJoin(b)
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == brute.sorted.toSeq, "pair multiset must match brute force")
+    assert(got.length == got.distinct.length, "no pair may be emitted twice")
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = SparkEntry.queries("q29_rollup")(spark, sf001)
     val rows = out.collect()

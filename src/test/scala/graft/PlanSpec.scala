@@ -369,7 +369,10 @@ class PlanSpec extends SparkSpec {
       "q167_market_basket",
       //  - q178: nearest centroid — the class-count-sized centroid model
       //    is the broadcast side; the corpus scores map-side
-      "q178_nearest_centroid")
+      "q178_nearest_centroid",
+      //  - q181: temporal SCD2 lookup — the 1-row max-ts sentinel frame is
+      //    crossed into the run frame to close open intervals
+      "q181_temporal_scd2_lookup")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
