@@ -130,6 +130,38 @@ object TimeSeries {
         col("__e.s").alias(outCol)): _*)
   }
 
+  /** One-sided CUSUM control chart per group: s_0 = 0,
+    * s_t = max(0, s_{t−1} + (x_t − target − slack)) — the drift detector
+    * that flags sustained upward excursions a point threshold misses
+    * (each point adds its overshoot; the max(0) resets on return to
+    * normal). Like [[ewma]] the recurrence is inherently sequential and
+    * is evaluated as a per-element prefix fold over the ordered group
+    * array — identical IEEE add/subtract/max chain in any engine; null
+    * values carry the state. Same bounded-group contract as ewma
+    * (quadratic in group LENGTH; groups parallelize).
+    */
+  def cusum(df: DataFrame, groupCols: Seq[String], orderCol: String,
+            valCol: String, target: Double, slack: Double,
+            outCol: String): DataFrame = {
+    val th = target + slack
+    val pairs = df.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).alias("o"),
+        col(valCol).alias("v")))).alias("__series"))
+    val folded = pairs.withColumn("__out",
+      expr(s"""
+        transform(__series, (e, i) ->
+          struct(e.o AS o,
+            aggregate(slice(__series, 1, i + 1), CAST(0.0 AS DOUBLE),
+              (acc, x) -> CASE WHEN x.v IS NULL THEN acc
+                               ELSE greatest(CAST(0.0 AS DOUBLE),
+                                             acc + (x.v - $th)) END) AS s))
+      """))
+    folded.select((groupCols.map(col) :+
+        explode(col("__out")).alias("__e")): _*)
+      .select((groupCols.map(col) :+ col("__e.o").alias(orderCol) :+
+        col("__e.s").alias(outCol)): _*)
+  }
+
   /** Per-group discrete differences along the ordered series: previous
     * value, absolute delta, and percent change (null at the first row of
     * each group and where the previous value is 0 — SQL-null, never a

@@ -519,6 +519,37 @@ object EventQueries {
               |  FROM h)
               |WHERE rank <= 3""".stripMargin)),
 
+    // One-sided CUSUM drift chart over the hourly series — the control-
+    // chart sibling of q158's point outliers: sustained small excursions
+    // accumulate until the statistic crosses an alarm level, where a
+    // per-point threshold sees nothing. Prefix-fold evaluation (q149's
+    // discipline), target+slack constants mirrored literally.
+    QueryDef("q182_cusum_hourly",
+      (s, d) => TimeSeries.cusum(
+          TimeSeries.tumblingAgg(Tables.events(s, d), "ts", "hour",
+            Seq("event_type"),
+            Seq(Aggregations.exactSum(col("value")).alias("total_value"))),
+          Seq("event_type"), "window_start", "total_value",
+          target = 150.0, slack = 15.0, outCol = "cusum")
+        .select(col("event_type"), col("window_start"),
+          round(col("cusum"), 9).alias("cusum")),
+      Some(s"""WITH $evCte,
+              |h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |        ${exactSumSql("value")} AS total_value
+              |      FROM ev GROUP BY 1, 2),
+              |e AS (SELECT event_type,
+              |        list(window_start ORDER BY window_start) AS os,
+              |        list(total_value ORDER BY window_start) AS vs
+              |      FROM h GROUP BY event_type),
+              |x AS (SELECT event_type, unnest(os) AS window_start,
+              |        unnest(list_transform(range(len(vs)), i ->
+              |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |              list_filter(vs[1:i+1], q -> q IS NOT NULL)),
+              |            (acc, q) -> greatest(CAST(0.0 AS DOUBLE),
+              |                                 acc + (q - 165.0))))) AS cusum
+              |      FROM e)
+              |SELECT event_type, window_start, round(cusum, 9) AS cusum FROM x""".stripMargin)),
+
     // Temporal (effective-dated) dimension lookup — THE SCD2 consumption
     // pattern: each error event joins the state run active at its
     // timestamp. Open intervals close at a data-derived sentinel
