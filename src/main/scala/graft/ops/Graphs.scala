@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics beyond connectivity (the [[DedupComponents]]
+  * family solves reachability; this solves influence): PageRank over an
+  * edge frame as repeated join + aggregate — the canonical "ranks are
+  * node-sized, edges are the corpus" iteration.
+  *
+  * Scale posture (100 TB): the edge frame is scanned once into cache and
+  * every iteration reuses its shuffle partitioning on `src`; the rank
+  * frame is node-sized (≪ edges) and localCheckpoint'd per iteration so
+  * the plan never accretes lineage (the pointer-doubling discipline,
+  * DedupComponents.scala). Iteration count is FIXED — a convergence test
+  * would put a driver-side count in the loop; fixed-k power iteration is
+  * the production norm and makes the result deterministic.
+  */
+object Graphs {
+
+  /** Mean-normalized PageRank (rank mass scaled by N, so ranks are O(1)
+    * and a mean-degree node scores ~1): r₀ = 1 and
+    *
+    *   r_{t+1}(v) = (1 − d) + d · Σ_{(u,v)∈E} r_t(u) / outdeg(u)
+    *
+    * Cross-engine exactness: per-edge contributions are quantized to
+    * 6 dp and DECIMAL-summed per target (aggregation-order-independent —
+    * a raw double Σ over in-edges would drift with partitioning), and
+    * each new rank is re-quantized, so every iteration's rank vector is
+    * bit-identical on any engine that mirrors the chain (the q149/q182
+    * prefix-fold discipline applied to a graph fixpoint). Quantization
+    * is floor(x·10⁶ + 0.5)/10⁶ — NOT round(x, 6): the iteration
+    * manufactures values exactly on the 5e-7 half boundary, where
+    * Spark's round (BigDecimal of the SHORTEST decimal repr, HALF_UP)
+    * and DuckDB's (float multiply/rint) disagree by 1 ulp of the 6th
+    * digit; the floor chain is the same IEEE multiply/add/floor/divide
+    * on both engines, boundary included (measured: round() diverged on
+    * 0.7% of nodes at sf0.01, the floor chain on none). Self-loops are
+    * dropped; duplicate edges collapse (unweighted). Nodes with no
+    * in-edges keep the teleport mass (1 − d); on a symmetric edge set no
+    * dangling mass leaks.
+    */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val edges = edges0
+      .select(col(srcCol).cast("long").alias("src"),
+        col(dstCol).cast("long").alias("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).alias("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").alias("node"))
+      .union(edges.select(col("dst").alias("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // IEEE-identical 6-dp quantization (see scaladoc: round() is not)
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
+    var ranks = nodes.select(col("node"), lit(1.0).alias("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val perSource = ranks
+        .join(outDeg, col("node") === col("src"))
+        .select(col("node").alias("__u"),
+          q6(col("rank") / col("outdeg")).alias("__c"))
+      val msgs = edges
+        .join(perSource, col("src") === col("__u"))
+        .groupBy(col("dst").alias("node"))
+        .agg(sum(col("__c").cast(DecimalType(30, 8))).cast(DoubleType)
+          .alias("__s"))
+      val next = nodes
+        .join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          q6(lit(1.0 - damping) + lit(damping) * coalesce(col("__s"), lit(0.0)))
+            .alias("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(ranks)
+      ranks = next
+    }
+    edges.unpersist(); outDeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /** Bounded-hop BFS distance from a seed set: hops(v) = length of the
+    * shortest directed path from any seed, capped at `maxHops` (nodes
+    * farther than the cap are absent — the bounded-radius contract that
+    * keeps the iteration count fixed and the result deterministic).
+    * Pure integer min-relaxation → trivially engine-exact.
+    *
+    * Each round relaxes only the FRONTIER (nodes settled in the previous
+    * round): a node's first discovery is its minimum hop count in BFS,
+    * so re-relaxing settled nodes can never improve them — per-round
+    * work is frontier × degree, not |settled| × degree. Distance frame
+    * is node-sized, localCheckpoint'd per round ([[pageRank]] hygiene).
+    */
+  def hopDistance(edges0: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "hopDistance needs at least one hop")
+    val edges = edges0
+      .select(col(srcCol).cast("long").alias("src"),
+        col(dstCol).cast("long").alias("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds
+      .select(col(seeds.columns.head).cast("long").alias("node"))
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === lit(h - 1L))
+        .withColumnRenamed("node", "src")
+      val relaxed = edges.join(frontier, "src")
+        .select(col("dst").alias("node"), (col("hops") + 1L).alias("hops"))
+      val next = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("hops")).alias("hops"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(dist)
+      dist = next
+    }
+    edges.unpersist()
+    dist
+  }
+
+  /** DuckDB mirror of [[hopDistance]]: unrolled min-relaxation over CTEs
+    * `e(src, dst)` (self-loop-free, distinct) and `d0(node, hops)` (the
+    * seed set at hops 0), with the same frontier guard.
+    */
+  def hopDistanceSql(edgesCte: String, seedsCte: String, maxHops: Int): String = {
+    val iters = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+         |    SELECT node, hops FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.hops + 1 AS hops
+         |    FROM e JOIN d${i - 1} d ON d.node = e.src AND d.hops = ${i - 1})
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesCte),
+       |d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS hops FROM ($seedsCte)),
+       |$iters
+       |SELECT node, hops FROM d$maxHops""".stripMargin
+  }
+
+  /** Per-node triangle counts on the UNDIRECTED graph induced by the
+    * edge frame (direction ignored, self-loops dropped, duplicates
+    * collapsed). Uses degree orientation — each undirected edge points
+    * from its (degree, id)-smaller endpoint to the larger — so every
+    * triangle is enumerated from exactly one wedge at its smallest-
+    * degree corner: the wedge count is bounded by O(m^1.5) on ANY graph
+    * (Schank/Wagner), where the naive smaller-id orientation blows up
+    * quadratically on a star-shaped hub. The canonical-edge probe that
+    * closes each wedge is an equi-join; all arithmetic is integer.
+    */
+  def triangleCounts(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges0
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).alias("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).alias("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = canon.select(col("a").alias("node"))
+      .union(canon.select(col("b").alias("node")))
+      .groupBy(col("node")).agg(count(lit(1)).alias("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").alias("a"), col("deg").alias("__da")), "a")
+      .join(deg.select(col("node").alias("b"), col("deg").alias("__db")), "b")
+    // orient toward the (deg, id)-larger endpoint
+    val oriented = withDeg.select(
+      when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).alias("u"),
+      when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).alias("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").alias("w0"), col("e1.v").alias("w1"),
+        col("e2.v").alias("w2"))
+    val tris = wedges.join(canon,
+      least(col("w1"), col("w2")) === col("a") &&
+        greatest(col("w1"), col("w2")) === col("b"))
+    val counts = tris
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).alias("node"))
+      .groupBy(col("node")).agg(count(lit(1)).alias("triangles"))
+    counts
+  }
+
+  /** DuckDB mirror of [[triangleCounts]] over an edge CTE `raw(src, dst)`
+    * — the identical degree-oriented wedge enumeration, so agreement
+    * gates the orientation logic, not just the final counts.
+    */
+  def triangleCountsSql(edgesCte: String): String =
+    s"""WITH raw AS ($edgesCte),
+       |canon AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM raw WHERE src <> dst),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+       |  GROUP BY node),
+       |oriented AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+       |         THEN a ELSE b END AS u,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+       |         THEN b ELSE a END AS v
+       |  FROM canon JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+       |tris AS (
+       |  SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.u = e2.u AND e1.v < e2.v
+       |  JOIN canon c ON c.a = least(e1.v, e2.v) AND c.b = greatest(e1.v, e2.v))
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+       |  SELECT w0 AS node FROM tris
+       |  UNION ALL SELECT w1 FROM tris
+       |  UNION ALL SELECT w2 FROM tris)
+       |GROUP BY node""".stripMargin
+
+  /** DuckDB mirror of [[pageRank]] as an unrolled CTE chain over an edge
+    * CTE named `e(src, dst)` (already self-loop-free and distinct): the
+    * same 6-dp round / decimal-sum / re-round chain, one CTE per
+    * iteration — two independent formulations of the fixpoint agreeing
+    * on the hash is the gate.
+    */
+  def pageRankSql(edgesCte: String, iterations: Int = 5): String = {
+    def q6(x: String) =
+      s"CAST(CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    ${
+        // CAST the damping constants: DuckDB evaluates bare 1.0 - 0.85 in
+        // DECIMAL (exactly 0.15), but the Spark side computes the IEEE
+        // double 1.0 − 0.85 = 0.15000000000000002 — a 1-ulp difference
+        // that flips floor() on ranks sitting exactly on the 5e-7
+        // boundary (measured: 9 of 2000 nodes at sf0.01)
+        q6("(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + " +
+          "CAST(0.85 AS DOUBLE) * coalesce(s.s, 0.0)")} AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(CAST(SUM(CAST(${q6("r.rank / deg.outdeg")} AS DECIMAL(30,8)))
+         |           AS VARCHAR) AS DOUBLE) AS s
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src
+         |           JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesCte),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+}

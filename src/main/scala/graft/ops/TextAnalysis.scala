@@ -382,6 +382,59 @@ object TextAnalysis {
     }.select(col(idCol)).distinct()
   }
 
+  /** BM25 ranked retrieval for a bag-of-words query — the SCORING
+    * complement of [[phraseSearch]]'s boolean index probe. The postings
+    * frame is filtered to the query's terms BEFORE any shuffle (only
+    * those rows move; at 100 TB the per-term (doc, tf) lists are a
+    * persisted inverted index — the q93/q120 discipline — and this op
+    * expresses the probe + score; term document-frequencies and the
+    * 1-row corpus stats broadcast).
+    *
+    * Scoring is the rational-idf BM25 variant: idf(t) = (N − df + 0.5) /
+    * (df + 0.5), no logarithm — ln drifts across libm builds (the
+    * q109/q142 lesson) and BM25's ranking only needs idf monotone in df.
+    * k1/b are exact binary fractions; per-term contributions are rounded
+    * to 6 dp then DECIMAL-summed per doc so the cross-term sum is
+    * aggregation-order-independent; top-k executes as
+    * TakeOrderedAndProject (per-partition top-k + driver merge, never a
+    * global sort). (score desc, id asc) is a total order.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val toksOf = df.select(col(idCol), TextFunctions.tokens(col(textCol)).alias("__tk"))
+    val docLen = toksOf.select(col(idCol), size(col("__tk")).cast("long").alias("dl"))
+    val stats = docLen.agg(
+      count(lit(1)).alias("__n"),
+      Aggregations.exactSum(col("dl")).alias("__sumdl"))
+    val postings = toksOf
+      .select(col(idCol), explode(col("__tk")).alias("tok"))
+      .filter(col("tok").isin(query.distinct: _*))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).alias("df"))
+    val nD = col("__n").cast(DoubleType)
+    val avgdl = col("__sumdl") / nD
+    val idf = (nD - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfD = col("tf").cast(DoubleType)
+    val norm = tfD * (k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    postings
+      .join(broadcast(dfreq), "tok")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(idf * norm, 6).alias("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).alias("n_terms"),
+        round(sum(col("__c").cast(DecimalType(30, 8))).cast(DoubleType), 6)
+          .alias("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---- oracle SQL fragments ---------------------------------------------
 
   def langScoreSql(lang: String): String = {

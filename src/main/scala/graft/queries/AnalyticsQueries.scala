@@ -1259,6 +1259,57 @@ object AnalyticsQueries {
              |JOIN ic cb ON p.part_b = cb.l_partkey
              |CROSS JOIN n""".stripMargin)),
 
+    // Item-item cosine similarity (implicit-feedback collaborative
+    // filtering): parts as purchase-count vectors over customers,
+    // cosine = Σ n_a·n_b / √(Σn_a²·Σn_b²). All sums are exact 64-bit
+    // integers (counts), so the only double arithmetic is ONE
+    // divide/sqrt chain — identical both engines. The pair join is
+    // WITHIN a customer (q167's bound: pairs scale with customers ×
+    // items-per-customer², never catalog²); per-part norms broadcast.
+    // 100 TB posture: cap items-per-customer first (q155's capPerGroup)
+    // — a crawler-bot account with 10⁶ items is a skew bomb, and CF
+    // practice drops such users anyway.
+    QueryDef("q186_item_item_cosine",
+      (s, d) => {
+        val vec = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
+          .agg(count(lit(1)).alias("n"))
+        val norms = vec.groupBy(col("part"))
+          .agg(sum(col("n") * col("n")).alias("__n2"))
+        val dots = vec.alias("a")
+          .join(vec.alias("b"),
+            col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+          .groupBy(col("a.part").alias("part_a"), col("b.part").alias("part_b"))
+          .agg(sum(col("a.n") * col("b.n")).alias("dot"),
+            count(lit(1)).alias("n_common"))
+          .filter(col("n_common") >= 3)
+        dots
+          .join(broadcast(norms.select(col("part").alias("part_a"),
+            col("__n2").alias("__na"))), Seq("part_a"))
+          .join(broadcast(norms.select(col("part").alias("part_b"),
+            col("__n2").alias("__nb"))), Seq("part_b"))
+          .select(col("part_a"), col("part_b"), col("dot"), col("n_common"),
+            round(col("dot") / sqrt(col("__na").cast(DoubleType) * col("__nb")), 6)
+              .alias("cosine"))
+      },
+      Some("""WITH vec AS (
+             |  SELECT o_custkey AS cust, l_partkey AS part, COUNT(*) AS n
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |nrm AS (SELECT part, CAST(SUM(n * n) AS BIGINT) AS n2 FROM vec GROUP BY part),
+             |p AS (
+             |  SELECT a.part AS part_a, b.part AS part_b,
+             |    CAST(SUM(a.n * b.n) AS BIGINT) AS dot, COUNT(*) AS n_common
+             |  FROM vec a JOIN vec b ON a.cust = b.cust AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT part_a, part_b, dot, CAST(n_common AS BIGINT) AS n_common,
+             |  round(dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+             |FROM p
+             |JOIN nrm na ON p.part_a = na.part
+             |JOIN nrm nb ON p.part_b = nb.part""".stripMargin)),
+
     // 2-D skyline (Pareto frontier): parts where no other part is cheaper-
     // or-equal AND bigger-or-equal with one strict — "best price for its
     // size". The engine runs the LINEAR shape (per-price max + prefix max
@@ -1409,6 +1460,113 @@ object AnalyticsQueries {
              |  ((SELECT COUNT(DISTINCT o_orderpriority) FROM orders) - 1) *
              |  ((SELECT COUNT(DISTINCT o_orderstatus) FROM orders) - 1) AS dof,
              |  CAST(max(tot) AS BIGINT) AS total
-             |FROM c2""".stripMargin))
+             |FROM c2""".stripMargin)),
+
+    // PageRank over the part co-purchase graph (edges = part pairs that
+    // share an order, both directions → symmetric, no dangling mass):
+    // 5 fixed power iterations, ranks mean-normalized to O(1). Per-edge
+    // contributions rounded to 6 dp + DECIMAL-summed per target, rank
+    // re-rounded each iteration — the whole fixpoint is bit-reproducible
+    // and the oracle recomputes it as an unrolled CTE chain. Scale: rank
+    // frame is node-sized ≪ edges; edges cached once, re-joined per
+    // iteration; lineage truncated per iteration (Graphs.pageRank doc).
+    QueryDef("q185_pagerank_copurchase",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").alias("src"), col("b.l_partkey").alias("dst"))
+        graft.ops.Graphs.pageRank(e, "src", "dst", iterations = 5)
+      },
+      Some(graft.ops.Graphs.pageRankSql(
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin))),
+
+    // Bounded-hop BFS over the same co-purchase graph from a brand seed
+    // set — "how far is every part from Brand#1 in purchase behavior":
+    // 3 rounds of frontier-only integer min-relaxation (settled nodes
+    // never re-relax — per-round cost is frontier × degree). Pure
+    // integer arithmetic; the oracle is the identical unrolled
+    // relaxation, so agreement gates the frontier optimization's
+    // correctness, not just the final reachable set.
+    QueryDef("q188_bfs_hops",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").alias("src"), col("b.l_partkey").alias("dst"))
+        val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey"))
+        graft.ops.Graphs.hopDistance(e, "src", "dst", seeds, maxHops = 3)
+      },
+      Some(graft.ops.Graphs.hopDistanceSql(
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
+        "SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#1'",
+        maxHops = 3))),
+
+    // Ranking-function window surface: rank / dense_rank / percent_rank /
+    // cume_dist are TIE-AWARE (value-based → deterministic on the
+    // non-unique price ordering), while ntile depends on row order within
+    // ties and therefore rides the tie-broken unique ordering. percent_
+    // rank's (rank−1)/(n−1) and cume_dist's peers≤/n are one double
+    // divide each, rounded at 6 dp on both engines.
+    QueryDef("q189_ranking_functions",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc)
+        val wu = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          rank().over(w).cast(LongType).alias("rnk"),
+          dense_rank().over(w).cast(LongType).alias("drnk"),
+          round(percent_rank().over(w), 6).alias("prank"),
+          round(cume_dist().over(w), 6).alias("cdist"),
+          ntile(4).over(wu).cast(LongType).alias("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  CAST(rank() OVER (PARTITION BY o_orderpriority
+             |       ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+             |       ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+             |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+             |       ORDER BY o_totalprice DESC), 6) AS prank,
+             |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+             |       ORDER BY o_totalprice DESC), 6) AS cdist,
+             |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+             |       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+             |FROM orders""".stripMargin)),
+
+    // Per-node triangle counts on the REPEAT co-purchase graph (pairs
+    // bought together in ≥2 orders — the support prune keeps the edge
+    // set sparse and scale-stable where the raw pair graph grows with
+    // the fact table) with DEGREE orientation: wedges enumerate at each
+    // triangle's smallest-degree corner → O(m^1.5) wedges on any graph;
+    // naive id-orientation is quadratic on a hub. The oracle runs the
+    // identical orientation, so the hash gates the algorithm, not just
+    // the totals. All integer.
+    QueryDef("q190_triangle_counts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").alias("src"), col("b.l_partkey").alias("dst"))
+          .agg(count(lit(1)).alias("__c"))
+          .filter(col("__c") >= 2)
+          .select(col("src"), col("dst"))
+        graft.ops.Graphs.triangleCounts(e, "src", "dst")
+      },
+      Some(graft.ops.Graphs.triangleCountsSql(
+        """SELECT src, dst FROM (
+          |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS c
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2) WHERE c >= 2""".stripMargin)))
   )
 }

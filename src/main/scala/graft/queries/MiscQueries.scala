@@ -821,7 +821,68 @@ object MiscQueries {
              |    CAST(CAST(sy - CAST(c_acctbal AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE)
              |      / (a.n - 1)
              |  END AS loo_enc
-             |FROM customer JOIN a USING (c_mktsegment)""".stripMargin))
+             |FROM customer JOIN a USING (c_mktsegment)""".stripMargin)),
+
+    // RFM segmentation — the classic customer-value grid: recency (days
+    // from a customer's last order to the corpus max date), frequency
+    // (order count), monetary (exact-decimal spend), each cut into
+    // quartiles by the q161 discipline (ONE mergeable array-percentile
+    // aggregate per dimension, bounds broadcast, map-side bin assign —
+    // never ntile's global sort). Recency scores INVERT (recent = 4).
+    // Segment is the 3-digit integer r·100+f·10+m, not a string concat
+    // — integer arithmetic is engine-identical by construction.
+    QueryDef("q187_rfm_segmentation",
+      (s, d) => {
+        import graft.ops.Aggregations.exactSum
+        val o = Tables.orders(s, d)
+        val maxD = o.agg(max(to_date(col("o_orderdate"))).alias("__maxd"))
+        val rfm = o.groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).alias("__last"),
+            count(lit(1)).alias("frequency"),
+            round(exactSum(col("o_totalprice")), 2).alias("monetary"))
+          .crossJoin(broadcast(maxD))
+          .select(col("o_custkey"),
+            datediff(col("__maxd"), col("__last")).cast(LongType).alias("recency_days"),
+            col("frequency"), col("monetary"))
+        val binned = Seq("recency_days" -> "__rb", "frequency" -> "__fb",
+            "monetary" -> "__mb")
+          .foldLeft(rfm) { case (acc, (c, b)) =>
+            graft.ops.Profiling.binEqualFreq(acc, c, 4).withColumnRenamed("bin", b)
+          }
+        binned.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          (lit(5L) - col("__rb")).alias("r_score"),
+          col("__fb").alias("f_score"), col("__mb").alias("m_score"),
+          ((lit(5L) - col("__rb")) * 100L + col("__fb") * 10L + col("__mb"))
+            .alias("segment"))
+      },
+      Some(s"""WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+              |rfm AS (
+              |  SELECT o_custkey,
+              |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd.maxd)
+              |         AS BIGINT) AS recency_days,
+              |    COUNT(*) AS frequency,
+              |    round(${exactSumSql("o_totalprice")}, 2) AS monetary
+              |  FROM orders, maxd GROUP BY o_custkey, maxd.maxd),
+              |rb AS (SELECT list_transform(quantile_cont(CAST(recency_days AS DOUBLE),
+              |         [0.25, 0.5, 0.75]), q -> round(q, 6)) AS b FROM rfm),
+              |fb AS (SELECT list_transform(quantile_cont(CAST(frequency AS DOUBLE),
+              |         [0.25, 0.5, 0.75]), q -> round(q, 6)) AS b FROM rfm),
+              |mb AS (SELECT list_transform(quantile_cont(CAST(monetary AS DOUBLE),
+              |         [0.25, 0.5, 0.75]), q -> round(q, 6)) AS b FROM rfm),
+              |sc AS (
+              |  SELECT rfm.*,
+              |    CAST(1 + len(list_filter(rb.b, x -> CAST(recency_days AS DOUBLE) > x))
+              |         AS BIGINT) AS rbin,
+              |    CAST(1 + len(list_filter(fb.b, x -> CAST(frequency AS DOUBLE) > x))
+              |         AS BIGINT) AS fbin,
+              |    CAST(1 + len(list_filter(mb.b, x -> CAST(monetary AS DOUBLE) > x))
+              |         AS BIGINT) AS mbin
+              |  FROM rfm, rb, fb, mb)
+              |SELECT o_custkey, recency_days, frequency, monetary,
+              |  5 - rbin AS r_score, fbin AS f_score, mbin AS m_score,
+              |  (5 - rbin) * 100 + fbin * 10 + mbin AS segment
+              |FROM sc""".stripMargin))
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"

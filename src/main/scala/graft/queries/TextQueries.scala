@@ -278,6 +278,38 @@ object TextQueries {
              |  CASE WHEN r = doc_id THEN (r + 1) % nn ELSE r END AS neg_id
              |FROM raw""".stripMargin)),
 
+    // BM25 ranked retrieval (rational-idf variant — no logarithm, see
+    // TextAnalysis.bm25TopK): indexed probe+score vs the oracle's full
+    // recomputation from raw text; per-term contributions rounded then
+    // DECIMAL-summed so the cross-term sum is order-independent.
+    QueryDef("q184_bm25_topk",
+      (s, d) => TextAnalysis.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 15),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |              ${graft.ops.Aggregations.exactSumSql("dl")} AS sumdl
+              |       FROM dl),
+              |p AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+              |      FROM (SELECT doc_id, unnest(tk) AS tok FROM t) u
+              |      WHERE tok IN ('hash', 'join', 'vector')
+              |      GROUP BY doc_id, tok),
+              |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY tok),
+              |c AS (SELECT p.doc_id,
+              |        round(((CAST(st.n AS DOUBLE) - dfr.df + 0.5) / (dfr.df + 0.5)) *
+              |              (CAST(tf AS DOUBLE) * 2.25 /
+              |               (CAST(tf AS DOUBLE) + 1.25 *
+              |                (1.0 - 0.75 + 0.75 * dl.dl /
+              |                 (st.sumdl / CAST(st.n AS DOUBLE))))), 6) AS c
+              |      FROM p JOIN dfr USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              |  round(CAST(CAST(SUM(CAST(c AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE), 6)
+              |    AS score
+              |FROM c GROUP BY doc_id
+              |ORDER BY score DESC, doc_id
+              |LIMIT 15""".stripMargin)),
+
     // Indexed phrase search: per-term positional postings joined on
     // aligned positions — only the query terms' postings ever move, vs
     // the oracle's contains() scan that reads every byte. Two independent

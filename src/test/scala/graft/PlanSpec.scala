@@ -372,7 +372,16 @@ class PlanSpec extends SparkSpec {
       "q178_nearest_centroid",
       //  - q181: temporal SCD2 lookup — the 1-row max-ts sentinel frame is
       //    crossed into the run frame to close open intervals
-      "q181_temporal_scd2_lookup")
+      "q181_temporal_scd2_lookup",
+      //  - q184: BM25 — the 1-row corpus-stats frame (N, Σdl) is crossed
+      //    into the already-term-filtered postings
+      "q184_bm25_topk",
+      //  - q187: RFM — the 1-row max-date frame plus q161's per-dimension
+      //    1-row boundary arrays are crossed in; bins assign map-side
+      "q187_rfm_segmentation",
+      //  - q191: Kaplan–Meier — the 1-row corpus-max-date frame is
+      //    crossed in to mark censoring
+      "q191_kaplan_meier")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>

@@ -146,4 +146,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits("b", "b") == Set(4L))
     assert(hits("c") == Set.empty)
   }
+
+  test("bm25TopK matches the closed-form rational-idf scores") {
+    // N=3, Σdl=9, avgdl=3; df(a)=df(b)=2 → idf=1.5/2.5=0.6
+    // doc1 (a a b, dl 3): 0.6·(2·2.25/3.25) + 0.6·(2.25/2.25) = 1.430769
+    // doc3 (b b b b, dl 4): 0.6·(9/5.5625)              = 0.970787
+    // doc2 (a c, dl 2):   0.6·(2.25/1.9375)             = 0.696774
+    val df = docs(1L -> "a a b", 2L -> "a c", 3L -> "b b b b")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("a", "b"), k = 3)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L)) // rank order
+    assert(out(0)._2 == 2L && out(1)._2 == 1L && out(2)._2 == 1L)
+    assert(math.abs(out(0)._3 - 1.430769) < 1e-9)
+    assert(math.abs(out(1)._3 - 0.970787) < 1e-9)
+    assert(math.abs(out(2)._3 - 0.696774) < 1e-9)
+  }
+
+  test("bm25TopK honors k with the (score desc, id asc) total order") {
+    val df = docs(1L -> "a", 2L -> "a", 3L -> "b")
+    val top = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("a"), k = 1)
+      .select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L)) // tie on score → lower doc_id wins
+  }
 }
