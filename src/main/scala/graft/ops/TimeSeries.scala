@@ -315,6 +315,56 @@ object TimeSeries {
         col("valid_to").isNull.alias("is_current"), col("n_events"))
   }
 
+  /** Kaplan–Meier survival curve per group over right-censored duration
+    * data: rows are subjects with an integer `durationCol` and a boolean
+    * `eventCol` (true = the terminal event was OBSERVED at that duration,
+    * false = censored there). For each distinct observed-event time t,
+    *
+    *   S(t) = Π_{u ≤ t, d_u > 0} (n_u − d_u) / n_u
+    *
+    * with n_u = subjects still at risk at u (duration ≥ u) and d_u =
+    * observed events at u — the standard product-limit estimator;
+    * censored subjects leave the risk set without contributing a factor.
+    *
+    * Shape: one hash aggregate to the (group, duration) frame; the risk
+    * set is a suffix SUM over that frame (never the data); the running
+    * product is a per-element prefix fold over the ordered per-group
+    * factor array ([[ewma]]'s discipline — identical IEEE multiply chain
+    * in any engine; a pow/exp-of-Σlog formulation would drift across
+    * libm builds). Bounded-group contract: distinct event times per
+    * group must fit one row (time grains bound it; groups parallelize).
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String], durationCol: String,
+                  eventCol: String): DataFrame = {
+    val byT = df
+      .groupBy((groupCols.map(col) :+ col(durationCol).cast("long").alias("t")): _*)
+      .agg(Aggregations.countIf(col(eventCol)).alias("d"),
+        count(lit(1)).alias("m"))
+    val wDesc = Window.partitionBy(groupCols.map(col): _*).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val factors = byT
+      .withColumn("n", sum(col("m")).over(wDesc))
+      .filter(col("d") > 0L)
+      .select((groupCols.map(col) :+ col("t") :+ col("n") :+ col("d") :+
+        ((col("n") - col("d")).cast("double") / col("n")).alias("f")): _*)
+    val series = factors
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("t"), col("n"), col("d"),
+        col("f")))).alias("__series"))
+    val folded = series.withColumn("__out",
+      expr("""
+        transform(__series, (e, i) ->
+          struct(e.t AS t, e.n AS n, e.d AS d,
+            aggregate(slice(__series, 1, i + 1), CAST(1.0 AS DOUBLE),
+              (acc, x) -> acc * x.f) AS s))
+      """))
+    folded
+      .select((groupCols.map(col) :+ explode(col("__out")).alias("__e")): _*)
+      .select((groupCols.map(col) :+ col("__e.t").alias(durationCol) :+
+        col("__e.n").alias("n_at_risk") :+ col("__e.d").alias("d_events") :+
+        round(col("__e.s"), 9).alias("survival")): _*)
+  }
+
   /** Per-session rollup on top of [[sessionize]]. Duration stays in exact
     * integral microseconds (a fractional-seconds double would round
     * differently across engines).

@@ -636,7 +636,68 @@ object EventQueries {
               |       sess.n_events
               |FROM inc JOIN sess
               |  ON inc.i_start < sess.session_end
-              | AND sess.session_start < inc.i_end""".stripMargin))
+              | AND sess.session_start < inc.i_end""".stripMargin)),
+
+    // Kaplan–Meier time-to-conversion with ADMINISTRATIVE censoring:
+    // duration = whole hours from a user's first event to their first
+    // purchase, right-censored at a 48-hour observation window (slower
+    // converters are censored AT 48 — they thin the risk set without
+    // contributing an event factor, which is exactly what the product-
+    // limit estimator exists for; dropping them would bias the curve
+    // optimistic, counting them as converted-at-48 would bias it
+    // pessimistic). Cohort = user_id % 3. Hours via integer-div on epoch
+    // micros (date_diff('hour') counts boundary CROSSINGS in DuckDB —
+    // not elapsed time — and float division corrupts exact-hour deltas).
+    // Risk sets are suffix sums over the (cohort, duration) frame; the
+    // survival product is the q149 prefix-fold (identical IEEE multiply
+    // chain both engines — never exp(Σ ln)).
+    QueryDef("q191_kaplan_meier",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val first = ev.groupBy(col("user_id")).agg(min(col("ts")).alias("__t0"))
+        val firstPurchase = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).alias("__tp"))
+        val hrs = expr("(unix_micros(__tp) - unix_micros(__t0)) DIV 3600000000")
+        val subjects = first.join(firstPurchase, Seq("user_id"), "left")
+          .select((col("user_id") % 3).alias("cohort"),
+            when(hrs.isNotNull && hrs <= 48L, hrs).otherwise(lit(48L))
+              .cast(LongType).alias("duration_hours"),
+            (hrs.isNotNull && hrs <= 48L).alias("observed"))
+        TimeSeries.kaplanMeier(subjects, Seq("cohort"), "duration_hours",
+          "observed")
+      },
+      Some(s"""WITH $evCte,
+              |u AS (SELECT user_id, MIN(ts) AS t0 FROM ev GROUP BY 1),
+              |p AS (SELECT user_id, MIN(ts) AS tp FROM ev
+              |      WHERE event_type = 'purchase' GROUP BY 1),
+              |s0 AS (SELECT u.user_id % 3 AS cohort,
+              |         (epoch_us(p.tp) - epoch_us(u.t0)) // 3600000000 AS hrs
+              |       FROM u LEFT JOIN p USING (user_id)),
+              |subj AS (SELECT cohort,
+              |           CASE WHEN hrs IS NOT NULL AND hrs <= 48
+              |                THEN hrs ELSE 48 END AS t_dur,
+              |           (hrs IS NOT NULL AND hrs <= 48) AS obs FROM s0),
+              |byt AS (SELECT cohort, t_dur AS t,
+              |          CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+              |          COUNT(*) AS m
+              |        FROM subj GROUP BY 1, 2),
+              |r AS (SELECT cohort, t, d,
+              |        CAST(SUM(m) OVER (PARTITION BY cohort ORDER BY t DESC
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |             AS BIGINT) AS n
+              |      FROM byt),
+              |f AS (SELECT cohort, t, n, d, CAST(n - d AS DOUBLE) / n AS f
+              |      FROM r WHERE d > 0),
+              |km AS (SELECT cohort, list(t ORDER BY t) AS ts,
+              |         list(n ORDER BY t) AS ns, list(d ORDER BY t) AS ds,
+              |         list(f ORDER BY t) AS fs
+              |       FROM f GROUP BY cohort)
+              |SELECT cohort, unnest(ts) AS duration_hours, unnest(ns) AS n_at_risk,
+              |  unnest(ds) AS d_events,
+              |  unnest(list_transform(range(len(fs)), i ->
+              |    round(list_reduce(fs[1:i+1], (acc, q) -> acc * q), 9)))
+              |    AS survival
+              |FROM km""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

@@ -200,4 +200,34 @@ class AnalyticsSpec extends SparkSpec {
     val perNation = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
     assert(perNation.map(_.getAs[Long]("customers")).sum == 150L)
   }
+
+  test("kaplanMeier matches the textbook product-limit example") {
+    import spark.implicits._
+    // durations/observed: 1+, 2c, 3+, 3+, 4c  (+ = event, c = censored)
+    // t=1: n=5, d=1 → f=0.8; t=3: n=3, d=2 → f=1/3
+    // S(1)=0.8; S(3)=0.8·(1/3)=0.266666667; censor times emit no row
+    val subjects = Seq(
+      (0L, 1L, true), (0L, 2L, false), (0L, 3L, true), (0L, 3L, true),
+      (0L, 4L, false)).toDF("cohort", "dur", "obs")
+    val km = graft.ops.TimeSeries.kaplanMeier(subjects, Seq("cohort"), "dur", "obs")
+      .orderBy("dur").as[(Long, Long, Long, Long, Double)].collect()
+    assert(km.toSeq == Seq(
+      (0L, 1L, 5L, 1L, 0.8),
+      (0L, 3L, 3L, 2L, 0.266666667)))
+  }
+
+  test("kaplanMeier: censoring thins the risk set without a factor") {
+    import spark.implicits._
+    // two cohorts; cohort 1 has an early censor that must shrink n at t=5
+    val subjects = Seq(
+      (1L, 2L, false), (1L, 5L, true), (1L, 5L, true), (1L, 7L, false),
+      (2L, 1L, true)).toDF("cohort", "dur", "obs")
+    val km = graft.ops.TimeSeries.kaplanMeier(subjects, Seq("cohort"), "dur", "obs")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // cohort 1, t=5: risk set {5,5,7} = 3 (the t=2 censor already left)
+    // S = (3-2)/3 = 1/3 → 0.333333333
+    assert(km == Set(
+      (1L, 5L, 3L, 2L, 0.333333333),
+      (2L, 1L, 1L, 1L, 0.0)))
+  }
 }

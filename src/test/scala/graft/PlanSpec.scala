@@ -378,10 +378,7 @@ class PlanSpec extends SparkSpec {
       "q184_bm25_topk",
       //  - q187: RFM — the 1-row max-date frame plus q161's per-dimension
       //    1-row boundary arrays are crossed in; bins assign map-side
-      "q187_rfm_segmentation",
-      //  - q191: Kaplan–Meier — the 1-row corpus-max-date frame is
-      //    crossed in to mark censoring
-      "q191_kaplan_meier")
+      "q187_rfm_segmentation")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
