@@ -1270,45 +1270,9 @@ object AnalyticsQueries {
     // — a crawler-bot account with 10⁶ items is a skew bomb, and CF
     // practice drops such users anyway.
     QueryDef("q186_item_item_cosine",
-      (s, d) => {
-        val vec = Tables.lineitem(s, d)
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
-          .agg(count(lit(1)).alias("n"))
-        val norms = vec.groupBy(col("part"))
-          .agg(sum(col("n") * col("n")).alias("__n2"))
-        val dots = vec.alias("a")
-          .join(vec.alias("b"),
-            col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
-          .groupBy(col("a.part").alias("part_a"), col("b.part").alias("part_b"))
-          .agg(sum(col("a.n") * col("b.n")).alias("dot"),
-            count(lit(1)).alias("n_common"))
-          .filter(col("n_common") >= 3)
-        dots
-          .join(broadcast(norms.select(col("part").alias("part_a"),
-            col("__n2").alias("__na"))), Seq("part_a"))
-          .join(broadcast(norms.select(col("part").alias("part_b"),
-            col("__n2").alias("__nb"))), Seq("part_b"))
-          .select(col("part_a"), col("part_b"), col("dot"), col("n_common"),
-            round(col("dot") / sqrt(col("__na").cast(DoubleType) * col("__nb")), 6)
-              .alias("cosine"))
-      },
-      Some("""WITH vec AS (
-             |  SELECT o_custkey AS cust, l_partkey AS part, COUNT(*) AS n
-             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |  GROUP BY 1, 2),
-             |nrm AS (SELECT part, CAST(SUM(n * n) AS BIGINT) AS n2 FROM vec GROUP BY part),
-             |p AS (
-             |  SELECT a.part AS part_a, b.part AS part_b,
-             |    CAST(SUM(a.n * b.n) AS BIGINT) AS dot, COUNT(*) AS n_common
-             |  FROM vec a JOIN vec b ON a.cust = b.cust AND a.part < b.part
-             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
-             |SELECT part_a, part_b, dot, CAST(n_common AS BIGINT) AS n_common,
-             |  round(dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
-             |FROM p
-             |JOIN nrm na ON p.part_a = na.part
-             |JOIN nrm nb ON p.part_b = nb.part""".stripMargin)),
+      (s, d) => itemCosinePairs(s, d),
+      Some(s"""WITH $itemCosineCtes
+              |SELECT part_a, part_b, dot, n_common, cosine FROM sims""".stripMargin)),
 
     // 2-D skyline (Pareto frontier): parts where no other part is cheaper-
     // or-equal AND bigger-or-equal with one strict — "best price for its
@@ -1567,6 +1531,127 @@ object AnalyticsQueries {
           |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS c
           |  FROM lineitem a JOIN lineitem b
           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2) WHERE c >= 2""".stripMargin)))
+          |  GROUP BY 1, 2) WHERE c >= 2""".stripMargin))),
+
+    // Item-item kNN recommendations — the SERVING composition of q186:
+    // the similarity frame is truncated to each item's top-10 neighbors
+    // (the neighborhood-truncation every production item-item CF model
+    // applies, via the bounded-heap top-k AGGREGATE — q155's engine, so
+    // a popular item's candidate row never funnels through one task's
+    // sort), owned items score their neighbors (Σ of the 6-dp cosines,
+    // DECIMAL-summed → order-independent), already-owned candidates drop
+    // with an anti join, and each customer keeps top-3 by the same heap.
+    // The oracle restates both top-k stages as row_number windows — the
+    // heap's (score desc, id asc) tie rule is exactly row_number order.
+    QueryDef("q193_item_recommendations",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val sims = itemCosinePairs(s, d)
+        val simsBoth = sims
+          .select(col("part_a").alias("item"), col("part_b").alias("other"),
+            col("cosine"))
+          .unionByName(sims.select(col("part_b").alias("item"),
+            col("part_a").alias("other"), col("cosine")))
+        val knn = graft.ops.Sampling
+          .capPerGroup(simsBoth, "item", "other", col("cosine"), 10)
+          .select(col("item"), col("other"), col("score").alias("cosine"))
+        val owned = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
+          .distinct()
+        val cand = owned
+          .join(knn, col("part") === col("item"))
+          .groupBy(col("cust"), col("other"))
+          .agg(sum(col("cosine").cast(DecimalType(30, 8))).cast(DoubleType)
+            .alias("score"))
+        val unseen = cand.join(
+          owned.select(col("cust"), col("part").alias("other")),
+          Seq("cust", "other"), "left_anti")
+        graft.ops.Sampling.capPerGroup(unseen, "cust", "other", col("score"), 3)
+          .select(col("cust"), col("other").alias("rec_part"), col("rank"),
+            round(col("score"), 6).alias("score"))
+      },
+      Some(s"""WITH $itemCosineCtes,
+              |sboth AS (
+              |  SELECT part_a AS item, part_b AS other, cosine FROM sims
+              |  UNION ALL
+              |  SELECT part_b AS item, part_a AS other, cosine FROM sims),
+              |knn AS (
+              |  SELECT item, other, cosine FROM (
+              |    SELECT item, other, cosine,
+              |      row_number() OVER (PARTITION BY item
+              |        ORDER BY cosine DESC, other) AS rn
+              |    FROM sboth) WHERE rn <= 10),
+              |owned AS (
+              |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              |cand AS (
+              |  SELECT owned.cust, knn.other,
+              |    CAST(CAST(SUM(CAST(knn.cosine AS DECIMAL(30,8))) AS VARCHAR)
+              |         AS DOUBLE) AS score
+              |  FROM owned JOIN knn ON owned.part = knn.item
+              |  GROUP BY 1, 2),
+              |unseen AS (
+              |  SELECT c.* FROM cand c
+              |  WHERE NOT EXISTS (SELECT 1 FROM owned o
+              |                    WHERE o.cust = c.cust AND o.part = c.other))
+              |SELECT cust, other AS rec_part, CAST(rn AS BIGINT) AS rank,
+              |  round(score, 6) AS score
+              |FROM (
+              |  SELECT cust, other, score,
+              |    row_number() OVER (PARTITION BY cust
+              |      ORDER BY score DESC, other) AS rn
+              |  FROM unseen) WHERE rn <= 3""".stripMargin))
   )
+
+  /** Shared q186/q193 similarity frame: parts as purchase-count vectors
+    * over customers, cosine from exact integer sums (see q186 doc).
+    */
+  private def itemCosinePairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val vec = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
+      .agg(count(lit(1)).alias("n"))
+    val norms = vec.groupBy(col("part"))
+      .agg(sum(col("n") * col("n")).alias("__n2"))
+    val dots = vec.alias("a")
+      .join(vec.alias("b"),
+        col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").alias("part_a"), col("b.part").alias("part_b"))
+      .agg(sum(col("a.n") * col("b.n")).alias("dot"),
+        count(lit(1)).alias("n_common"))
+      .filter(col("n_common") >= 3)
+    dots
+      .join(broadcast(norms.select(col("part").alias("part_a"),
+        col("__n2").alias("__na"))), Seq("part_a"))
+      .join(broadcast(norms.select(col("part").alias("part_b"),
+        col("__n2").alias("__nb"))), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("dot"), col("n_common"),
+        round(col("dot") / sqrt(col("__na").cast(DoubleType) * col("__nb")), 6)
+          .alias("cosine"))
+  }
+
+  /** Shared oracle CTEs ending in `sims` (def, not val: `all` above
+    * initializes first — the q157 object-init lesson).
+    */
+  private def itemCosineCtes: String =
+    """vec AS (
+      |  SELECT o_custkey AS cust, l_partkey AS part, COUNT(*) AS n
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |nrm AS (SELECT part, CAST(SUM(n * n) AS BIGINT) AS n2 FROM vec GROUP BY part),
+      |p AS (
+      |  SELECT a.part AS part_a, b.part AS part_b,
+      |    CAST(SUM(a.n * b.n) AS BIGINT) AS dot, COUNT(*) AS n_common
+      |  FROM vec a JOIN vec b ON a.cust = b.cust AND a.part < b.part
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |sims AS (
+      |  SELECT part_a, part_b, dot, CAST(n_common AS BIGINT) AS n_common,
+      |    round(dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+      |  FROM p
+      |  JOIN nrm na ON p.part_a = na.part
+      |  JOIN nrm nb ON p.part_b = nb.part)""".stripMargin
 }

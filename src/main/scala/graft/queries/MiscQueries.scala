@@ -882,7 +882,47 @@ object MiscQueries {
               |SELECT o_custkey, recency_days, frequency, monetary,
               |  5 - rbin AS r_score, fbin AS f_score, mbin AS m_score,
               |  (5 - rbin) * 100 + fbin * 10 + mbin AS segment
-              |FROM sc""".stripMargin))
+              |FROM sc""".stripMargin)),
+
+    // Schema-evolution scan (SURVEY §2.1 S3 hardening): two parquet
+    // GENERATIONS of the same table — gen=1 written before a column
+    // existed, gen=2 carries the added `o_channel` — read back as ONE
+    // dataset via mergeSchema (schema = union of all file footers;
+    // pre-evolution rows surface SQL NULL for the added column), plus
+    // the gen partition column from the directory layout. The aggregate
+    // proves both generations landed in one frame with the right null
+    // semantics. This is the ALTER TABLE ADD COLUMN discipline of a
+    // parquet lake: old files are never rewritten.
+    QueryDef("q192_schema_evolution_scan",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_evo/$sfName/orders"
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            concat(lit("ch_"), col("o_orderkey") % 3).alias("o_channel"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("gen").cast(LongType).alias("gen"), col("o_channel"))
+          .agg(count(lit(1)).alias("n"),
+            round(graft.ops.Aggregations.exactSum(col("o_totalprice")), 2)
+              .alias("revenue"))
+      },
+      Some(s"""WITH v1 AS (
+              |  SELECT o_orderkey, o_custkey, o_totalprice,
+              |    CAST(NULL AS VARCHAR) AS o_channel, 1 AS gen
+              |  FROM orders WHERE o_orderkey % 2 = 0),
+              |v2 AS (
+              |  SELECT o_orderkey, o_custkey, o_totalprice,
+              |    'ch_' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel, 2 AS gen
+              |  FROM orders WHERE o_orderkey % 2 <> 0),
+              |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+              |SELECT CAST(gen AS BIGINT) AS gen, o_channel, COUNT(*) AS n,
+              |  round(${exactSumSql("o_totalprice")}, 2) AS revenue
+              |FROM u GROUP BY 1, 2""".stripMargin))
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"
