@@ -242,6 +242,159 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** q194 fixture schema: PNG blob + ENCODE-SIDE ground-truth luminance
+    * (the q129 samples-next-to-the-blob discipline for images): `lum` is
+    * the integer luminance 299·R + 587·G + 114·B per pixel, row-major at
+    * width 9, computed from the SOURCE pixels before PNG encoding. An
+    * independent engine recomputes the perceptual hash from `lum`; if
+    * the PNG decode drifts by one pixel value, the hashes diverge.
+    */
+  val lumaMediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("lum", ArrayType(LongType))))
+
+  /** Fixture adapter: render each document's leading bytes as a 9×8 RGB
+    * image (dHash's native grid — 8 horizontal comparisons × 8 rows),
+    * REALLY encode it as PNG, and keep the encode-side luminance next to
+    * the blob ([[lumaMediaSchema]]).
+    */
+  def pngLumaFixture(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(lumaMediaSchema)
+    val (w, h) = (9, 8)
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8"))
+      .mapPartitions { rows =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val lum = new Array[Long](w * h)
+          var i = 0
+          while (i < w * h) {
+            def b(k: Int) = if (bytes.isEmpty) 0 else bytes((i * 3 + k) % bytes.length) & 0xff
+            val (rr, gg, bb) = (b(0), b(1), b(2))
+            img.setRGB(i % w, i / w, (rr << 16) | (gg << 8) | bb)
+            lum(i) = 299L * rr + 587L * gg + 114L * bb
+            i += 1
+          }
+          val png = encodePng(img)
+          Row(id, png, "image/png", png.length.toLong, lum)
+        }
+      }(enc)
+  }
+
+  /** dHash output schema: the 64-bit difference hash split into two
+    * 32-bit halves (`dhash_hi` = bits 32-63, `dhash_lo` = bits 0-31) so
+    * every value stays a small NON-NEGATIVE BIGINT — engines disagree on
+    * nothing about ints < 2³², where a full signed 64-bit hash would
+    * drag sign-bit conventions into every oracle expression.
+    */
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash_hi", LongType),
+    StructField("dhash_lo", LongType)))
+
+  /** REAL perceptual hashing over the binary column: decode (ImageIO),
+    * NN-normalize to the 9×8 dHash grid when larger (AffineTransformOp
+    * NEAREST — exactly-defined sampling, the [[resizeImages]] argument),
+    * integer luminance 299R+587G+114B, bit (r,c) set iff lum(r,c) >
+    * lum(r,c+1) — the classic difference hash: gradient structure
+    * survives re-encoding and brightness shifts, which is what makes
+    * Hamming distance on it a NEAR-duplicate signal where the exact
+    * byte hash (q40's discipline) sees nothing. Pure integer arithmetic
+    * end to end. Corrupt rows degrade with decode_ok = false.
+    */
+  def dHashImages(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(dHashSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img0 =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+          if (img0 == null) Row(id, false, null, null, null, null)
+          else {
+            val (ow, oh) = (img0.getWidth, img0.getHeight)
+            val img =
+              if (ow == 9 && oh == 8) img0
+              else {
+                val src = new java.awt.image.BufferedImage(ow, oh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                src.getGraphics.drawImage(img0, 0, 0, null)
+                val op = new java.awt.image.AffineTransformOp(
+                  java.awt.geom.AffineTransform.getScaleInstance(9.0 / ow, 8.0 / oh),
+                  java.awt.image.AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+                val dst = new java.awt.image.BufferedImage(9, 8,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                op.filter(src, dst)
+                dst
+              }
+            def lumAt(x: Int, y: Int): Long = {
+              val p = img.getRGB(x, y)
+              299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            }
+            var hi = 0L; var lo = 0L
+            var rr = 0
+            while (rr < 8) {
+              var cc = 0
+              while (cc < 8) {
+                if (lumAt(cc, rr) > lumAt(cc + 1, rr)) {
+                  val i = rr * 8 + cc
+                  if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+                }
+                cc += 1
+              }
+              rr += 1
+            }
+            Row(id, true, Int.box(ow), Int.box(oh), Long.box(hi), Long.box(lo))
+          }
+        }
+      }(enc)
+  }
+
+  /** Image near-duplicate pairs by Hamming distance over [[dHashImages]]
+    * hashes — the multimodal member of the dedup family (SimHash's
+    * pigeonhole discipline on the perceptual hash): 4 disjoint 16-bit
+    * bands; any pair within Hamming ≤ 3 agrees exactly on ≥ 1 band, so
+    * the band equi-join is a COMPLETE candidate generator at that radius
+    * and the all-pairs comparison never happens. Exact distance verifies
+    * candidates; multi-band collisions dedupe with one distinct over the
+    * (already tiny) verified pair set.
+    */
+  def dHashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is pigeonhole-complete only to Hamming 3: $maxHamming")
+    val ok = hashes.filter(col("decode_ok"))
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+    val banded = ok.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+      posexplode(array(
+        col("dhash_lo").bitwiseAND(lit(65535L)),
+        expr("shiftright(dhash_lo, 16)").bitwiseAND(lit(65535L)),
+        col("dhash_hi").bitwiseAND(lit(65535L)),
+        expr("shiftright(dhash_hi, 16)").bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_key")))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").alias("id_a"), col("b.media_id").alias("id_b"),
+        (expr("bit_count(a.dhash_hi ^ b.dhash_hi)") +
+          expr("bit_count(a.dhash_lo ^ b.dhash_lo)")).cast(LongType)
+          .alias("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Synthetic-tone schema: raw PCM samples + format metadata. Kept NEXT
     * TO the encoded WAV in the q129 fixture so an independent engine can
     * recompute every decoded statistic from the stored samples — if the

@@ -241,6 +241,71 @@ object SimilarityQueries {
              |  CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak
              |FROM parquet_scan('/root/repo/target/graft_audio/__SF_NAME__/media/*.parquet')""".stripMargin)),
 
+    // REAL image perceptual hashing under the q129 fixture discipline:
+    // 9×8 PNGs land on disk NEXT TO their encode-side integer luminance;
+    // Spark decodes the blobs (ImageIO) and computes the 64-bit dHash
+    // (bit = horizontal luminance gradient sign) in pure integer
+    // arithmetic; the oracle recomputes the hash from the STORED
+    // luminance with shift/compare bit algebra — agreement gates the
+    // whole PNG encode→decode round trip pixel-exactly. The hash ships
+    // as two non-negative 32-bit halves (no sign-bit conventions in
+    // oracle land).
+    QueryDef("q194_image_dhash",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_img/$sfName/media"
+        Multimodal.pngLumaFixture(Tables.documents(s, d))
+          .write.mode("overwrite").parquet(out)
+        Multimodal.dHashImages(s.read.parquet(out))
+          .select(col("media_id"), col("decode_ok"), col("width"),
+            col("height"), col("dhash_hi"), col("dhash_lo"))
+      },
+      Some("""SELECT media_id, true AS decode_ok,
+             |  CAST(9 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             |  CAST(list_sum(list_transform(range(32), i ->
+             |    CASE WHEN lum[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
+             |              lum[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
+             |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS dhash_hi,
+             |  CAST(list_sum(list_transform(range(32), i ->
+             |    CASE WHEN lum[(i // 8) * 9 + (i % 8) + 1] >
+             |              lum[(i // 8) * 9 + (i % 8) + 2]
+             |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS dhash_lo
+             |FROM parquet_scan('/root/repo/target/graft_img/__SF_NAME__/media/*.parquet')""".stripMargin)),
+
+    // Image NEAR-duplicate pairs — the multimodal member of the dedup
+    // family: Hamming ≤ 3 on the dHash via 4×16-bit pigeonhole bands
+    // (any qualifying pair agrees exactly on ≥ 1 band → the band
+    // equi-join is a COMPLETE candidate generator; the all-pairs scan
+    // never happens). The oracle IS the all-pairs scan over hashes
+    // recomputed from stored luminance — two formulations agreeing
+    // proves the banding loses no pairs at the radius.
+    QueryDef("q195_image_neardup",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_img/$sfName/media"
+        Multimodal.pngLumaFixture(Tables.documents(s, d))
+          .write.mode("overwrite").parquet(out)
+        Multimodal.dHashNearDup(
+          Multimodal.dHashImages(s.read.parquet(out)), maxHamming = 3)
+      },
+      Some("""WITH m AS (SELECT media_id, lum
+             |  FROM parquet_scan('/root/repo/target/graft_img/__SF_NAME__/media/*.parquet')),
+             |h AS (SELECT media_id,
+             |  CAST(list_sum(list_transform(range(32), i ->
+             |    CASE WHEN lum[((i+32) // 8) * 9 + ((i+32) % 8) + 1] >
+             |              lum[((i+32) // 8) * 9 + ((i+32) % 8) + 2]
+             |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS hi,
+             |  CAST(list_sum(list_transform(range(32), i ->
+             |    CASE WHEN lum[(i // 8) * 9 + (i % 8) + 1] >
+             |              lum[(i // 8) * 9 + (i % 8) + 2]
+             |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS lo
+             |  FROM m)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             |       AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin)),
+
     // Decimation (frame-sampling) under the same hash gate as q129: the
     // decode → keep-every-2nd-frame → re-encode → decode round trip must
     // reproduce, sample-for-sample, the oracle's selection of the SAME

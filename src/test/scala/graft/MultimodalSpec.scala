@@ -278,4 +278,69 @@ class MultimodalSpec extends SparkSpec {
         s"media $id frame count")
     }
   }
+
+  test("dHashImages reproduces the encode-side luminance ground truth") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzzz"), (3L, "a completely different document body here"))
+      .toDF("doc_id", "text")
+    val fixture = Multimodal.pngLumaFixture(docs).cache()
+    val fromLum = fixture.collect().map { r =>
+      val lum = r.getSeq[Long](4)
+      var hi = 0L; var lo = 0L
+      for (rr <- 0 until 8; cc <- 0 until 8)
+        if (lum(rr * 9 + cc) > lum(rr * 9 + cc + 1)) {
+          val i = rr * 8 + cc
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+      r.getLong(0) -> ((hi, lo))
+    }.toMap
+    val decoded = Multimodal.dHashImages(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    fixture.unpersist()
+    assert(decoded.size == 3)
+    decoded.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Int]("width") == 9 && r.getAs[Int]("height") == 8)
+      assert((r.getAs[Long]("dhash_hi"), r.getAs[Long]("dhash_lo")) == fromLum(id),
+        s"decoded dHash of media $id diverges from encode-side luminance")
+      assert(r.getAs[Long]("dhash_hi") >= 0L && r.getAs[Long]("dhash_lo") >= 0L)
+    }
+  }
+
+  test("dHashImages degrades on corrupt bytes, hashes non-9x8 via NN grid") {
+    import spark.implicits._
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3), "image/png", 3L))
+      .toDF("media_id", "content", "media_type", "n_bytes")
+    val bad = Multimodal.dHashImages(corrupt).head()
+    assert(!bad.getAs[Boolean]("decode_ok") && bad.isNullAt(4) && bad.isNullAt(5))
+    // an 8×8 PNG from the existing fixture path still hashes (resized grid)
+    val png8 = Multimodal.pngFromDocuments(
+      Seq((7L, "some text for an eight by eight image")).toDF("doc_id", "text"))
+    val r = Multimodal.dHashImages(png8).head()
+    assert(r.getAs[Boolean]("decode_ok"))
+    assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
+  }
+
+  test("dHashNearDup: pigeonhole banding is complete at Hamming <= 3") {
+    import spark.implicits._
+    // base hash; d3 differs in 3 bits spread over THREE different bands
+    // (only the 4th band agrees — the pigeonhole case); d4 differs in 4
+    // bits, one per band (no band agrees → correctly outside the radius)
+    val base = (0xABCD1234L, 0x56789DEFL)
+    val d3 = (base._1 ^ (1L << 5) ^ (1L << 20), base._2 ^ (1L << 3))
+    val d4 = (base._1 ^ (1L << 5) ^ (1L << 20), base._2 ^ (1L << 3) ^ (1L << 19))
+    val hashes = Seq(
+      (1L, true, base._1, base._2),
+      (2L, true, d3._1, d3._2),
+      (3L, true, d4._1, d4._2),
+      (4L, false, base._1, base._2)) // decode failure: excluded
+      .toDF("media_id", "decode_ok", "dhash_hi", "dhash_lo")
+    val pairs = Multimodal.dHashNearDup(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,3) is Hamming 4 with NO agreeing band — never even a candidate;
+    // (2,3) differ only in one bit → distance 1
+    assert(pairs == Set((1L, 2L, 3L), (2L, 3L, 1L)),
+      s"expected the Hamming-3 and Hamming-1 pairs only, got $pairs")
+  }
 }
