@@ -83,4 +83,84 @@ object Features {
         .alias("intercept"),
       round(when(vx > 0 && vy > 0, (cov * cov) / (vx * vy)), 6).alias("r2")): _*)
   }
+
+  /** Per-group winsorization: clip `valCol` to its group's [lo, hi]
+    * exact quantiles — the robust-preprocessing step that tames fat
+    * tails without dropping rows (trimming deletes information;
+    * winsorizing bounds leverage). Quantile bounds follow the q38/q161
+    * parity discipline (exact sort-based percentile, rounded to 6 dp
+    * BEFORE the comparison so the clip decision cannot flip on a last
+    * ulp); bounds are one mergeable array-percentile aggregate per
+    * group, joined back group-sized — the corpus never sorts.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valCol: String,
+                lo: Double, hi: Double, outCol: String): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        round(expr(s"percentile(CAST($valCol AS DOUBLE), $lo)"), 6).alias("__lo"),
+        round(expr(s"percentile(CAST($valCol AS DOUBLE), $hi)"), 6).alias("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(outCol,
+        least(greatest(col(valCol).cast(DoubleType), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Exact ROC AUC per group — the Mann–Whitney U formulation, computed
+    * from tie-aware integer ranks (never a sampled/trapezoid curve):
+    * ties take the midrank, and to stay integral the accumulator is
+    * 2·avgrank = 2·rank + ties − 1, so
+    *
+    *   AUC = (Σ_{positives} 2r − np(np+1)) / (2·np·nn)
+    *
+    * is all-integer until ONE double division (rounded at 6 dp).
+    * Single-class groups yield null. The rank window partitions by
+    * group — a hot group funnels its sort, which is inherent to exact
+    * ranking; pre-aggregate to (group, score) counts first when scores
+    * are low-cardinality.
+    */
+  def rocAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+             labelCol: String): DataFrame = {
+    import graft.ops.Aggregations.countIf
+    val r = df
+      .withColumn("__rnk", rank().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol)))
+        .cast("long"))
+      .withColumn("__tie", count(lit(1)).over(
+        Window.partitionBy((groupCols.map(col) :+ col(scoreCol)): _*)))
+    r.groupBy(groupCols.map(col): _*)
+      .agg(
+        countIf(col(labelCol)).alias("np"),
+        countIf(!col(labelCol)).alias("nn"),
+        sum(when(col(labelCol), lit(2L) * col("__rnk") + col("__tie") - 1L)
+          .otherwise(0L)).alias("__s2"))
+      .select((groupCols.map(col) :+ col("np") :+ col("nn") :+
+        round(when(col("np") > 0 && col("nn") > 0,
+          (col("__s2") - col("np") * (col("np") + 1L)).cast(DoubleType) /
+            (lit(2.0) * col("np") * col("nn"))), 6).alias("auc")): _*)
+  }
+
+  /** Per-group z-score standardization from exact decimal moments
+    * (population σ): z = (x − μ) / σ, null for zero-variance groups.
+    * One map-side-combined aggregate to the group frame, broadcast back,
+    * map-side transform — the feature-scaling pass of an ML pipeline at
+    * corpus scale. The μ/σ derivation is the identical double chain in
+    * any engine; z is rounded at 6 dp.
+    */
+  def zscore(df: DataFrame, groupCols: Seq[String], valCol: String,
+             outCol: String): DataFrame = {
+    val x = col(valCol)
+    val m = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).alias("__n"),
+        sum(x.cast(Acc)).alias("__sx"), sum((x * x).cast(Acc)).alias("__sx2"))
+    val n = col("__n").cast(DoubleType)
+    val mu = col("__sx").cast(DoubleType) / n
+    val vx = col("__sx2").cast(DoubleType) / n - mu * mu
+    val stats = m.select((groupCols.map(col) :+ mu.alias("__mu") :+
+      when(vx > 0, sqrt(vx)).alias("__sigma")): _*)
+    df.join(broadcast(stats), groupCols)
+      .withColumn(outCol,
+        round((x.cast(DoubleType) - col("__mu")) / col("__sigma"), 6))
+      .drop("__mu", "__sigma")
+  }
 }

@@ -224,6 +224,96 @@ object Graphs {
        |  UNION ALL SELECT w2 FROM tris)
        |GROUP BY node""".stripMargin
 
+  /** HITS hubs & authorities over a DIRECTED edge frame (the bipartite
+    * influence scorer — PageRank's one score can't separate "ships to
+    * everyone" from "bought by everyone"): authority(v) = Σ hub(u) over
+    * in-edges, hub(u) = Σ authority(v) over out-edges, alternating for a
+    * fixed iteration count. Scores are MEAN-normalized each half-step
+    * (mean 1 keeps them O(1), where the textbook L1/L2 norm crushes a
+    * 10⁸-node side below 6-dp resolution) and quantized with the
+    * [[pageRank]] floor chain + DECIMAL sums, so the whole fixpoint is
+    * bit-reproducible. Same cache/checkpoint hygiene; score frames are
+    * node-sided, edges scan once per half-step.
+    *
+    * Output: (role, node, score) with role ∈ {hub, authority}.
+    */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
+    val edges = edges0
+      .select(col(srcCol).cast("long").alias("src"),
+        col(dstCol).cast("long").alias("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def meanNormalize(raw: DataFrame): DataFrame = {
+      val m = raw.agg(
+        (sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType) /
+          count(lit(1))).alias("__mean"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"), q6(col("score") / col("__mean")).alias("score"))
+        .localCheckpoint(true)
+    }
+    var hub = edges.select(col("src").alias("node")).distinct()
+      .select(col("node"), lit(1.0).alias("score"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val authRaw = edges
+        .join(hub.select(col("node").alias("src"), col("score")), "src")
+        .groupBy(col("dst").alias("node"))
+        .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
+          .alias("score"))
+      val authNext = meanNormalize(authRaw)
+      if (auth != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(auth)
+      auth = authNext
+      val hubRaw = edges
+        .join(auth.select(col("node").alias("dst"), col("score")), "dst")
+        .groupBy(col("src").alias("node"))
+        .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
+          .alias("score"))
+      val hubNext = meanNormalize(hubRaw)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(hub)
+      hub = hubNext
+    }
+    val out = hub.select(lit("hub").alias("role"), col("node"), col("score"))
+      .unionByName(auth.select(lit("authority").alias("role"), col("node"),
+        col("score")))
+    edges.unpersist()
+    out
+  }
+
+  /** DuckDB mirror of [[hits]]: unrolled half-step CTEs over an edge CTE
+    * `e(src, dst)` (already distinct), with the identical decimal-sum /
+    * mean-normalize / floor-quantize chain per half-step.
+    */
+  def hitsSql(edgesCte: String, iterations: Int = 3): String = {
+    def q6(x: String) =
+      s"CAST(CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0"
+    def decSum(x: String) =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
+    val steps = (1 to iterations).map { i =>
+      s"""a${i}r AS (
+         |  SELECT e.dst AS node, ${decSum("h.score")} AS score
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a${i}m AS (SELECT ${decSum("score")} / COUNT(*) AS m FROM a${i}r),
+         |a$i AS (SELECT node, ${q6("score / m")} AS score FROM a${i}r, a${i}m),
+         |h${i}r AS (
+         |  SELECT e.src AS node, ${decSum("a.score")} AS score
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |h${i}m AS (SELECT ${decSum("score")} / COUNT(*) AS m FROM h${i}r),
+         |h$i AS (SELECT node, ${q6("score / m")} AS score FROM h${i}r, h${i}m)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesCte),
+       |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score FROM e),
+       |$steps
+       |SELECT 'hub' AS role, node, score FROM h$iterations
+       |UNION ALL
+       |SELECT 'authority' AS role, node, score FROM a$iterations""".stripMargin
+  }
+
   /** DuckDB mirror of [[pageRank]] as an unrolled CTE chain over an edge
     * CTE named `e(src, dst)` (already self-loop-free and distinct): the
     * same 6-dp round / decimal-sum / re-round chain, one CTE per

@@ -38,6 +38,67 @@ object Profiling {
     }.toDF("column", "null_count", "distinct_count", "min_value", "max_value")
   }
 
+  /** Fully-DISTRIBUTED long-form column profile — the oracle-checkable
+    * upgrade of [[profile]] (which collects its 1-row aggregate to the
+    * driver): every column's null count, distinct count, typed extremes
+    * and (numeric) exact mean computed in ONE aggregate over one scan,
+    * then exploded to a row per column — the plan stays a single job and
+    * the output frame never touches the driver. Extremes are typed by
+    * KIND (numeric → double, timestamp → epoch micros as double, string
+    * → string columns) rather than stringified: double/timestamp
+    * rendering is engine-specific, their VALUES are not. Multiple exact
+    * count-distincts in one aggregate plan through Spark's Expand — one
+    * pass over the data multiplied by the column count, the single-scan
+    * profile shape; at 100 TB swap in approx_count_distinct per the
+    * [[profile]] note.
+    */
+  def profileLong(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).alias("__total"))
+    fields.foreach { f =>
+      val c = col(f.name)
+      aggs += count(c).alias(s"__nn_${f.name}")
+      aggs += countDistinct(c).alias(s"__nd_${f.name}")
+      f.dataType match {
+        case _: NumericType =>
+          aggs += min(c).cast(DoubleType).alias(s"__mn_${f.name}")
+          aggs += max(c).cast(DoubleType).alias(s"__mx_${f.name}")
+          aggs += round(Aggregations.exactAvg(c), 6).alias(s"__avg_${f.name}")
+        case _: TimestampType =>
+          aggs += unix_micros(min(c)).cast(DoubleType).alias(s"__mn_${f.name}")
+          aggs += unix_micros(max(c)).cast(DoubleType).alias(s"__mx_${f.name}")
+        case _: StringType =>
+          aggs += min(c).alias(s"__ms_${f.name}")
+          aggs += max(c).alias(s"__xs_${f.name}")
+        case _ => ()
+      }
+    }
+    val one = df.agg(aggs.head, aggs.drop(1).toSeq: _*)
+    val rows = fields.map { f =>
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      val isTs = f.dataType.isInstanceOf[TimestampType]
+      val isStr = f.dataType.isInstanceOf[StringType]
+      struct(
+        lit(f.name).alias("col_name"),
+        lit(f.dataType.simpleString).alias("dtype"),
+        (col("__total") - col(s"__nn_${f.name}")).alias("n_null"),
+        col(s"__nd_${f.name}").alias("n_distinct"),
+        (if (isNum || isTs) col(s"__mn_${f.name}")
+         else lit(null).cast(DoubleType)).alias("min_num"),
+        (if (isNum || isTs) col(s"__mx_${f.name}")
+         else lit(null).cast(DoubleType)).alias("max_num"),
+        (if (isNum) col(s"__avg_${f.name}")
+         else lit(null).cast(DoubleType)).alias("mean"),
+        (if (isStr) col(s"__ms_${f.name}") else lit(null).cast("string"))
+          .alias("min_str"),
+        (if (isStr) col(s"__xs_${f.name}") else lit(null).cast("string"))
+          .alias("max_str"))
+    }
+    one.select(explode(array(rows: _*)).alias("__p")).select(col("__p.*"))
+  }
+
   /** Equal-frequency binning (feature-engineering quantile cut): assign
     * each row the 1-based bin `1 + |{boundary < value}|` against the
     * exact (k-1)-quantile boundaries of `valCol`, rounded to 6 dp before

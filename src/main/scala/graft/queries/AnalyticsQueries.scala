@@ -1533,6 +1533,84 @@ object AnalyticsQueries {
           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           |  GROUP BY 1, 2) WHERE c >= 2""".stripMargin))),
 
+    // HITS hubs & authorities over the supplier→customer shipment graph
+    // — the bipartite influence scorer PageRank's single score cannot
+    // express (a supplier that ships to everyone vs a customer everyone
+    // buys from). 3 alternating half-steps, mean-normalized (O(1)
+    // scores survive 6-dp quantization where the textbook L1 norm would
+    // not), decimal sums + the q185 floor-quantization chain → the
+    // fixpoint is bit-reproducible and the oracle unrolls it.
+    QueryDef("q196_hits_supplier_customer",
+      (s, d) => {
+        val e = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").alias("src"), col("o_custkey").alias("dst"))
+        graft.ops.Graphs.hits(e, "src", "dst", iterations = 3)
+      },
+      Some(graft.ops.Graphs.hitsSql(
+        """SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+        iterations = 3))),
+
+    // Association rules with DIRECTION (q167's pairs become antecedent →
+    // consequent rules): confidence = P(B|A) is asymmetric where lift is
+    // not — "batteries ⇒ toys" and "toys ⇒ batteries" are different
+    // business facts. Integer counts, one double division chain each.
+    QueryDef("q197_association_rules",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = items.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).alias("__n"))
+        val itemCnt = items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).alias("__c"))
+        val pairs = items.alias("a")
+          .join(items.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").alias("pa"), col("b.l_partkey").alias("pb"))
+          .agg(count(lit(1)).alias("pair_cnt"))
+          .filter(col("pair_cnt") >= 3)
+        val rules = pairs
+          .select(col("pa").alias("antecedent"), col("pb").alias("consequent"),
+            col("pair_cnt"))
+          .unionByName(pairs.select(col("pb").alias("antecedent"),
+            col("pa").alias("consequent"), col("pair_cnt")))
+        rules
+          .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "antecedent")
+            .withColumnRenamed("__c", "__ca")), Seq("antecedent"))
+          .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "consequent")
+            .withColumnRenamed("__c", "__cc")), Seq("consequent"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+            round(col("pair_cnt").cast(DoubleType) / col("__ca"), 6)
+              .alias("confidence"),
+            round(col("pair_cnt").cast(DoubleType) * col("__n") /
+              (col("__ca") * col("__cc")), 6).alias("lift"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+             |ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+             |p AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS pair_cnt
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |rules AS (
+             |  SELECT pa AS antecedent, pb AS consequent, pair_cnt FROM p
+             |  UNION ALL
+             |  SELECT pb AS antecedent, pa AS consequent, pair_cnt FROM p)
+             |SELECT antecedent, consequent, pair_cnt,
+             |  round(CAST(pair_cnt AS DOUBLE) / ca.c, 6) AS confidence,
+             |  round(CAST(pair_cnt AS DOUBLE) * n.n_orders / (ca.c * cc.c), 6)
+             |    AS lift
+             |FROM rules
+             |JOIN ic ca ON rules.antecedent = ca.l_partkey
+             |JOIN ic cc ON rules.consequent = cc.l_partkey
+             |CROSS JOIN n""".stripMargin)),
+
     // Item-item kNN recommendations — the SERVING composition of q186:
     // the similarity frame is truncated to each item's top-10 neighbors
     // (the neighborhood-truncation every production item-item CF model

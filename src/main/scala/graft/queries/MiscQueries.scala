@@ -922,7 +922,132 @@ object MiscQueries {
               |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
               |SELECT CAST(gen AS BIGINT) AS gen, o_channel, COUNT(*) AS n,
               |  round(${exactSumSql("o_totalprice")}, 2) AS revenue
-              |FROM u GROUP BY 1, 2""".stripMargin))
+              |FROM u GROUP BY 1, 2""".stripMargin)),
+
+    // Per-group winsorization (robust-preprocessing tier alongside
+    // q172-q174): prices clipped to their return-flag group's exact
+    // [p05, p95] — tames fat tails without dropping rows. Bounds follow
+    // the q38/q161 parity discipline (exact percentile rounded to 6 dp
+    // BEFORE the comparison); one group-sized bounds frame broadcast
+    // back, clip is map-side least/greatest.
+    QueryDef("q198_winsorize",
+      (s, d) => graft.ops.Features.winsorize(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+            col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95,
+          outCol = "price_w"),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05), 6) AS lo,
+             |    round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS hi
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  l_extendedprice,
+             |  least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi) AS price_w
+             |FROM lineitem JOIN b USING (l_returnflag)""".stripMargin)),
+
+    // Per-group z-score standardization from exact decimal moments
+    // (population σ) — the feature-scaling pass of an ML pipeline:
+    // group stats broadcast, transform map-side, corpus never shuffles.
+    QueryDef("q199_zscore_scaling",
+      (s, d) => graft.ops.Features.zscore(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal")),
+          Seq("c_mktsegment"), "c_acctbal", outCol = "z"),
+      Some("""WITH m AS (
+             |  SELECT c_mktsegment, COUNT(*) AS n,
+             |    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR)
+             |         AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8)))
+             |         AS VARCHAR) AS DOUBLE) AS sx2
+             |  FROM customer GROUP BY 1),
+             |st AS (
+             |  SELECT c_mktsegment,
+             |    sx / CAST(n AS DOUBLE) AS mu,
+             |    CASE WHEN sx2 / CAST(n AS DOUBLE)
+             |              - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) > 0
+             |         THEN sqrt(sx2 / CAST(n AS DOUBLE)
+             |              - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+             |         END AS sigma
+             |  FROM m)
+             |SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  round((CAST(c_acctbal AS DOUBLE) - mu) / sigma, 6) AS z
+             |FROM customer JOIN st USING (c_mktsegment)""".stripMargin)),
+
+    // Exact ROC AUC per group (the ML-evaluation primitive): AUC is the
+    // Mann–Whitney U statistic — computed EXACTLY from tie-aware integer
+    // ranks, never from a sampled curve. Ties get the midrank; to stay
+    // integral the sum accumulates 2·avgrank = 2·rank + ties − 1, so
+    // AUC = (Σ2r − np(np+1)) / (2·np·nn) is all-integer until ONE double
+    // division. Scorer: does n_chars predict English? Degenerate groups
+    // (single-class) yield null, not a division blow-up.
+    QueryDef("q200_roc_auc",
+      (s, d) => graft.ops.Features.rocAuc(
+        Tables.documents(s, d).select(col("source"),
+          col("n_chars").alias("score"), (col("lang") === "en").alias("label")),
+        Seq("source"), "score", "label"),
+      Some("""WITH t AS (
+             |  SELECT source, n_chars AS score, (lang = 'en') AS label
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, label,
+             |    CAST(rank() OVER (PARTITION BY source ORDER BY score) AS BIGINT) AS rnk,
+             |    CAST(COUNT(*) OVER (PARTITION BY source, score) AS BIGINT) AS tie
+             |  FROM t),
+             |a AS (
+             |  SELECT source,
+             |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn,
+             |    CAST(SUM(CASE WHEN label THEN 2 * rnk + tie - 1 ELSE 0 END)
+             |         AS BIGINT) AS s2
+             |  FROM r GROUP BY source)
+             |SELECT source, np, nn,
+             |  round(CASE WHEN np > 0 AND nn > 0
+             |        THEN CAST(s2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn)
+             |        END, 6) AS auc
+             |FROM a""".stripMargin)),
+
+    // Fully-distributed long-form column profile of an arbitrary frame
+    // (the data-quality gate of a pipeline): every column's nulls,
+    // exact distincts, typed extremes and exact mean in ONE aggregate
+    // over one scan (multi-distinct plans through Expand), exploded to a
+    // row per column — the output never touches the driver, unlike the
+    // collect-based Profiling.profile. Extremes are typed by kind
+    // (double / epoch-micros / string), never stringified: value
+    // rendering is engine-specific, values are not.
+    QueryDef("q201_column_profile",
+      (s, d) => graft.ops.Profiling.profileLong(Tables.lineitem(s, d)),
+      Some {
+        def numBlock(c: String, dt: String) =
+          s"""SELECT '$c' AS col_name, '$dt' AS dtype,
+             |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+             |  round(${exactSumSql(c)} / COUNT($c), 6) AS mean,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM lineitem""".stripMargin
+        def strBlock(c: String) =
+          s"""SELECT '$c', 'string', CAST(COUNT(*) - COUNT($c) AS BIGINT),
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  MIN($c), MAX($c)
+             |FROM lineitem""".stripMargin
+        def tsBlock(c: String) =
+          s"""SELECT '$c', 'timestamp', CAST(COUNT(*) - COUNT($c) AS BIGINT),
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+             |  CAST(epoch_us(MIN($c)) AS DOUBLE), CAST(epoch_us(MAX($c)) AS DOUBLE),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+             |FROM lineitem""".stripMargin
+        (Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+          "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+          "l_quantity" -> "double", "l_extendedprice" -> "double",
+          "l_discount" -> "double", "l_tax" -> "double")
+          .map { case (c, dt) => numBlock(c, dt) } ++
+          Seq(strBlock("l_returnflag"), strBlock("l_linestatus"),
+            tsBlock("l_shipdate")))
+          .mkString("\nUNION ALL\n")
+      })
   )
 
   /** q157's merge applied WITHOUT the audit column — the "next snapshot"

@@ -74,6 +74,30 @@ class GraphsSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 5L -> 0L, 99L -> 0L, 2L -> 1L))
   }
 
+  test("hits separates hub and authority roles on a bipartite star") {
+    // suppliers {1,2} → customers {10,11,12}; supplier 1 ships to all,
+    // supplier 2 only to 10. One iteration, mean-normalized:
+    // a_raw = (2,1,1), mean 4/3 → a = (1.5, .75, .75)
+    // h_raw = (3.0, 1.5), mean 2.25 → h = (1.333333, 0.666667) after q6
+    val e = edges(1L -> 10L, 1L -> 11L, 1L -> 12L, 2L -> 10L)
+    val out = Graphs.hits(e, "src", "dst", iterations = 1)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(out(("hub", 1L)) - 1.333333) < 1e-9)
+    assert(math.abs(out(("hub", 2L)) - 0.666667) < 1e-9)
+    assert(math.abs(out(("authority", 10L)) - 1.5) < 1e-9)
+    assert(math.abs(out(("authority", 11L)) - 0.75) < 1e-9)
+    assert(math.abs(out(("authority", 12L)) - 0.75) < 1e-9)
+    assert(out.size == 5)
+  }
+
+  test("hits is stable on a uniform bipartite graph (fixpoint at 1)") {
+    val e = edges(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L)
+    val out = Graphs.hits(e, "src", "dst", iterations = 3)
+      .as[(String, Long, Double)].collect()
+    assert(out.forall(r => math.abs(r._3 - 1.0) < 1e-9))
+  }
+
   test("triangleCounts on K4 gives every node 3 triangles") {
     val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
     val t = Graphs.triangleCounts(e, "src", "dst")

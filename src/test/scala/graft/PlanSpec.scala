@@ -378,7 +378,12 @@ class PlanSpec extends SparkSpec {
       "q184_bm25_topk",
       //  - q187: RFM — the 1-row max-date frame plus q161's per-dimension
       //    1-row boundary arrays are crossed in; bins assign map-side
-      "q187_rfm_segmentation")
+      "q187_rfm_segmentation",
+      //  - q196: HITS — each half-step crosses in its 1-row mean frame
+      //    for the mean normalization
+      "q196_hits_supplier_customer",
+      //  - q197: association rules — q167's 1-row order-count frame
+      "q197_association_rules")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
