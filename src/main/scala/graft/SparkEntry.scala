@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MedallionQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all
+      MedallionQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++
+      StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -315,6 +315,32 @@ object TimeSeries {
         col("valid_to").isNull.alias("is_current"), col("n_events"))
   }
 
+  /** Time-weighted average (TWAP) per group: each observation holds its
+    * value until the NEXT observation, so the mean weights each value by
+    * its holding interval — the financial/metering average a plain AVG
+    * misstates whenever sampling is irregular. Weights are exact integer
+    * microseconds (lead-diff), the weighted sum accumulates value·Δt in
+    * exact decimal, and the single division happens once at the end —
+    * hash-stable at any partition count. The final (open-ended)
+    * observation carries no interval and drops, the standard convention.
+    * Order must be total — pass a unique tiebreak.
+    */
+  def twap(df: DataFrame, groupCols: Seq[String], tsCol: String,
+           valCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(tsCol) +: tieBreak: _*)
+    val dt = unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol))
+    df.withColumn("__dt", dt)
+      .filter(col("__dt").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).alias("n_intervals"),
+        sum(col("__dt")).alias("total_us"),
+        round(Aggregations.exactSum(col(valCol) * col("__dt")) /
+          sum(col("__dt")).cast("double"), 6).alias("twap"),
+        round(Aggregations.exactAvg(col(valCol)), 6).alias("plain_avg"))
+  }
+
   /** Kaplan–Meier survival curve per group over right-censored duration
     * data: rows are subjects with an integer `durationCol` and a boolean
     * `eventCol` (true = the terminal event was OBSERVED at that duration,

@@ -697,7 +697,30 @@ object EventQueries {
               |  unnest(list_transform(range(len(fs)), i ->
               |    round(list_reduce(fs[1:i+1], (acc, q) -> acc * q), 9)))
               |    AS survival
-              |FROM km""".stripMargin))
+              |FROM km""".stripMargin)),
+
+    // Time-weighted average vs plain average per event type: each value
+    // holds until the next observation (integer-microsecond weights),
+    // value·Δt decimal-summed, ONE division at the end — the metering/
+    // finance mean a plain AVG misstates under irregular sampling; both
+    // are emitted so the divergence itself is part of the gated result.
+    QueryDef("q206_twap",
+      (s, d) => TimeSeries.twap(Tables.events(s, d), Seq("event_type"),
+        "ts", "value", Seq(col("event_id"))),
+      Some(s"""WITH $evCte,
+              |t AS (
+              |  SELECT event_type, value,
+              |    epoch_us(lead(ts) OVER (PARTITION BY event_type
+              |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+              |  FROM ev),
+              |f AS (SELECT * FROM t WHERE dt IS NOT NULL)
+              |SELECT event_type, COUNT(*) AS n_intervals,
+              |  CAST(SUM(dt) AS BIGINT) AS total_us,
+              |  round(${graft.ops.Aggregations.exactSumSql("value * dt")}
+              |        / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6) AS twap,
+              |  round(${graft.ops.Aggregations.exactAvgSql("value")}, 6)
+              |    AS plain_avg
+              |FROM f GROUP BY event_type""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

@@ -52,6 +52,8 @@ object Fuzz {
     * place engines historically disagree with hand-rolled interpreters.
     */
   final case class CaseW(p: Pred, t: Expr, e: Expr) extends Expr
+  final case class Coalesce2(a: Expr, b: Expr) extends Expr // same-typed pair
+  final case class NullIfE(a: Expr, b: Expr) extends Expr   // same-typed pair
 
   sealed trait Pred
   final case class Cmp(op: String, a: Expr, b: Expr) extends Pred // < <= = != > >=
@@ -145,6 +147,8 @@ object Fuzz {
         TDouble
       else TLong
     case CaseW(_, t, _) => resolveType(t, schema) // branches same-typed
+    case Coalesce2(a, _) => resolveType(a, schema)
+    case NullIfE(a, _)   => resolveType(a, schema)
   }
 
   def schemaOf(r: Rel): Seq[(String, Typ)] = r match {
@@ -197,6 +201,12 @@ object Fuzz {
     case CaseW(p, t, e2) =>
       when(toSparkPred(p, schema), toColumn(t, schema))
         .otherwise(toColumn(e2, schema))
+    case Coalesce2(a, b) => coalesce(toColumn(a, schema), toColumn(b, schema))
+    case NullIfE(a, b) =>
+      // SQL NULLIF(a, b): NULL when a = b is TRUE; a otherwise —
+      // including when the comparison is UNKNOWN (a NULL operand)
+      val (ca, cb) = (toColumn(a, schema), toColumn(b, schema))
+      when(ca === cb, lit(null)).otherwise(ca)
   }
 
   def toSparkPred(p: Pred, schema: Seq[(String, Typ)]): Column = p match {
@@ -289,6 +299,23 @@ object Fuzz {
       // UNKNOWN both fall to ELSE
       if (evalPred(p, row).contains(true)) evalExpr(t, row)
       else evalExpr(e2, row)
+    case Coalesce2(a, b) =>
+      val va = evalExpr(a, row)
+      if (va == null) evalExpr(b, row) else va
+    case NullIfE(a, b) =>
+      // NULL only when a = b is TRUE; a NULL operand makes the
+      // comparison UNKNOWN and the result is `a` unchanged
+      val (va, vb) = (evalExpr(a, row), evalExpr(b, row))
+      if (va == null || vb == null) va
+      else {
+        val eq = (va, vb) match {
+          case (x: String, y: String) => x == y
+          case (x, y) if x.isInstanceOf[Double] || y.isInstanceOf[Double] =>
+            toD(x) == toD(y)
+          case (x, y) => toL(x) == toL(y)
+        }
+        if (eq) null else va
+      }
   }
 
   private def toD(v: Any): Double = v match {
@@ -629,8 +656,23 @@ object Fuzz {
                 Seq(s"derived$derivedN" ->
                   (CaseW(genPred(schema, 1), ColRef(c), els): Expr))
               } else Seq.empty
+            // COALESCE / NULLIF derived column: same-typed operand pair
+            // (null-handling scalar functions — NULLIF's UNKNOWN-keeps-a
+            // rule and COALESCE's first-non-null are fuzz-worthy)
+            val nullFnDerived =
+              if (rnd.nextInt(2) == 0) {
+                val (c, t) = pick(schema)
+                val sameT = schema.filter(x => x._2 == t && x._1 != c)
+                val other: Expr =
+                  if (sameT.nonEmpty && rnd.nextBoolean()) ColRef(pick(sameT)._1)
+                  else litTyped(c, t)
+                derivedN += 1
+                Seq(s"derived$derivedN" ->
+                  (if (rnd.nextBoolean()) Coalesce2(ColRef(c), other)
+                   else NullIfE(ColRef(c), other): Expr))
+              } else Seq.empty
             ProjectR(r, keep.map { case (c, _) => c -> (ColRef(c): Expr) } ++
-              derived ++ caseDerived)
+              derived ++ caseDerived ++ nullFnDerived)
           case 2 => DistinctR(r)
           case 3 => FilterR(r, genPred(schema, 1))
         }

@@ -383,7 +383,9 @@ class PlanSpec extends SparkSpec {
       //    for the mean normalization
       "q196_hits_supplier_customer",
       //  - q197: association rules — q167's 1-row order-count frame
-      "q197_association_rules")
+      "q197_association_rules",
+      //  - q203: decile lift — q161's 1-row decile-boundary array
+      "q203_decile_lift")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
