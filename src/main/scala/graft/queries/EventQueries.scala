@@ -720,7 +720,166 @@ object EventQueries {
               |        / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6) AS twap,
               |  round(${graft.ops.Aggregations.exactAvgSql("value")}, 6)
               |    AS plain_avg
-              |FROM f GROUP BY event_type""".stripMargin))
+              |FROM f GROUP BY event_type""".stripMargin)),
+
+    // Session bounce rate by ENTRY event type: sessions (q23's lag-gap
+    // sessionization, 30-min gap) keyed by their first event — the entry
+    // is a struct-min over the total (ts, event_id) order, no second
+    // window pass — with bounce = single-event session. The web-analytics
+    // staple that needs sessionization + within-group argmin + a
+    // conditional rate, all integer until one division.
+    QueryDef("q209_bounce_rate",
+      (s, d) => {
+        import graft.ops.Aggregations.countIf
+        val sess = TimeSeries.sessionize(Tables.events(s, d), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = Seq(col("event_id")))
+        val perSession = sess.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).alias("__n"),
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .alias("__first"))
+          .select(col("__first.event_type").alias("entry_type"), col("__n"))
+        perSession.groupBy(col("entry_type"))
+          .agg(count(lit(1)).alias("sessions"),
+            countIf(col("__n") === 1L).alias("bounces"))
+          .select(col("entry_type"), col("sessions"), col("bounces"),
+            round(col("bounces").cast("double") / col("sessions"), 6)
+              .alias("bounce_rate"))
+      },
+      Some(s"""WITH $evCte,
+              |m AS (
+              |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+              |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id) AS prev_us
+              |  FROM ev),
+              |f AS (
+              |  SELECT user_id, event_id, ts, event_type,
+              |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+              |         THEN 1 ELSE 0 END AS is_new
+              |  FROM m),
+              |s0 AS (
+              |  SELECT user_id, event_id, ts, event_type,
+              |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM f),
+              |e AS (
+              |  SELECT event_type,
+              |    row_number() OVER (PARTITION BY user_id, sid
+              |      ORDER BY ts, event_id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+              |  FROM s0),
+              |per AS (SELECT event_type AS entry_type, n FROM e WHERE rn = 1)
+              |SELECT entry_type, COUNT(*) AS sessions,
+              |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+              |  round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |        / COUNT(*), 6) AS bounce_rate
+              |FROM per GROUP BY entry_type""".stripMargin)),
+
+    // Hour-of-day seasonality profile (multiplicative index): per event
+    // type, mean value by clock hour vs the type's overall mean — the
+    // index a seasonal-naive forecaster multiplies into its baseline.
+    // Margins are decimal window sums over the ≤24-row hour frame per
+    // type, never the events.
+    QueryDef("q210_seasonality_profile",
+      (s, d) => {
+        import graft.ops.Aggregations.exactSum
+        import org.apache.spark.sql.types.DecimalType
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+        val cells = Tables.events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).cast(LongType).alias("hod"))
+          .agg(count(col("value")).alias("n"),
+            exactSum(col("value")).alias("__sv"))
+        val meanH = col("__sv") / col("n")
+        val meanAll = sum(col("__sv").cast(DecimalType(30, 8))).over(w)
+          .cast("double") / sum(col("n")).over(w)
+        cells.select(col("event_type"), col("hod"), col("n"),
+          round(meanH, 6).alias("mean_value"),
+          round(meanH / meanAll, 6).alias("seasonal_index"))
+      },
+      Some(s"""WITH $evCte,
+              |cells AS (
+              |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+              |    COUNT(value) AS n,
+              |    ${graft.ops.Aggregations.exactSumSql("value")} AS sv
+              |  FROM ev GROUP BY 1, 2),
+              |w AS (
+              |  SELECT event_type, hod, n, sv,
+              |    CAST(CAST(SUM(CAST(sv AS DECIMAL(30,8)))
+              |      OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE) AS svall,
+              |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS nall
+              |  FROM cells)
+              |SELECT event_type, hod, n,
+              |  round(sv / n, 6) AS mean_value,
+              |  round((sv / n) / (svall / nall), 6) AS seasonal_index
+              |FROM w""".stripMargin)),
+
+    // Lagged cross-correlation (CCF) between the view and purchase
+    // hourly count series at lags −3..+3 — "do purchases follow views
+    // with a delay": integer counts, q152 moment chain per lag, the
+    // whole statistic exact until the final divide/sqrt. Pairs are the
+    // OBSERVED common buckets (an absent hour has no row on either
+    // side); the lag fan-out is a 7-element literal explode on the
+    // bucket-sized frame, never the events.
+    QueryDef("q211_cross_correlation",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val Acc = DecimalType(30, 8)
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).alias("bucket"))
+          .agg(count(lit(1)).alias("n"))
+        val a = hourly.filter(col("event_type") === "view")
+          .select(col("bucket"), col("n").alias("x"))
+          .select(col("x"), explode(sequence(lit(-3), lit(3))).alias("lag"),
+            col("bucket"))
+          .select(col("x"), col("lag").cast(LongType).alias("lag"),
+            expr("timestampadd(HOUR, lag, bucket)").alias("__shifted"))
+        val b = hourly.filter(col("event_type") === "purchase")
+          .select(col("bucket").alias("__shifted"), col("n").alias("y"))
+        val joined = a.join(b, "__shifted")
+        val m = joined.groupBy(col("lag"))
+          .agg(count(lit(1)).alias("n_pairs"),
+            sum(col("x")).alias("__sx"), sum(col("x") * col("x")).alias("__sx2"),
+            sum(col("y")).alias("__sy"), sum(col("y") * col("y")).alias("__sy2"),
+            sum(col("x") * col("y")).alias("__sxy"))
+        val n = col("n_pairs").cast("double")
+        def D(c: String) = col(c).cast("double")
+        val vx = D("__sx2") / n - (D("__sx") / n) * (D("__sx") / n)
+        val vy = D("__sy2") / n - (D("__sy") / n) * (D("__sy") / n)
+        val cov = D("__sxy") / n - (D("__sx") / n) * (D("__sy") / n)
+        m.select(col("lag"), col("n_pairs"),
+          round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).alias("ccf"))
+      },
+      Some(s"""WITH $evCte,
+              |hourly AS (
+              |  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+              |  FROM ev GROUP BY 1, 2),
+              |a AS (
+              |  SELECT n AS x, CAST(l.lag AS BIGINT) AS lag,
+              |    bucket + to_hours(CAST(l.lag AS BIGINT)) AS shifted
+              |  FROM hourly, (SELECT unnest(range(-3, 4)) AS lag) l
+              |  WHERE event_type = 'view'),
+              |b AS (SELECT bucket AS shifted, n AS y FROM hourly
+              |      WHERE event_type = 'purchase'),
+              |j AS (SELECT lag, x, y FROM a JOIN b USING (shifted)),
+              |m AS (
+              |  SELECT lag, COUNT(*) AS n_pairs,
+              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sx2,
+              |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS sy2,
+              |    CAST(SUM(x * y) AS BIGINT) AS sxy
+              |  FROM j GROUP BY lag),
+              |dd AS (
+              |  SELECT lag, n_pairs,
+              |    sx2 / CAST(n_pairs AS DOUBLE)
+              |      - (sx / CAST(n_pairs AS DOUBLE)) * (sx / CAST(n_pairs AS DOUBLE)) AS vx,
+              |    sy2 / CAST(n_pairs AS DOUBLE)
+              |      - (sy / CAST(n_pairs AS DOUBLE)) * (sy / CAST(n_pairs AS DOUBLE)) AS vy,
+              |    sxy / CAST(n_pairs AS DOUBLE)
+              |      - (sx / CAST(n_pairs AS DOUBLE)) * (sy / CAST(n_pairs AS DOUBLE)) AS cov
+              |  FROM m)
+              |SELECT lag, n_pairs,
+              |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6)
+              |    AS ccf
+              |FROM dd""".stripMargin))
   )
 
   /** The q147 LOCF pipeline as a reusable frame (q149/q150 build on it). */

@@ -242,6 +242,157 @@ object StatsQueries {
              |SELECT l_returnflag, n,
              |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6)
              |    AS rho
-             |FROM dd""".stripMargin))
+             |FROM dd""".stripMargin)),
+
+    // CUPED variance reduction (the experimentation-platform adjustment):
+    // per-customer PRE-period spend is the covariate, θ = cov(pre, post)
+    // / var(pre) fitted GLOBALLY (1-row decimal-moment frame, broadcast),
+    // adjusted metric = post − θ·(pre − μ_pre). Per-segment means and
+    // variances of raw vs adjusted spend; var_ratio < 1 is the read-
+    // faster payoff when the covariate correlates (the synthetic fixture
+    // draws pre and post independently, so its ratio sits at ~1 — the
+    // MECHANISM is what the hash gates). θ/μ ride the q152 moment chain;
+    // the adjusted column is the identical double expression both
+    // engines.
+    QueryDef("q207_cuped_adjustment",
+      (s, d) => {
+        import graft.ops.Aggregations.exactSum
+        import org.apache.spark.sql.types.DecimalType
+        val Acc = DecimalType(30, 8)
+        val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+        val o = Tables.orders(s, d)
+        val per = o.groupBy(col("o_custkey"))
+          .agg(
+            coalesce(exactSum(when(col("o_orderdate") < cut,
+              col("o_totalprice"))), lit(0.0)).alias("pre"),
+            coalesce(exactSum(when(col("o_orderdate") >= cut,
+              col("o_totalprice"))), lit(0.0)).alias("post"))
+        val m = per.agg(count(lit(1)).alias("__n"),
+          sum(col("pre").cast(Acc)).alias("__sp"),
+          sum((col("pre") * col("pre")).cast(Acc)).alias("__sp2"),
+          sum(col("post").cast(Acc)).alias("__sq"),
+          sum((col("pre") * col("post")).cast(Acc)).alias("__spq"))
+        val n = col("__n").cast(DoubleType)
+        val muPre = col("__sp").cast(DoubleType) / n
+        val varPre = col("__sp2").cast(DoubleType) / n - muPre * muPre
+        val covPQ = col("__spq").cast(DoubleType) / n -
+          muPre * (col("__sq").cast(DoubleType) / n)
+        val theta = covPQ / varPre
+        val adj = per.crossJoin(broadcast(m))
+          .withColumn("adj", col("post") - theta * (col("pre") - muPre))
+          .select(col("o_custkey"), col("pre"), col("post"), col("adj"))
+        val seg = adj.join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        val g = seg.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).alias("n"),
+            sum(col("post").cast(Acc)).cast(DoubleType).alias("__sq"),
+            sum((col("post") * col("post")).cast(Acc)).cast(DoubleType)
+              .alias("__sq2"),
+            sum(col("adj").cast(Acc)).cast(DoubleType).alias("__sa"),
+            sum((col("adj") * col("adj")).cast(Acc)).cast(DoubleType)
+              .alias("__sa2"))
+        val gn = col("n").cast(DoubleType)
+        val varPost = col("__sq2") / gn - (col("__sq") / gn) * (col("__sq") / gn)
+        val varAdj = col("__sa2") / gn - (col("__sa") / gn) * (col("__sa") / gn)
+        g.select(col("c_mktsegment"), col("n"),
+          round(col("__sq") / gn, 6).alias("mean_post"),
+          round(col("__sa") / gn, 6).alias("mean_adj"),
+          round(varPost, 6).alias("var_post"),
+          round(varAdj, 6).alias("var_adj"),
+          round(when(varPost > 0, varAdj / varPost), 6).alias("var_ratio"))
+      },
+      Some {
+        // the inner CAST goes through VARCHAR: Spark decimal-izes a
+        // double from its SHORTEST decimal repr, DuckDB's native cast
+        // from the exact binary expansion — for magnitudes ≳1e10 the
+        // shortest repr runs out before scale 8 and the two casts differ
+        // in the last decimal ulp (measured on adj² ≈ 4e12); the
+        // varchar hop reproduces Spark's path exactly
+        def dec(x: String) =
+          s"CAST(CAST(SUM(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(30,8)))" +
+            " AS VARCHAR) AS DOUBLE)"
+        s"""WITH per AS (
+           |  SELECT o_custkey,
+           |    coalesce(CAST(CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |      THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE), 0.0) AS pre,
+           |    coalesce(CAST(CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |      THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE), 0.0) AS post
+           |  FROM orders GROUP BY o_custkey),
+           |m AS (
+           |  SELECT COUNT(*) AS n, ${dec("pre")} AS sp, ${dec("pre * pre")} AS sp2,
+           |    ${dec("post")} AS sq, ${dec("pre * post")} AS spq
+           |  FROM per),
+           |adj AS (
+           |  SELECT o_custkey, pre, post,
+           |    post - ((spq / CAST(n AS DOUBLE) - (sp / CAST(n AS DOUBLE)) * (sq / CAST(n AS DOUBLE)))
+           |            / (sp2 / CAST(n AS DOUBLE) - (sp / CAST(n AS DOUBLE)) * (sp / CAST(n AS DOUBLE))))
+           |           * (pre - sp / CAST(n AS DOUBLE)) AS adj
+           |  FROM per, m),
+           |seg AS (
+           |  SELECT c_mktsegment, pre, post, adj
+           |  FROM adj JOIN customer ON o_custkey = c_custkey),
+           |g AS (
+           |  SELECT c_mktsegment, COUNT(*) AS n,
+           |    ${dec("post")} AS sq, ${dec("post * post")} AS sq2,
+           |    ${dec("adj")} AS sa, ${dec("adj * adj")} AS sa2
+           |  FROM seg GROUP BY 1)
+           |SELECT c_mktsegment, n,
+           |  round(sq / CAST(n AS DOUBLE), 6) AS mean_post,
+           |  round(sa / CAST(n AS DOUBLE), 6) AS mean_adj,
+           |  round(sq2 / CAST(n AS DOUBLE) - (sq / CAST(n AS DOUBLE)) * (sq / CAST(n AS DOUBLE)), 6)
+           |    AS var_post,
+           |  round(sa2 / CAST(n AS DOUBLE) - (sa / CAST(n AS DOUBLE)) * (sa / CAST(n AS DOUBLE)), 6)
+           |    AS var_adj,
+           |  round(CASE WHEN sq2 / CAST(n AS DOUBLE) - (sq / CAST(n AS DOUBLE)) * (sq / CAST(n AS DOUBLE)) > 0
+           |        THEN (sa2 / CAST(n AS DOUBLE) - (sa / CAST(n AS DOUBLE)) * (sa / CAST(n AS DOUBLE)))
+           |           / (sq2 / CAST(n AS DOUBLE) - (sq / CAST(n AS DOUBLE)) * (sq / CAST(n AS DOUBLE)))
+           |        END, 6) AS var_ratio
+           |FROM g""".stripMargin
+      }),
+
+    // Cohort LTV curve: customers grouped by first-order month, revenue
+    // accumulated by cohort AGE in months — the "how much is a January
+    // customer worth by month 6" frame. Month arithmetic is exact
+    // integers (year·12 + month); cumulative revenue is a decimal window
+    // over the (cohort, age) frame, never the fact table.
+    QueryDef("q208_cohort_ltv",
+      (s, d) => {
+        import graft.ops.Aggregations.exactSum
+        import org.apache.spark.sql.types.DecimalType
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_totalprice"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast(LongType).alias("__m"))
+        val first = o.groupBy(col("o_custkey")).agg(min(col("__m")).alias("__c0"))
+        val aged = o.join(first, "o_custkey")
+          .groupBy(col("__c0").alias("cohort_month"),
+            (col("__m") - col("__c0")).alias("age_months"))
+          .agg(countDistinct(col("o_custkey")).alias("active_customers"),
+            round(exactSum(col("o_totalprice")), 2).alias("revenue"))
+        val w = Window.partitionBy(col("cohort_month")).orderBy(col("age_months"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        aged.withColumn("cum_revenue",
+          round(sum(col("revenue").cast(DecimalType(30, 8))).over(w)
+            .cast(DoubleType), 2))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_totalprice,
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+             |  FROM orders),
+             |f AS (SELECT o_custkey, MIN(m) AS c0 FROM o GROUP BY 1),
+             |aged AS (
+             |  SELECT f.c0 AS cohort_month, o.m - f.c0 AS age_months,
+             |    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+             |    round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+             |          AS VARCHAR) AS DOUBLE), 2) AS revenue
+             |  FROM o JOIN f USING (o_custkey)
+             |  GROUP BY 1, 2)
+             |SELECT cohort_month, age_months, active_customers, revenue,
+             |  round(CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8))) OVER (
+             |    PARTITION BY cohort_month ORDER BY age_months
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS VARCHAR) AS DOUBLE), 2) AS cum_revenue
+             |FROM aged""".stripMargin))
   )
 }

@@ -385,7 +385,9 @@ class PlanSpec extends SparkSpec {
       //  - q197: association rules — q167's 1-row order-count frame
       "q197_association_rules",
       //  - q203: decile lift — q161's 1-row decile-boundary array
-      "q203_decile_lift")
+      "q203_decile_lift",
+      //  - q207: CUPED — the 1-row global θ/μ moment frame is crossed in
+      "q207_cuped_adjustment")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
@@ -397,6 +399,16 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"scale audit ERRORs in ${failures.size} quer${if (failures.size == 1) "y" else "ies"}:\n" +
         failures.mkString("\n"))
+  }
+
+  test("q201 column profile never plans Expand (multi-distinct regression pin)") {
+    // the DECISIONS.md round-9 ruling: one aggregate with a countDistinct
+    // per column re-enters the corpus into the distinct shuffle once PER
+    // COLUMN via Expand (measured 9.2x slower); the committed shape
+    // unpivots once instead — Expand reappearing means the shape regressed
+    val p = plan("q201_column_profile")
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand is back in the profile plan:\n$p")
   }
 
   test("q133 epoch upsampling mix is zero-shuffle (explode + map-side filter)") {
