@@ -382,6 +382,44 @@ object TextAnalysis {
     }.select(col(idCol)).distinct()
   }
 
+  /** Top-k bigram collocations by LIFT — PMI's ranking without its
+    * logarithm (lift = p(ab) / (p(a)·p(b)); log is monotone, so the
+    * top-k by lift IS the top-k by PMI, and the statistic stays a pure
+    * integer ratio: c₂·N₁² / (N₂·c_a·c_b) with one double division —
+    * the q142 no-libm discipline). `minCount` kills the hapax pairs
+    * that trivially maximize any association score. Unigram table is
+    * vocab-sized → broadcast (q142's posture); bigram counts shuffle
+    * once on the gram key; top-k is TakeOrderedAndProject. Contract:
+    * N₂·c_a·c_b must stay below 2⁵³ (count products are exact in
+    * double there; shard the corpus stats beyond that).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+                   k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val base = df.select(TextFunctions.tokens(col(textCol)).alias("__tk"))
+    val uni = base.select(explode(col("__tk")).alias("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).alias("__c1"))
+    val totals = base.agg(
+      sum(size(col("__tk")).cast("long")).alias("__n1"),
+      sum(greatest(size(col("__tk")) - 1, lit(0)).cast("long")).alias("__n2"))
+    val biCounts = base.select(explode(grams(col("__tk"), 2)).alias("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).alias("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    biCounts
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(uni.select(col("__w").alias("__w1"),
+        col("__c1").alias("w1_cnt"))), "__w1")
+      .join(broadcast(uni.select(col("__w").alias("__w2"),
+        col("__c1").alias("w2_cnt"))), "__w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("pair_cnt"), col("w1_cnt"), col("w2_cnt"),
+        round(col("pair_cnt").cast("double") * col("__n1") * col("__n1") /
+          (col("__n2") * col("w1_cnt") * col("w2_cnt")), 6).alias("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** BM25 ranked retrieval for a bag-of-words query — the SCORING
     * complement of [[phraseSearch]]'s boolean index probe. The postings
     * frame is filtered to the query's terms BEFORE any shuffle (only

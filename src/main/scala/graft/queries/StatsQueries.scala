@@ -351,6 +351,52 @@ object StatsQueries {
            |FROM g""".stripMargin
       }),
 
+    // Quantile-drift report (the log-free drift check PSI approximates):
+    // decile boundaries fitted on the PRE-1997 price distribution, the
+    // POST period binned against them — a stable distribution puts ~10%
+    // in every bin, and per-bin share−0.1 localizes the shift. Bounds
+    // are one mergeable percentile aggregate broadcast map-side (q161);
+    // margins are window sums over the 10-row bin frame.
+    QueryDef("q212_quantile_drift",
+      (s, d) => {
+        val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+        val o = Tables.orders(s, d)
+        val bounds = o.filter(col("o_orderdate") < cut).agg(expr(
+          "transform(percentile(CAST(o_totalprice AS DOUBLE), " +
+            "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)), " +
+            "q -> round(q, 6))").alias("__b"))
+        val binned = o.filter(col("o_orderdate") >= cut)
+          .crossJoin(broadcast(bounds))
+          .select((lit(1) + size(filter(col("__b"),
+            b => col("o_totalprice").cast("double") > b))).cast(LongType)
+            .alias("bin"))
+        val cells = binned.groupBy(col("bin")).agg(count(lit(1)).alias("n"))
+        val tot = sum(col("n")).over(Window.partitionBy())
+        cells.select(col("bin"), col("n"),
+          round(col("n").cast(DoubleType) / tot, 6).alias("share"),
+          round(col("n").cast(DoubleType) / tot - 0.1, 6).alias("drift"))
+      },
+      Some("""WITH pre AS (
+             |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+             |b AS (
+             |  SELECT list_transform(quantile_cont(v,
+             |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             |    q -> round(q, 6)) AS bounds
+             |  FROM pre),
+             |post AS (
+             |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+             |cells AS (
+             |  SELECT CAST(1 + len(list_filter(b.bounds, x -> v > x)) AS BIGINT)
+             |    AS bin, COUNT(*) AS n
+             |  FROM post, b GROUP BY 1),
+             |w AS (SELECT bin, n, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM cells)
+             |SELECT bin, n,
+             |  round(CAST(n AS DOUBLE) / tot, 6) AS share,
+             |  round(CAST(n AS DOUBLE) / tot - 0.1, 6) AS drift
+             |FROM w""".stripMargin)),
+
     // Cohort LTV curve: customers grouped by first-order month, revenue
     // accumulated by cohort AGE in months — the "how much is a January
     // customer worth by month 6" frame. Month arithmetic is exact

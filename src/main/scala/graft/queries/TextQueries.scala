@@ -278,6 +278,34 @@ object TextQueries {
              |  CASE WHEN r = doc_id THEN (r + 1) % nn ELSE r END AS neg_id
              |FROM raw""".stripMargin)),
 
+    // Top-20 bigram collocations by lift (PMI's ranking without its
+    // logarithm — log is monotone so top-k by lift IS top-k by PMI, and
+    // the statistic stays an integer ratio with ONE double division).
+    // min-count 5 kills hapax pairs; unigrams broadcast (q142 posture).
+    QueryDef("q213_collocations",
+      (s, d) => TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 5, k = 20),
+      Some(s"""WITH t AS (SELECT $toks AS tk FROM documents),
+              |uni AS (SELECT unnest(tk) AS w FROM t),
+              |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+              |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n1,
+              |        CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS n2 FROM t),
+              |b AS (SELECT unnest(CASE WHEN len(tk) >= 2
+              |        THEN list_transform(range(len(tk) - 1),
+              |          i -> concat_ws(' ', tk[i+1], tk[i+2]))
+              |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+              |c2 AS (SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+              |       FROM b GROUP BY g HAVING COUNT(*) >= 5)
+              |SELECT bigram, pair_cnt, ca.c AS w1_cnt, cb.c AS w2_cnt,
+              |  round(CAST(pair_cnt AS DOUBLE) * tot.n1 * tot.n1
+              |        / (tot.n2 * ca.c * cb.c), 6) AS lift
+              |FROM c2
+              |JOIN c1 ca ON split_part(bigram, ' ', 1) = ca.w
+              |JOIN c1 cb ON split_part(bigram, ' ', 2) = cb.w
+              |CROSS JOIN tot
+              |ORDER BY lift DESC, bigram
+              |LIMIT 20""".stripMargin)),
+
     // BM25 ranked retrieval (rational-idf variant — no logarithm, see
     // TextAnalysis.bm25TopK): indexed probe+score vs the oracle's full
     // recomputation from raw text; per-term contributions rounded then

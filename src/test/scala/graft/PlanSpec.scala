@@ -387,7 +387,11 @@ class PlanSpec extends SparkSpec {
       //  - q203: decile lift — q161's 1-row decile-boundary array
       "q203_decile_lift",
       //  - q207: CUPED — the 1-row global θ/μ moment frame is crossed in
-      "q207_cuped_adjustment")
+      "q207_cuped_adjustment",
+      //  - q212: quantile drift — the 1-row pre-period boundary array
+      "q212_quantile_drift",
+      //  - q213: collocations — the 1-row corpus-totals frame
+      "q213_collocations")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
