@@ -1624,7 +1624,8 @@ object AnalyticsQueries {
     QueryDef("q193_item_recommendations",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        val sims = itemCosinePairs(s, d)
+        val vec = purchaseVectors(s, d)
+        val sims = itemCosineFrom(vec)
         val simsBoth = sims
           .select(col("part_a").alias("item"), col("part_b").alias("other"),
             col("cosine"))
@@ -1633,11 +1634,9 @@ object AnalyticsQueries {
         val knn = graft.ops.Sampling
           .capPerGroup(simsBoth, "item", "other", col("cosine"), 10)
           .select(col("item"), col("other"), col("score").alias("cosine"))
-        val owned = Tables.lineitem(s, d)
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
-          .distinct()
+        // owned items come straight off the checkpointed vector frame —
+        // never a second lineitem⋈orders build
+        val owned = vec.select(col("cust"), col("part"))
         val cand = owned
           .join(knn, col("part") === col("item"))
           .groupBy(col("cust"), col("other"))
@@ -1683,16 +1682,29 @@ object AnalyticsQueries {
               |  FROM unseen) WHERE rn <= 3""".stripMargin))
   )
 
-  /** Shared q186/q193 similarity frame: parts as purchase-count vectors
-    * over customers, cosine from exact integer sums (see q186 doc).
+  /** Shared q186/q193 purchase-count vectors, materialized ONCE
+    * (localCheckpoint): the frame feeds the norm aggregate, both sides
+    * of the pair join, and (q193) the owned-item set — un-checkpointed
+    * it would re-run the lineitem⋈orders build per appearance.
     */
-  private def itemCosinePairs(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame = {
-    val vec = Tables.lineitem(s, d)
+  private def purchaseVectors(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
       .agg(count(lit(1)).alias("n"))
+      .localCheckpoint(true)
+
+  /** Shared q186/q193 similarity frame: parts as purchase-count vectors
+    * over customers, cosine from exact integer sums (see q186 doc).
+    */
+  private def itemCosinePairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    itemCosineFrom(purchaseVectors(s, d))
+
+  private def itemCosineFrom(
+      vec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val norms = vec.groupBy(col("part"))
       .agg(sum(col("n") * col("n")).alias("__n2"))
     val dots = vec.alias("a")
