@@ -106,6 +106,31 @@ object Features {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group ROBUST standardization: (x − median) / MAD — immune to
+    * the outlier masking that inflates [[zscore]]'s σ (a single 10⁶×
+    * spike drags the mean/σ but barely moves the median/MAD). Median and
+    * MAD are exact sort-based percentiles rounded to 6 dp BEFORE the
+    * arithmetic (the q38/q158 parity discipline); the two-stage
+    * aggregate (median first, then median absolute deviation) broadcasts
+    * group-sized frames and transforms map-side. Zero-MAD groups (over
+    * half the values identical) yield null, not a blow-up.
+    */
+  def robustScale(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  outCol: String): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile(CAST($valCol AS DOUBLE), 0.5)"), 6)
+        .alias("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(col(valCol).cast(DoubleType) - col("__med")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(round(expr("percentile(__absdev, 0.5)"), 6).alias("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn(outCol,
+        when(col("__mad") > 0,
+          round((col(valCol).cast(DoubleType) - col("__med")) / col("__mad"), 6)))
+      .drop("__absdev")
+  }
+
   /** Exact ROC AUC per group — the Mann–Whitney U formulation, computed
     * from tie-aware integer ranks (never a sampled/trapezoid curve):
     * ties take the midrank, and to stay integral the accumulator is

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.sources.Tables
 import graft.ops.Aggregations.exactSumSql
@@ -1007,6 +1007,90 @@ object MiscQueries {
              |        THEN CAST(s2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn)
              |        END, 6) AS auc
              |FROM a""".stripMargin)),
+
+    // Robust standardization — (x − median)/MAD, the outlier-immune
+    // counterpart of q199's z-score (a single spike drags μ/σ but barely
+    // moves median/MAD); q38/q158 percentile-parity discipline, group
+    // stats broadcast, transform map-side.
+    QueryDef("q214_robust_scaling",
+      (s, d) => graft.ops.Features.robustScale(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal")),
+          Seq("c_mktsegment"), "c_acctbal", "robust_z")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("robust_z")),
+      Some("""WITH med AS (
+             |  SELECT c_mktsegment,
+             |    round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 6) AS m
+             |  FROM customer GROUP BY 1),
+             |wm AS (
+             |  SELECT c_custkey, c_mktsegment, c_acctbal, m,
+             |    abs(CAST(c_acctbal AS DOUBLE) - m) AS ad
+             |  FROM customer JOIN med USING (c_mktsegment)),
+             |mad AS (SELECT c_mktsegment, round(quantile_cont(ad, 0.5), 6) AS md
+             |        FROM wm GROUP BY 1)
+             |SELECT c_custkey, c_mktsegment, c_acctbal,
+             |  CASE WHEN md > 0
+             |       THEN round((CAST(c_acctbal AS DOUBLE) - m) / md, 6) END
+             |    AS robust_z
+             |FROM wm JOIN mad USING (c_mktsegment)""".stripMargin)),
+
+    // Benford first-digit audit (the fraud-analytics screen): leading
+    // digit taken from the EXACT integer cents' decimal string (a
+    // float-format path would be engine-specific; BIGINT→VARCHAR is
+    // not), observed share vs the Benford expectation log₁₀(1+1/d) —
+    // hardcoded as 6-dp literals on BOTH sides, so no libm at runtime —
+    // plus the per-digit chi-square term. Margins over the 9-row digit
+    // frame.
+    QueryDef("q215_benford_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val benford = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+          0.066947, 0.057992, 0.051153, 0.045757)
+        val digit = substring(round(col("o_totalprice") * 100).cast(LongType)
+          .cast("string"), 1, 1).cast(LongType).alias("digit")
+        val cells = Tables.orders(s, d).select(digit)
+          .groupBy(col("digit")).agg(count(lit(1)).alias("n"))
+        val tot = sum(col("n")).over(Window.partitionBy())
+        val e = element_at(array(benford.map(lit): _*), col("digit").cast("int"))
+        cells.select(col("digit"), col("n"),
+          round(col("n").cast(DoubleType) / tot, 6).alias("share"),
+          e.alias("expected"),
+          round((col("n") - tot * e) * (col("n") - tot * e) / (tot * e), 6)
+            .alias("chi2_term"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+             |w AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM c),
+             |e AS (SELECT *,
+             |  CAST(([0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+             |    0.066947, 0.057992, 0.051153, 0.045757])[CAST(digit AS INT)]
+             |    AS DOUBLE) AS expected
+             |  FROM w)
+             |SELECT digit, n,
+             |  round(CAST(n AS DOUBLE) / tot, 6) AS share, expected,
+             |  round((n - tot * expected) * (n - tot * expected)
+             |        / (tot * expected), 6) AS chi2_term
+             |FROM e""".stripMargin)),
+
+    // CUBE + grouping_id surface (q99's grouping-sets sibling): all four
+    // grouping combinations in one pass, with the bitmask that lets a
+    // consumer tell a real NULL group from a rolled-up one.
+    QueryDef("q216_cube_gid",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"),
+          round(graft.ops.Aggregations.exactSum(col("l_extendedprice")), 2)
+            .alias("revenue"),
+          grouping_id().cast(LongType).alias("gid")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  round(${exactSumSql("l_extendedprice")}, 2) AS revenue,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+              |FROM lineitem
+              |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
     // Fully-distributed long-form column profile of an arbitrary frame
     // (the data-quality gate of a pipeline): every column's nulls,

@@ -29,6 +29,22 @@ class FeaturesSpec extends SparkSpec {
     assert(rows.filter(_.getString(0) == "b").forall(_.isNullAt(2)))
   }
 
+  test("robustScale resists the outlier that wrecks a z-score") {
+    // 1..9 plus a 1000 spike: median 5.5, MAD 2.5 — the spike's own
+    // robust z is huge while in-liers keep small scores; a σ-based
+    // z-score would compress everything toward zero
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("grp", "v")
+    val out = Features.robustScale(df, Seq("grp"), "v", "rz")
+      .select("v", "rz").as[(Double, Double)].collect().toMap
+    assert(out(5.0) == -0.2)
+    assert(out(1000.0) == 397.8)
+    assert(math.abs(out(1.0) - (-1.8)) < 1e-9)
+    // constant group → MAD 0 → null
+    val const = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("grp", "v")
+    assert(Features.robustScale(const, Seq("grp"), "v", "rz")
+      .collect().forall(_.isNullAt(4)))
+  }
+
   test("rocAuc: perfect separation, cross-class tie, single-class null") {
     val df = Seq(
       // group p: perfect separation → AUC 1

@@ -53,6 +53,8 @@ object Fuzz {
     */
   final case class CaseW(p: Pred, t: Expr, e: Expr) extends Expr
   final case class Coalesce2(a: Expr, b: Expr) extends Expr // same-typed pair
+  final case class Upper(a: Expr) extends Expr               // string → string
+  final case class Substr(a: Expr, pos: Int, len: Int) extends Expr // 1-based, pos/len >= 1
   final case class NullIfE(a: Expr, b: Expr) extends Expr   // same-typed pair
 
   sealed trait Pred
@@ -148,6 +150,8 @@ object Fuzz {
       else TLong
     case CaseW(_, t, _) => resolveType(t, schema) // branches same-typed
     case Coalesce2(a, _) => resolveType(a, schema)
+    case Upper(_)        => TString
+    case Substr(_, _, _) => TString
     case NullIfE(a, _)   => resolveType(a, schema)
   }
 
@@ -202,6 +206,8 @@ object Fuzz {
       when(toSparkPred(p, schema), toColumn(t, schema))
         .otherwise(toColumn(e2, schema))
     case Coalesce2(a, b) => coalesce(toColumn(a, schema), toColumn(b, schema))
+    case Upper(a)          => upper(toColumn(a, schema))
+    case Substr(a, p, l)   => substring(toColumn(a, schema), p, l)
     case NullIfE(a, b) =>
       // SQL NULLIF(a, b): NULL when a = b is TRUE; a otherwise —
       // including when the comparison is UNKNOWN (a NULL operand)
@@ -302,6 +308,20 @@ object Fuzz {
     case Coalesce2(a, b) =>
       val va = evalExpr(a, row)
       if (va == null) evalExpr(b, row) else va
+    case Upper(a) =>
+      val va = evalExpr(a, row)
+      if (va == null) null else va.asInstanceOf[String].toUpperCase(java.util.Locale.ROOT)
+    case Substr(a, p, l) =>
+      // SQL substring with 1-based pos >= 1: past-the-end is empty, the
+      // slice clamps to the string's length (fixture strings are ASCII,
+      // so code-unit slicing == codepoint slicing on both sides)
+      val va = evalExpr(a, row)
+      if (va == null) null
+      else {
+        val str = va.asInstanceOf[String]
+        val st = p - 1
+        if (st >= str.length) "" else str.substring(st, math.min(st + l, str.length))
+      }
     case NullIfE(a, b) =>
       // NULL only when a = b is TRUE; a NULL operand makes the
       // comparison UNKNOWN and the result is `a` unchanged
@@ -656,6 +676,18 @@ object Fuzz {
                 Seq(s"derived$derivedN" ->
                   (CaseW(genPred(schema, 1), ColRef(c), els): Expr))
               } else Seq.empty
+            // string-function derived column: UPPER / SUBSTRING over a
+            // string column (ASCII fixture data → locale-free)
+            val strFnDerived = {
+              val strs = schema.filter(_._2 == TString)
+              if (strs.nonEmpty && rnd.nextInt(3) == 0) {
+                val c = pick(strs)._1
+                derivedN += 1
+                Seq(s"derived$derivedN" ->
+                  (if (rnd.nextBoolean()) Upper(ColRef(c))
+                   else Substr(ColRef(c), 1 + rnd.nextInt(4), 1 + rnd.nextInt(6)): Expr))
+              } else Seq.empty
+            }
             // COALESCE / NULLIF derived column: same-typed operand pair
             // (null-handling scalar functions — NULLIF's UNKNOWN-keeps-a
             // rule and COALESCE's first-non-null are fuzz-worthy)
@@ -672,7 +704,7 @@ object Fuzz {
                    else NullIfE(ColRef(c), other): Expr))
               } else Seq.empty
             ProjectR(r, keep.map { case (c, _) => c -> (ColRef(c): Expr) } ++
-              derived ++ caseDerived ++ nullFnDerived)
+              derived ++ caseDerived ++ nullFnDerived ++ strFnDerived)
           case 2 => DistinctR(r)
           case 3 => FilterR(r, genPred(schema, 1))
         }

@@ -57,7 +57,9 @@ class FuzzSpec extends SparkSpec {
       case ProjectR(in, cs)     => ops(in) + "project" ++
         (if (cs.exists(_._2.isInstanceOf[CaseW])) Set("caseexpr") else Set.empty) ++
         (if (cs.exists(_._2.isInstanceOf[Coalesce2])) Set("coalesce") else Set.empty) ++
-        (if (cs.exists(_._2.isInstanceOf[NullIfE])) Set("nullif") else Set.empty)
+        (if (cs.exists(_._2.isInstanceOf[NullIfE])) Set("nullif") else Set.empty) ++
+        (if (cs.exists(_._2.isInstanceOf[Upper])) Set("upperfn") else Set.empty) ++
+        (if (cs.exists(_._2.isInstanceOf[Substr])) Set("substrfn") else Set.empty)
       case JoinR(l, rr, _, _, jt) => ops(l) ++ ops(rr) + s"${jt}join"
       case SemiR(l, rr, _, _, anti) =>
         ops(l) ++ ops(rr) + (if (anti) "antijoin" else "semijoin")
@@ -78,7 +80,8 @@ class FuzzSpec extends SparkSpec {
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "sortlimit",
-      "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif")
+      "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
+      "upperfn", "substrfn")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
