@@ -67,6 +67,7 @@ object Fuzz {
     * row too — the classic NOT IN trap, here with literal lists).
     */
   final case class InList(c: ColRef, vs: Seq[Expr]) extends Pred
+  final case class LikeP(c: ColRef, pattern: String) extends Pred // SQL LIKE, % and _ only
 
   sealed trait AggFn
   case object CountStar extends AggFn
@@ -226,6 +227,7 @@ object Fuzz {
     case And(a, b) => toSparkPred(a, schema) && toSparkPred(b, schema)
     case Or(a, b)  => toSparkPred(a, schema) || toSparkPred(b, schema)
     case Not(a)    => !toSparkPred(a, schema)
+    case LikeP(c, pattern) => toColumn(c, schema).like(pattern)
     case InList(c, vs) =>
       toColumn(c, schema).isin(vs.map {
         case LitL(v) => v; case LitD(v) => v; case LitS(v) => v
@@ -387,6 +389,18 @@ object Fuzz {
       case _                                 => None
     }
     case Not(a) => evalPred(a, row).map(!_)
+    case LikeP(c, pattern) =>
+      val v = evalExpr(c, row)
+      if (v == null) None
+      else {
+        // LIKE → anchored regex: % = .*, _ = ., everything else literal
+        val rx = pattern.flatMap {
+          case '%' => ".*"
+          case '_' => "."
+          case ch  => java.util.regex.Pattern.quote(ch.toString)
+        }
+        Some(v.asInstanceOf[String].matches(rx))
+      }
     case InList(c, vs) =>
       val v = evalExpr(c, row)
       if (v == null) None
@@ -614,7 +628,20 @@ object Fuzz {
         val (c, t) = pick(schema)
         // 1-in-5 leaves are IN-lists of 2-4 literals (often negated by the
         // surrounding Not production — the null-probe NOT IN trap)
-        if (rnd.nextInt(5) == 0) {
+        if (t == TString && rnd.nextInt(5) == 0) {
+          // LIKE leaf: prefix / suffix / infix pattern over a plausible
+          // value fragment (the predicate-pushdown shapes q132 pins)
+          val seed = litTyped(c, t) match {
+            case LitS(v) => v; case _ => "Customer"
+          }
+          val frag = seed.take(1 + rnd.nextInt(math.max(1, math.min(4, seed.length))))
+          val pattern = rnd.nextInt(3) match {
+            case 0 => frag + "%"
+            case 1 => "%" + frag
+            case 2 => "%" + frag + "%"
+          }
+          LikeP(ColRef(c), pattern)
+        } else if (rnd.nextInt(5) == 0) {
           InList(ColRef(c), (0 until 2 + rnd.nextInt(3)).map(_ => litTyped(c, t)))
         } else {
           // 1-in-4 leaves compare two COLUMNS of the same kind (numeric with

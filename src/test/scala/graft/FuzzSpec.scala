@@ -50,6 +50,7 @@ class FuzzSpec extends SparkSpec {
       case Or(a, b)                     => predFeats(a) ++ predFeats(b)
       case Not(a)                       => predFeats(a)
       case InList(_, _)                 => Set("inlist")
+      case LikeP(_, _)                  => Set("like")
     }
     def ops(r: Rel): Set[String] = r match {
       case Base(_)              => Set("base")
@@ -81,7 +82,7 @@ class FuzzSpec extends SparkSpec {
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "sortlimit",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
-      "upperfn", "substrfn")
+      "upperfn", "substrfn", "like")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
