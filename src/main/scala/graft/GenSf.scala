@@ -81,7 +81,19 @@ object GenSf {
 
     write(replicate(read("customer"), Seq("c_custkey" -> custS)), "customer")
     write(replicate(read("supplier"), Seq("s_suppkey" -> suppS)), "supplier")
-    write(replicate(read("part"), Seq("p_partkey" -> partS)), "part")
+    // part NAMES get the documents-style per-replica token salt: verbatim
+    // replication would deepen every entity-resolution block ((last name
+    // token, brand)) by `factor` and grow in-block candidate pairs
+    // quadratically (round-9 verdict #6 — the only above-linear ramp rows
+    // were this fixture artifact, not the operator). Salted last tokens
+    // make cross-replica block keys disjoint, so blocks keep their source-
+    // fixture depth and linkage workloads scale linearly — exactly like a
+    // catalog with 10× genuinely distinct product names.
+    write(replicate(read("part"), Seq("p_partkey" -> partS), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("p_name", concat_ws(" ",
+        transform(split(col("p_name"), " "), t => concat(t, lit("q" + i)))))),
+      "part")
     write(replicate(read("orders"),
       Seq("o_orderkey" -> orderS, "o_custkey" -> custS)), "orders")
     write(replicate(read("lineitem"),

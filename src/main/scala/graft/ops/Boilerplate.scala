@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML/markup boilerplate extraction — the first stage of every
+  * web-scale corpus pipeline (C4, CCNet, RefinedWeb) and the one that
+  * runs BEFORE the quality / langid / dedup tiers in this repo: strip
+  * non-content machinery (`script` / `style` / comments), delete site
+  * chrome blocks (`nav` / `header` / `footer` / `aside`), convert
+  * block-level tag boundaries into line breaks, decode entities, and
+  * keep only content-dense lines — jusText's link-density idea reduced
+  * to an all-integer rule (`n_anchors · anchorDenom ≤ n_words` and
+  * `n_words ≥ minWords`), so the keep decision can never flip on a
+  * float ulp between engines.
+  *
+  * Contract: this is a REGEX pass over the markup, not a DOM parse —
+  * exactly the C4/CCNet posture (their extractors are line-level
+  * heuristics too). Chrome blocks are assumed non-nested (`<nav>`
+  * inside `<nav>` cuts at the first close); inline tags of any nesting
+  * depth strip correctly because stripping doesn't pair them. Every
+  * pattern is in the RE2-safe subset (no backrefs, no lookaround), so
+  * the DuckDB oracle ([[extractMainTextSql]]) runs the IDENTICAL rule
+  * table — shared here as data, not duplicated prose.
+  *
+  * Scale: pure per-row expression work (regexp chains + array HOFs) —
+  * zero shuffle, fully codegen-friendly, trivially parallel at 100 TB.
+  * Reference anchor: the reference has no web-corpus stage at all
+  * (closest analogue is the bronze text feeders under spark/bronze/);
+  * this extends the engine the way its curation tier (q97) expects.
+  */
+object Boilerplate {
+
+  /** Ordered structural rule table: (RE2-safe pattern, replacement).
+    * Order matters — machinery and chrome blocks must vanish BEFORE
+    * block-boundary tags become newlines, or a nav's anchors would leak
+    * into the line pool.
+    */
+  val blockRules: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?is)<nav[^>]*>.*?</nav>" -> " ",
+    "(?is)<header[^>]*>.*?</header>" -> " ",
+    "(?is)<footer[^>]*>.*?</footer>" -> " ",
+    "(?is)<aside[^>]*>.*?</aside>" -> " ",
+    // block-level boundaries become newlines so the keep rule sees lines
+    ("(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|section" +
+      "|article|blockquote|title|pre)\\b[^>]*>") -> "\n")
+
+  /** Ordered entity decode map — `&amp;` LAST, or `&amp;lt;` would
+    * double-decode into `<`.
+    */
+  val entityRules: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&copy;" -> "(c)", "&amp;" -> "&")
+
+  /** Anchor-tag detector (`<a ...>` / `<a>`), counted per line BEFORE
+    * tags are stripped — the numerator of the link-density rule.
+    */
+  val anchorPattern = "(?i)<a[\\s>]"
+
+  private def entityDecode(c: Column): Column =
+    entityRules.foldLeft(c) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+
+  /** line markup → visible text: strip remaining (inline) tags, decode
+    * entities, collapse whitespace, trim.
+    */
+  private def lineText(l: Column): Column =
+    trim(regexp_replace(entityDecode(regexp_replace(l, "<[^>]*>", " ")),
+      "\\s+", " "))
+
+  /** Extract the main text of an HTML document column.
+    *
+    * Output per row: `idCol`, `outCol` (kept lines joined by \n),
+    * `n_lines_kept`, `n_lines_dropped` (non-blank lines the keep rule
+    * rejected), `n_words` (word total across kept lines) — the counters
+    * downstream quality gates filter on.
+    */
+  def extractMainText(df: DataFrame, idCol: String, htmlCol: String,
+                      minWords: Int = 3, anchorDenom: Int = 4,
+                      outCol: String = "main_text"): DataFrame = {
+    val cleaned = blockRules.foldLeft(col(htmlCol)) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
+    }
+    val lines = split(cleaned, "\n")
+    val feats0 = transform(lines, l => struct(
+      lineText(l).alias("txt"),
+      size(regexp_extract_all(l, lit(anchorPattern), lit(0))).alias("na")))
+    val feats = transform(feats0, f => struct(
+      f("txt").alias("txt"), f("na").alias("na"),
+      when(f("txt") === "", 0)
+        .otherwise(size(split(f("txt"), " "))).alias("nw")))
+    val kept = filter(feats, f =>
+      f("nw") >= minWords && f("na") * anchorDenom <= f("nw"))
+    val nonblank = filter(feats, f => f("nw") > 0)
+    df.select(col(idCol),
+      array_join(transform(kept, f => f("txt")), "\n").alias(outCol),
+      size(kept).cast("long").alias("n_lines_kept"),
+      (size(nonblank) - size(kept)).cast("long").alias("n_lines_dropped"),
+      coalesce(aggregate(kept, lit(0), (a, f) => a + f("nw")), lit(0))
+        .cast("long").alias("n_words"))
+  }
+
+  // ---- DuckDB mirror ------------------------------------------------
+
+  private def sqlEntityDecode(e: String): String =
+    entityRules.foldLeft(e) { case (acc, (ent, r)) =>
+      s"replace($acc, '$ent', '${r.replace("'", "''")}')"
+    }
+
+  /** DuckDB SQL running the IDENTICAL rule table over `htmlExpr` rows of
+    * `fromClause` — same structural rules, same entity order, same
+    * integer keep rule — so agreement gates the rules themselves.
+    */
+  def extractMainTextSql(fromClause: String, idCol: String, htmlExpr: String,
+                         minWords: Int = 3, anchorDenom: Int = 4,
+                         outCol: String = "main_text"): String = {
+    val cleaned = blockRules.foldLeft(htmlExpr) { case (acc, (p, r)) =>
+      val rep = if (r == "\n") "e'\\n'" else s"'$r'"
+      s"regexp_replace($acc, '$p', $rep, 'g')"
+    }
+    val lineTxt = "trim(regexp_replace(" +
+      sqlEntityDecode("regexp_replace(l, '<[^>]*>', ' ', 'g')") +
+      ", '\\s+', ' ', 'g'))"
+    s"""WITH f0 AS (
+       |  SELECT $idCol,
+       |    list_transform(string_split($cleaned, e'\\n'), l -> struct_pack(
+       |      txt := $lineTxt,
+       |      na  := len(regexp_extract_all(l, '$anchorPattern')))) AS f0
+       |  FROM $fromClause),
+       |f1 AS (
+       |  SELECT $idCol,
+       |    list_transform(f0, f -> struct_pack(
+       |      txt := f.txt, na := f.na,
+       |      nw  := CASE WHEN f.txt = '' THEN 0
+       |                  ELSE len(string_split(f.txt, ' ')) END)) AS feats
+       |  FROM f0),
+       |k AS (
+       |  SELECT $idCol, feats,
+       |    list_filter(feats,
+       |      f -> f.nw >= $minWords AND f.na * $anchorDenom <= f.nw) AS kept
+       |  FROM f1)
+       |SELECT $idCol,
+       |  array_to_string(list_transform(kept, f -> f.txt), e'\\n') AS $outCol,
+       |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |  CAST(len(list_filter(feats, f -> f.nw > 0)) - len(kept) AS BIGINT)
+       |    AS n_lines_dropped,
+       |  CAST(coalesce(list_sum(list_transform(kept, f -> f.nw)), 0)
+       |    AS BIGINT) AS n_words
+       |FROM k""".stripMargin
+  }
+}

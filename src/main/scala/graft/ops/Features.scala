@@ -128,7 +128,7 @@ object Features {
       .withColumn(outCol,
         when(col("__mad") > 0,
           round((col(valCol).cast(DoubleType) - col("__med")) / col("__mad"), 6)))
-      .drop("__absdev")
+      .drop("__absdev", "__med", "__mad")
   }
 
   /** Exact ROC AUC per group — the Mann–Whitney U formulation, computed
@@ -147,7 +147,9 @@ object Features {
   def rocAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
              labelCol: String): DataFrame = {
     import graft.ops.Aggregations.countIf
-    val r = df
+    // Null labels must not occupy ranks: they'd inflate other rows'
+    // midranks while contributing to neither np nor nn.
+    val r = df.filter(col(labelCol).isNotNull)
       .withColumn("__rnk", rank().over(
         Window.partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol)))
         .cast("long"))

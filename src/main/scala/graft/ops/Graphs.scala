@@ -197,6 +197,8 @@ object Graphs {
     val counts = tris
       .select(explode(array(col("w0"), col("w1"), col("w2"))).alias("node"))
       .groupBy(col("node")).agg(count(lit(1)).alias("triangles"))
+      .localCheckpoint(true)
+    canon.unpersist(); oriented.unpersist()
     counts
   }
 

@@ -322,8 +322,12 @@ object TimeSeries {
     * microseconds (lead-diff), the weighted sum accumulates value·Δt in
     * exact decimal, and the single division happens once at the end —
     * hash-stable at any partition count. The final (open-ended)
-    * observation carries no interval and drops, the standard convention.
-    * Order must be total — pass a unique tiebreak.
+    * observation carries no interval and is excluded from the weighted
+    * mean (the standard convention) but NOT from `plain_avg`, which is
+    * the plain AVG over every observation — so the twap-vs-plain
+    * contrast is honest, and single-observation groups still appear
+    * (null twap, n_intervals = 0). Order must be total — pass a unique
+    * tiebreak.
     */
   def twap(df: DataFrame, groupCols: Seq[String], tsCol: String,
            valCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
@@ -331,12 +335,12 @@ object TimeSeries {
       .orderBy(col(tsCol) +: tieBreak: _*)
     val dt = unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol))
     df.withColumn("__dt", dt)
-      .filter(col("__dt").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).alias("n_intervals"),
+        count(col("__dt")).alias("n_intervals"),
         sum(col("__dt")).alias("total_us"),
-        round(Aggregations.exactSum(col(valCol) * col("__dt")) /
+        round(Aggregations.exactSum(
+          when(col("__dt").isNotNull, col(valCol) * col("__dt"))) /
           sum(col("__dt")).cast("double"), 6).alias("twap"),
         round(Aggregations.exactAvg(col(valCol)), 6).alias("plain_avg"))
   }

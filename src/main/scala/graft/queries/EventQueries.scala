@@ -712,15 +712,15 @@ object EventQueries {
               |  SELECT event_type, value,
               |    epoch_us(lead(ts) OVER (PARTITION BY event_type
               |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
-              |  FROM ev),
-              |f AS (SELECT * FROM t WHERE dt IS NOT NULL)
-              |SELECT event_type, COUNT(*) AS n_intervals,
+              |  FROM ev)
+              |SELECT event_type, COUNT(dt) AS n_intervals,
               |  CAST(SUM(dt) AS BIGINT) AS total_us,
-              |  round(${graft.ops.Aggregations.exactSumSql("value * dt")}
+              |  round(${graft.ops.Aggregations.exactSumSql(
+                   "CASE WHEN dt IS NOT NULL THEN value * dt END")}
               |        / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6) AS twap,
               |  round(${graft.ops.Aggregations.exactAvgSql("value")}, 6)
               |    AS plain_avg
-              |FROM f GROUP BY event_type""".stripMargin)),
+              |FROM t GROUP BY event_type""".stripMargin)),
 
     // Session bounce rate by ENTRY event type: sessions (q23's lag-gap
     // sessionization, 30-min gap) keyed by their first event — the entry

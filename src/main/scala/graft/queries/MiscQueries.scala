@@ -994,7 +994,7 @@ object MiscQueries {
              |  SELECT source, label,
              |    CAST(rank() OVER (PARTITION BY source ORDER BY score) AS BIGINT) AS rnk,
              |    CAST(COUNT(*) OVER (PARTITION BY source, score) AS BIGINT) AS tie
-             |  FROM t),
+             |  FROM t WHERE label IS NOT NULL),
              |a AS (
              |  SELECT source,
              |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
@@ -1014,11 +1014,9 @@ object MiscQueries {
     // stats broadcast, transform map-side.
     QueryDef("q214_robust_scaling",
       (s, d) => graft.ops.Features.robustScale(
-          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
-            col("c_acctbal")),
-          Seq("c_mktsegment"), "c_acctbal", "robust_z")
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-          col("robust_z")),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal")),
+        Seq("c_mktsegment"), "c_acctbal", "robust_z"),
       Some("""WITH med AS (
              |  SELECT c_mktsegment,
              |    round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 6) AS m

@@ -497,8 +497,73 @@ object TextQueries {
               |        row_number() OVER (PARTITION BY tf.doc_id
               |          ORDER BY round(tf.tf * n.n_docs / dfq.df, 6) DESC, tf.token ASC) AS rn
               |      FROM tf JOIN dfq USING (token), n)
-              |SELECT doc_id, token, tf, df, tfidf FROM s WHERE rn <= 3""".stripMargin))
+              |SELECT doc_id, token, tf, df, tfidf FROM s WHERE rn <= 3""".stripMargin)),
+
+    // HTML boilerplate extraction (the C4/CCNet/RefinedWeb first stage,
+    // round-9 verdict #3): strip script/style/comments, delete chrome
+    // blocks (nav/header/footer), block tags → line breaks, decode
+    // entities, keep content-dense lines by the all-integer link-density
+    // rule. Fixture: each document wrapped in a deterministic HTML shell
+    // (nav + header + footer chrome, a script with < > && inside, an
+    // entity-bearing h1, a low-word "Read more" anchor line) stated
+    // identically in both engines — the extractor must recover the text.
+    // The oracle SQL is GENERATED from the same rule table the Spark op
+    // folds (Boilerplate.blockRules/entityRules), so agreement gates the
+    // rules, not a prose copy of them.
+    QueryDef("q217_html_boilerplate",
+      (s, d) => graft.ops.Boilerplate.extractMainText(
+        Tables.documents(s, d).select(col("doc_id"), htmlSynth.alias("html")),
+        "doc_id", "html"),
+      Some(graft.ops.Boilerplate.extractMainTextSql(
+        s"(SELECT doc_id, $htmlSynthSql AS html FROM documents) AS base",
+        "doc_id", "html")))
   )
+
+  /** Deterministic HTML shell around each document's text, stated
+    * identically in Spark (here) and DuckDB ([[htmlSynthSql]]): head
+    * machinery (title/style/script — the script body contains `<`, `>`
+    * and `&&` to prove tag-soup robustness), nav/header/footer chrome
+    * whose anchors must NOT leak into the main text, an entity-bearing
+    * h1 (`&amp;`, `&lt;`/`&gt;` — pins strip-then-decode order), the
+    * document text split across a p and a div with one inline anchor
+    * (content with a link must survive the density rule), and a
+    * low-word "Read more" line the rule must drop.
+    */
+  private def htmlSynth: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p { margin: 0; }</style>" +
+        "<script>var x = 1 < 2 && 3 > 2;</script></head><body>"),
+      lit("<!-- layout v2 --><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>"),
+      lit("<header>Example Site <a href=\"/login\">Login</a></header>"),
+      lit("<h1>Doc "), id, lit(" &amp; notes &lt;draft&gt;</h1>"),
+      lit("<p>"), expr("substring(text, 1, 120)"), lit("</p>"),
+      lit("<div>"), expr("substring(text, 121)"),
+      lit(" plus one <a href=\"/ref\">inline reference</a> kept</div>"),
+      lit("<p>Read <a href=\"/more\">more</a></p>"),
+      lit("<footer>&copy; 2026 Example <a href=\"/terms\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+  }
+
+  /** DuckDB statement of [[htmlSynth]] — single line (interpolated into a
+    * stripMargin template, the [[piiRedactionSql]] discipline).
+    */
+  private lazy val htmlSynthSql: String = Seq(
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)",
+    "|| '</title><style>p { margin: 0; }</style>",
+    "<script>var x = 1 < 2 && 3 > 2;</script></head><body>'",
+    "|| '<!-- layout v2 --><nav><a href=\"/\">Home</a> ",
+    "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>'",
+    "|| '<header>Example Site <a href=\"/login\">Login</a></header>'",
+    "|| '<h1>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes &lt;draft&gt;</h1>'",
+    "|| '<p>' || substr(text, 1, 120) || '</p>'",
+    "|| '<div>' || substr(text, 121)",
+    "|| ' plus one <a href=\"/ref\">inline reference</a> kept</div>'",
+    "|| '<p>Read <a href=\"/more\">more</a></p>'",
+    "|| '<footer>&copy; 2026 Example <a href=\"/terms\">Terms</a> ",
+    "<a href=\"/privacy\">Privacy</a></footer></body></html>'").mkString
 
   /** Deterministic synthetic PII appended to each document, stated
     * identically in Spark ([[piiSynth]]) and DuckDB (inside

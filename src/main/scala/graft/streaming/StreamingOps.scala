@@ -24,23 +24,41 @@ object StreamingOps {
     * (it only affects schema INFERENCE, i.e. the batch/inferred read in
     * graft.sources.Tables.events).
     *
-    * Micros-NTZ-only assumption: a legacy nanos-long events fixture (the
-    * format Tables.events' LongType branch still handles dynamically)
-    * would NOT read under this schema — file streams cannot infer, so the
-    * streaming surface supports only the current micros fixture layout.
+    * This is the CURRENT fixture layout (micros-NTZ `ts`);
+    * [[eventsStream]] handles the legacy nanos-long layout too by
+    * resolving the physical type from a footer read at stream-setup time.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream of the events table. */
+  /** File-source stream of the events table — [[graft.sources.Tables.events]]'
+    * dynamic-format discipline on the streaming path: file streams cannot
+    * infer, so ONE batch-side footer read at setup resolves whether the
+    * fixture stores `ts` as micros-NTZ timestamp (current) or legacy
+    * nanos-long, and the stream reads under the matching schema (the
+    * nanos branch converting to TimestampType post-read, integer-division
+    * exact like the batch reader).
+    */
   def eventsStream(spark: SparkSession, path: String,
-                   maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tsIsLong =
+      spark.read.parquet(path).schema("ts").dataType == LongType
+    val readSchema =
+      if (tsIsLong)
+        StructType(eventsRawSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f                   => f
+        })
+      else eventsRawSchema
+    val raw = spark.readStream
+      .schema(readSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Incremental file ingest, the batch-stream unification shape: each
     * invocation processes exactly the files that arrived in `srcDir`

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.Boilerplate
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String) =
+    Boilerplate.extractMainText(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+
+  test("strips script/style/comments including tag soup inside them") {
+    val r = extract(
+      "<style>p { color: red; }</style>" +
+        "<script>if (1 < 2 && 3 > 2) { x(\"</p>\"); }</script>" +
+        "<!-- hidden <b>comment</b> -->" +
+        "<p>the actual visible content of this page</p>")
+    assert(r.getAs[String]("main_text") ==
+      "the actual visible content of this page")
+    assert(r.getAs[Long]("n_lines_kept") == 1L)
+    assert(r.getAs[Long]("n_words") == 7L)
+  }
+
+  test("drops nav/header/footer/aside chrome blocks entirely") {
+    val r = extract(
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>" +
+        "<header>Site Title Here <a href=\"/login\">Login</a></header>" +
+        "<p>paragraph one with enough words to clearly pass the keep rule</p>" +
+        "<aside>related links sidebar</aside>" +
+        "<footer>copyright twenty twenty six example corp</footer>")
+    assert(r.getAs[String]("main_text") ==
+      "paragraph one with enough words to clearly pass the keep rule")
+    assert(r.getAs[Long]("n_lines_kept") == 1L)
+    // chrome blocks vanished BEFORE line-splitting: nothing to drop
+    assert(r.getAs[Long]("n_lines_dropped") == 0L)
+  }
+
+  test("inline tags strip at any nesting depth; entities decode after") {
+    val r = extract(
+      "<div>alpha <span>beta <b>gamma <i>delta</i></b></span> epsilon</div>" +
+        "<p>five &lt;six&gt; &amp; seven &quot;eight&quot; &#39;nine&#39;</p>")
+    val lines = r.getAs[String]("main_text").split("\n")
+    assert(lines(0) == "alpha beta gamma delta epsilon")
+    // strip-then-decode: a decoded "<six>" is user text, not a tag
+    assert(lines(1) == "five <six> & seven \"eight\" 'nine'")
+  }
+
+  test("amp decodes last so &amp;lt; cannot double-decode") {
+    val r = extract("<p>literal &amp;lt; stays as ampersand-l-t</p>")
+    assert(r.getAs[String]("main_text") ==
+      "literal &lt; stays as ampersand-l-t")
+  }
+
+  test("link-density rule: anchor-heavy short lines drop, linked prose keeps") {
+    val r = extract(
+      "<p><a href=\"/1\">One</a> <a href=\"/2\">Two</a> <a href=\"/3\">Three</a></p>" +
+        "<p>Read <a href=\"/more\">more</a></p>" +
+        "<p>a long sentence of prose that cites one <a href=\"/ref\">reference</a> inline</p>")
+    assert(r.getAs[String]("main_text") ==
+      "a long sentence of prose that cites one reference inline")
+    assert(r.getAs[Long]("n_lines_kept") == 1L)
+    assert(r.getAs[Long]("n_lines_dropped") == 2L)
+  }
+
+  test("minWords floor drops sub-minimum lines but counts them as dropped") {
+    val r = extract("<title>Doc 7</title><p>one two</p><p>one two three</p>")
+    assert(r.getAs[String]("main_text") == "one two three")
+    assert(r.getAs[Long]("n_lines_kept") == 1L)
+    assert(r.getAs[Long]("n_lines_dropped") == 2L) // "Doc 7", "one two"
+    assert(r.getAs[Long]("n_words") == 3L)
+  }
+
+  test("oracle SQL is generated from the same rule table (spot fields)") {
+    val sql = Boilerplate.extractMainTextSql(
+      "(SELECT 1 AS doc_id, '<p>x</p>' AS html) AS base", "doc_id", "html")
+    // every structural rule must appear verbatim in the generated SQL
+    Boilerplate.blockRules.foreach { case (p, _) =>
+      assert(sql.contains(p), s"missing rule: $p")
+    }
+    Boilerplate.entityRules.foreach { case (e, _) =>
+      assert(sql.contains(s"'$e'"), s"missing entity: $e")
+    }
+    assert(sql.contains(s"'${Boilerplate.anchorPattern}'"))
+  }
+}

@@ -39,10 +39,12 @@ class FeaturesSpec extends SparkSpec {
     assert(out(5.0) == -0.2)
     assert(out(1000.0) == 397.8)
     assert(math.abs(out(1.0) - (-1.8)) < 1e-9)
-    // constant group → MAD 0 → null
+    // constant group → MAD 0 → null; helper columns (__med/__mad) dropped,
+    // so the output contract is input columns + rz only
     val const = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("grp", "v")
-    assert(Features.robustScale(const, Seq("grp"), "v", "rz")
-      .collect().forall(_.isNullAt(4)))
+    val constOut = Features.robustScale(const, Seq("grp"), "v", "rz")
+    assert(constOut.columns.toSet == Set("grp", "v", "rz"))
+    assert(constOut.collect().forall(_.isNullAt(constOut.columns.indexOf("rz"))))
   }
 
   test("rocAuc: perfect separation, cross-class tie, single-class null") {

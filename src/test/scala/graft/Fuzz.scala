@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Random-plan differential fuzzer: seeded generator over the core
   * relational surface (filter / project / inner+left+right+full join /
   * semi + anti join / union / intersect + except / aggregate / having /
-  * distinct / window), evaluated twice —
+  * distinct / window: row_number, running sum, bounded ROWS frames,
+  * value-based RANGE frames / order-by-limit), evaluated twice —
   *
   *  1. through Spark (DataFrame API → Catalyst → Tungsten), and
   *  2. through a NAIVE Scala-collections interpreter written against SQL
@@ -118,6 +119,26 @@ object Fuzz {
     */
   final case class WinSumR(in: Rel, part: String, ord: String, tiebreak: String,
                            valCol: String) extends Rel
+  /** sum(`valCol`) over (partition by part order by ord, tiebreak
+    * ROWS BETWEEN lo PRECEDING AND hi FOLLOWING) as "fsum" — the bounded
+    * SLIDING frame [[WinSumR]]'s running frame cannot reach: frame
+    * contents depend on physical neighbors, so the order must be TOTAL
+    * ((ord, tiebreak) unique), which the generator guarantees by only
+    * emitting this over a base table with its primary key as tiebreak.
+    */
+  final case class WinFrameR(in: Rel, part: String, ord: String,
+                             tiebreak: String, valCol: String,
+                             lo: Int, hi: Int) extends Rel
+  /** sum(`valCol`) over (partition by part order by ord
+    * RANGE BETWEEN lo PRECEDING AND hi FOLLOWING) as "rsum" — VALUE-based
+    * frames: all PEERS of a bound enter the frame together, so no
+    * tiebreak is needed for determinism even under ties (the semantic
+    * difference from ROWS that makes range frames fuzz-worthy). The
+    * generator only emits a non-null Long `ord` (a base key column), so
+    * null-ordering peer-group rules never enter the comparison.
+    */
+  final case class WinRangeR(in: Rel, part: String, ord: String,
+                             valCol: String, lo: Long, hi: Long) extends Rel
   /** ORDER BY every column (schema order, ASC NULLS FIRST) + LIMIT n —
     * the TakeOrderedAndProject path. The full-column sort is total up to
     * exact duplicate rows, and ties among exact duplicates cannot change
@@ -180,6 +201,8 @@ object Fuzz {
     case DistinctR(in)    => schemaOf(in)
     case WindowR(in, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
     case WinSumR(in, _, _, _, _) => schemaOf(in) :+ ("runsum" -> TLong)
+    case WinFrameR(in, _, _, _, _, _, _) => schemaOf(in) :+ ("fsum" -> TLong)
+    case WinRangeR(in, _, _, _, _, _) => schemaOf(in) :+ ("rsum" -> TLong)
     case SortLimitR(in, _) => schemaOf(in)
   }
 
@@ -271,6 +294,18 @@ object Fuzz {
         sum(col(v).cast("long")).over(
           Window.partitionBy(col(part)).orderBy(col(ord), col(tb))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    case WinFrameR(in, part, ord, tb, v, lo, hi) =>
+      import org.apache.spark.sql.expressions.Window
+      toDF(spark, sfDir, in).withColumn("fsum",
+        sum(col(v).cast("long")).over(
+          Window.partitionBy(col(part)).orderBy(col(ord), col(tb))
+            .rowsBetween(-lo.toLong, hi.toLong)))
+    case WinRangeR(in, part, ord, v, lo, hi) =>
+      import org.apache.spark.sql.expressions.Window
+      toDF(spark, sfDir, in).withColumn("rsum",
+        sum(col(v).cast("long")).over(
+          Window.partitionBy(col(part)).orderBy(col(ord).cast("long"))
+            .rangeBetween(-lo, hi)))
     case SortLimitR(in, n) =>
       val cols = schemaOf(in).map { case (c, _) => col(c).asc_nulls_first }
       toDF(spark, sfDir, in).orderBy(cols: _*).limit(n)
@@ -393,13 +428,24 @@ object Fuzz {
       val v = evalExpr(c, row)
       if (v == null) None
       else {
-        // LIKE → anchored regex: % = .*, _ = ., everything else literal
-        val rx = pattern.flatMap {
-          case '%' => ".*"
-          case '_' => "."
-          case ch  => java.util.regex.Pattern.quote(ch.toString)
+        // LIKE → anchored regex: % = .*, _ = ., \x = literal x (Spark's
+        // escape char), everything else literal. (?s) = DOTALL so a
+        // newline inside a fixture string still matches %/_ the way
+        // Spark's like() does.
+        val sb = new StringBuilder("(?s)")
+        var i = 0
+        while (i < pattern.length) {
+          pattern(i) match {
+            case '\\' if i + 1 < pattern.length =>
+              sb.append(java.util.regex.Pattern.quote(pattern(i + 1).toString))
+              i += 1
+            case '%' => sb.append(".*")
+            case '_' => sb.append(".")
+            case ch  => sb.append(java.util.regex.Pattern.quote(ch.toString))
+          }
+          i += 1
         }
-        Some(v.asInstanceOf[String].matches(rx))
+        Some(v.asInstanceOf[String].matches(sb.toString))
       }
     case InList(c, vs) =>
       val v = evalExpr(c, row)
@@ -507,6 +553,35 @@ object Fuzz {
             case x    => acc = (if (acc == null) 0L else toL(acc)) + toL(x)
           }
           row + ("runsum" -> acc)
+        }
+      }.toSeq
+    case WinFrameR(in, part, ord, tb, v, lo, hi) =>
+      evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
+        val sorted = grp.sortWith { (a, b) =>
+          val c = cmpNullsFirst(a(ord), b(ord))
+          if (c != 0) c < 0 else cmpNullsFirst(a(tb), b(tb)) < 0
+        }.toIndexedSeq
+        sorted.zipWithIndex.map { case (row, i) =>
+          // physical frame [i-lo, i+hi] clamped to the partition; SQL
+          // null-skipping sum — an all-null (or empty) frame yields null
+          val vs = (math.max(0, i - lo) to math.min(sorted.size - 1, i + hi))
+            .map(j => sorted(j)(v)).filter(_ != null)
+          row + ("fsum" -> (if (vs.isEmpty) null
+                            else (vs.map(toL).sum: Any)))
+        }
+      }.toSeq
+    case WinRangeR(in, part, ord, v, lo, hi) =>
+      evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
+        grp.map { row =>
+          // value-based frame: every row whose ord lies in
+          // [cur - lo, cur + hi] — peers enter together, no tiebreak.
+          // (The generator guarantees a non-null Long ord.)
+          val cur = toL(row(ord))
+          val vs = grp.filter { r =>
+            val x = toL(r(ord)); x >= cur - lo && x <= cur + hi
+          }.map(_(v)).filter(_ != null)
+          row + ("rsum" -> (if (vs.isEmpty) null
+                            else (vs.map(toL).sum: Any)))
         }
       }.toSeq
   }
@@ -742,7 +817,7 @@ object Fuzz {
     def gen(): Rel = {
       // bottom: a base, a natural-key join (all four types — outer-join
       // padding is fuzz-worthy territory), a set op, or a window
-      val bottom: Rel = rnd.nextInt(10) match {
+      val bottom: Rel = rnd.nextInt(12) match {
         case 0 => Base(pick(Seq("customer", "orders", "nation")))
         case 1 => JoinR(Base("orders"), Base("customer"),
           "o_custkey", "c_custkey", joinType())
@@ -781,6 +856,25 @@ object Fuzz {
           WinSumR(JoinR(Base("orders"), Base("customer"),
             "o_custkey", "c_custkey", joinType()),
             "o_custkey", "o_totalprice", "c_custkey", "c_custkey")
+        case 10 =>
+          // bounded sliding ROWS frame — total order required, so base
+          // table + primary-key tiebreak only (see WinFrameR scaladoc)
+          if (rnd.nextBoolean())
+            WinFrameR(Base("orders"), "o_orderstatus", "o_totalprice",
+              "o_orderkey", pick(Seq("o_custkey", "o_orderkey")),
+              rnd.nextInt(4), rnd.nextInt(4))
+          else
+            WinFrameR(Base("customer"), "c_mktsegment", "c_acctbal",
+              "c_custkey", "c_nationkey", rnd.nextInt(4), rnd.nextInt(4))
+        case 11 =>
+          // value-based RANGE frame over a non-null Long ordering key —
+          // peers enter together, so ties are semantics, not flakiness
+          if (rnd.nextBoolean())
+            WinRangeR(Base("customer"), "c_mktsegment", "c_nationkey",
+              "c_custkey", rnd.nextInt(5).toLong, rnd.nextInt(5).toLong)
+          else
+            WinRangeR(Base("orders"), "o_orderstatus", "o_custkey",
+              "o_orderkey", rnd.nextInt(8).toLong, rnd.nextInt(8).toLong)
       }
       val mid = stack(bottom, rnd.nextInt(3))
       // optionally aggregate (and optionally filter the aggregate = HAVING)

@@ -73,6 +73,8 @@ class FuzzSpec extends SparkSpec {
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
       case WinSumR(in, _, _, _, _) => ops(in) + "winsum"
+      case WinFrameR(in, _, _, _, _, _, _) => ops(in) + "windowframe"
+      case WinRangeR(in, _, _, _, _, _) => ops(in) + "rangeframe"
       case SortLimitR(in, _)    => ops(in) + "sortlimit"
     }
     val seen = (1 to 200).foldLeft(Set.empty[String]) { (acc, seed) =>
@@ -80,7 +82,8 @@ class FuzzSpec extends SparkSpec {
     }
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
-      "except", "agg", "avg", "distinct", "window", "winsum", "sortlimit",
+      "except", "agg", "avg", "distinct", "window", "winsum", "windowframe",
+      "rangeframe", "sortlimit",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
       "upperfn", "substrfn", "like")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")

@@ -391,7 +391,10 @@ class PlanSpec extends SparkSpec {
       //  - q212: quantile drift — the 1-row pre-period boundary array
       "q212_quantile_drift",
       //  - q213: collocations — the 1-row corpus-totals frame
-      "q213_collocations")
+      "q213_collocations",
+      //  - q218: dashboard cycle — the 1-row COUNT(*) total frame is
+      //    crossed onto the 10-row page (both sides bounded by contract)
+      "q218_dashboard_cycle")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
@@ -403,6 +406,58 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"scale audit ERRORs in ${failures.size} quer${if (failures.size == 1) "y" else "ies"}:\n" +
         failures.mkString("\n"))
+  }
+
+  test("plan-fingerprint gate: no registered query's physical shape drifts silently") {
+    // Round-9 verdict stretch #7: hash every query's canonical plan shape
+    // (operator tree + join strategies + exchange kinds, no expressions —
+    // see PlanShape) against the committed PLAN_FINGERPRINTS.json, so a
+    // Catalyst-upgrade or fixture-growth plan flip fails HERE with a
+    // named query instead of surfacing as an unattributable bench delta.
+    // Regenerate after an INTENTIONAL plan change with:
+    //   GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanSpec -- -z fingerprint"
+    // and review the committed diff — the diff IS the plan-change review.
+    val path = java.nio.file.Paths.get("PLAN_FINGERPRINTS.json")
+    // cached frames another test leaked would substitute InMemoryTableScan
+    // into matching new plans and make shapes order-dependent — sweep first
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val current: Seq[(String, String)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val shape =
+          try PlanShape.canonical(fn(spark, sf001))
+          catch { case e: Exception => s"BUILD_FAILED:${e.getClass.getSimpleName}" }
+        name -> shape
+      }
+    assert(!current.exists(_._2.startsWith("BUILD_FAILED")),
+      "queries failed to build: " +
+        current.filter(_._2.startsWith("BUILD_FAILED")).map(_._1).mkString(", "))
+    val rendered = current.map { case (k, v) => s"""  "$k": "$v"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    if (sys.env.contains("GRAFT_REGEN_PLANS")) {
+      java.nio.file.Files.writeString(path, rendered)
+      info(s"regenerated $path with ${current.size} fingerprints")
+    } else {
+      assert(java.nio.file.Files.exists(path),
+        "PLAN_FINGERPRINTS.json missing — regenerate (see comment above)")
+      val line = """^\s*"([^"]+)":\s*"([^"]*)",?$""".r
+      val committed = scala.io.Source.fromFile(path.toFile).getLines()
+        .collect { case line(k, v) => k -> v }.toMap
+      val cur = current.toMap
+      val changed = current.collect {
+        case (k, v) if committed.get(k).exists(_ != v) =>
+          s"$k:\n  committed: ${committed(k)}\n  current:   $v"
+      }
+      val missing = current.collect {
+        case (k, _) if !committed.contains(k) => k
+      }
+      val stale = committed.keys.filterNot(cur.contains).toSeq.sorted
+      assert(changed.isEmpty && missing.isEmpty && stale.isEmpty,
+        s"plan fingerprints drifted — if intentional, regenerate (see comment above).\n" +
+          (if (changed.nonEmpty) s"CHANGED (${changed.size}):\n${changed.mkString("\n")}\n" else "") +
+          (if (missing.nonEmpty) s"NEW queries without fingerprints: ${missing.mkString(", ")}\n" else "") +
+          (if (stale.nonEmpty) s"STALE fingerprints for removed queries: ${stale.mkString(", ")}" else ""))
+    }
   }
 
   test("q201 column profile never plans Expand (multi-distinct regression pin)") {

@@ -22,6 +22,29 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("eventsStream reads a legacy nanos-long fixture via the dynamic branch") {
+    // the batch reader (Tables.events) has always handled both fixture
+    // layouts; this pins the STREAMING path's footer-resolved schema
+    // branch: a nanos-long ts must surface as the identical microsecond
+    // TimestampType instant the batch reader produces
+    val dir = java.nio.file.Files.createTempDirectory("events_nanos_stream").toString
+    val orig = Tables.events(spark, sf001).filter(col("event_id") < 100)
+    orig.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.eventsStream(spark, dir)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("nanos_stream_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("nanos_stream_out").select("event_id", "ts")
+    val want = orig.select("event_id", "ts")
+    assert(got.count() == want.count() && got.except(want).isEmpty &&
+      want.except(got).isEmpty,
+      "nanos-long stream did not reproduce the batch instants")
+  }
+
   test("streaming tumbling agg matches batch tumblingAgg exactly") {
     val stream = StreamingOps.eventsStream(spark, eventsPath)
     val q = StreamingOps.tumblingAgg(stream)
