@@ -165,4 +165,53 @@ trait DedupSubstring {
             s => i.cast("bigint").between(s("span_start"), s("span_end")))))
           .alias("cleaned_text"))
   }
+
+  /** CCNet-style LINE-level exact dedup across the corpus, keep-first:
+    * documents are cut into fixed-width token lines (`lineTokens` — the
+    * stand-in for natural paragraph/line boundaries, which the synthetic
+    * fixture lacks; with real text pre-split on newlines and pass 1-line
+    * granularity), every line occurring verbatim more than once in the
+    * corpus keeps only its first occurrence in (doc, pos) order —
+    * within-doc repeats drop too, CCNet's rule — and documents are
+    * reassembled from their surviving lines.
+    *
+    * The coarse-grained sibling of [[exactSubstringDedup]]: line hashing
+    * is what CCNet runs corpus-wide BEFORE any heavier span machinery.
+    * Shape: one explode → one groupBy(line) with a partial-aggregable
+    * integer min (the (doc, pos) rank packs into one long — no struct
+    * min state) → one aggregate→probe equi-join back on the line (linear
+    * like the shared-gram join: each occurrence meets one aggregated
+    * row, never other occurrences) → one per-doc regroup. Contract:
+    * pos < 2^20 lines per doc (the rank is doc_id·2^20 + pos).
+    */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          lineTokens: Int = 8): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nLines = ceil(size(toks).cast("double") / lineTokens).cast("int")
+    val lineArr = transform(sequence(lit(0), nLines - 1), i =>
+      struct(i.cast("long").alias("pos"),
+        concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens)))
+          .alias("line")))
+    val l = df
+      .select(col(idCol).cast("long").alias("doc_id"),
+        explode(lineArr).alias("f"))
+      .select(col("doc_id"), col("f.pos").alias("pos"),
+        col("f.line").alias("line"))
+      .withColumn("__rank", col("doc_id") * lit(1L << 20) + col("pos"))
+    val w = l.groupBy(col("line")).agg(min(col("__rank")).alias("__keep"))
+    val kept = l.join(w, Seq("line")).filter(col("__rank") === col("__keep"))
+    val tot = l.groupBy(col("doc_id")).agg(count(lit(1)).alias("__n_lines"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_lines_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            f => f("line"))).alias("clean_text"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).alias("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).alias("n_lines_kept"),
+        (col("__n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .alias("n_lines_dropped"))
+  }
 }

@@ -549,6 +549,37 @@ object DedupQueries {
               |  CAST(count(*) AS BIGINT) AS shared_grams
               |FROM g a JOIN g b ON a.gram = b.gram
               |WHERE a.doc_id % 31 <> 0 AND b.doc_id % 31 = 0
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // CCNet-style line-level exact dedup, keep-first (round 10): docs cut
+    // into 8-token lines (the fixture has no natural line breaks), every
+    // line occurring more than once in the corpus — including within one
+    // doc — keeps only its (doc, pos)-first occurrence, docs reassembled
+    // from survivors. The coarse sibling of q137's substring spans: one
+    // groupBy(line) with an integer-packed keep-first min, one
+    // aggregate→probe join back, one per-doc regroup.
+    QueryDef("q219_line_dedup",
+      (s, d) => graft.ops.Dedup.dedupLinesKeepFirst(
+        Tables.documents(s, d), "doc_id", "text", lineTokens = 8),
+      Some(s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql} AS tk
+              |          FROM documents),
+              |n AS (SELECT doc_id, tk,
+              |        CAST(ceil(len(tk) / 8.0) AS BIGINT) AS nl FROM t),
+              |l AS (SELECT doc_id, u.i AS pos,
+              |        array_to_string(tk[(u.i*8 + 1):(u.i*8 + 8)], ' ') AS line,
+              |        doc_id * 1048576 + u.i AS rnk
+              |      FROM n, unnest(range(nl)) AS u(i)),
+              |w AS (SELECT line, MIN(rnk) AS keep FROM l GROUP BY line),
+              |k AS (SELECT l.doc_id, l.pos, l.line
+              |      FROM l JOIN w USING (line) WHERE l.rnk = w.keep),
+              |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+              |        FROM l GROUP BY doc_id),
+              |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+              |        string_agg(line, ' ' ORDER BY pos) AS clean_text
+              |      FROM k GROUP BY doc_id)
+              |SELECT tot.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+              |  COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
+              |  tot.n_lines - COALESCE(a.n_lines_kept, 0) AS n_lines_dropped
+              |FROM tot LEFT JOIN a USING (doc_id)""".stripMargin))
   )
 }

@@ -559,6 +559,23 @@ class DedupSpec extends SparkSpec {
 
   private val sharedRun = (1 to 10).map(i => s"s$i").mkString(" ")
 
+  test("dedupLinesKeepFirst keeps only the corpus-first occurrence of each line") {
+    // lineTokens=2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [c d][c d],
+    // doc4 = [p q][r] (ragged tail forms its own line)
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d c d"), (4L, "p q r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(df, "doc_id", "text", lineTokens = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "a b c d") // first occurrences of both
+    assert(out(1L).getLong(2) == 2L && out(1L).getLong(3) == 0L)
+    assert(out(2L).getString(1) == "x y")     // "a b" lost to doc 1
+    assert(out(2L).getLong(2) == 1L && out(2L).getLong(3) == 1L)
+    // both "c d" lines lose: one to doc 1, the within-doc repeat to itself
+    assert(out(3L).getString(1) == "" && out(3L).getLong(3) == 2L)
+    assert(out(4L).getString(1) == "p q r" && out(4L).getLong(2) == 2L)
+  }
+
   test("exactSubstringSpans finds a planted cross-doc substring at exact positions") {
     val df = docs(
       1L -> s"a1 a2 a3 $sharedRun a4 a5",   // run at tokens 3..12
