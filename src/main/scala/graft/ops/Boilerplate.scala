@@ -74,6 +74,13 @@ object Boilerplate {
 
   /** Extract the main text of an HTML document column.
     *
+    * Keep rule (all-integer): a line survives iff `n_words ≥ minWords`
+    * AND `n_anchors · anchorDenom ≤ n_words` (link density) AND — when
+    * `stopwords` is non-empty — `n_stopwords · stopDenom ≥ n_words`
+    * (jusText's other half: real prose carries function words at a
+    * floor rate; navigation/boilerplate text doesn't). Stopword match is
+    * case-insensitive.
+    *
     * Output per row: `idCol`, `outCol` (kept lines joined by \n),
     * `n_lines_kept`, `n_lines_dropped` (non-blank lines the keep rule
     * rejected), `n_words` (word total across kept lines) — the counters
@@ -81,7 +88,9 @@ object Boilerplate {
     */
   def extractMainText(df: DataFrame, idCol: String, htmlCol: String,
                       minWords: Int = 3, anchorDenom: Int = 4,
-                      outCol: String = "main_text"): DataFrame = {
+                      outCol: String = "main_text",
+                      stopwords: Seq[String] = Nil,
+                      stopDenom: Int = 4): DataFrame = {
     val cleaned = blockRules.foldLeft(col(htmlCol)) {
       case (acc, (p, r)) => regexp_replace(acc, p, r)
     }
@@ -92,9 +101,14 @@ object Boilerplate {
     val feats = transform(feats0, f => struct(
       f("txt").alias("txt"), f("na").alias("na"),
       when(f("txt") === "", 0)
-        .otherwise(size(split(f("txt"), " "))).alias("nw")))
+        .otherwise(size(split(f("txt"), " "))).alias("nw"),
+      (if (stopwords.isEmpty) lit(0)
+       else size(filter(split(f("txt"), " "),
+         w => array_contains(typedLit(stopwords), lower(w))))).alias("ns")))
     val kept = filter(feats, f =>
-      f("nw") >= minWords && f("na") * anchorDenom <= f("nw"))
+      f("nw") >= minWords && f("na") * anchorDenom <= f("nw") &&
+        (if (stopwords.isEmpty) lit(true)
+         else f("ns") * stopDenom >= f("nw")))
     val nonblank = filter(feats, f => f("nw") > 0)
     df.select(col(idCol),
       array_join(transform(kept, f => f("txt")), "\n").alias(outCol),
@@ -117,7 +131,9 @@ object Boilerplate {
     */
   def extractMainTextSql(fromClause: String, idCol: String, htmlExpr: String,
                          minWords: Int = 3, anchorDenom: Int = 4,
-                         outCol: String = "main_text"): String = {
+                         outCol: String = "main_text",
+                         stopwords: Seq[String] = Nil,
+                         stopDenom: Int = 4): String = {
     val cleaned = blockRules.foldLeft(htmlExpr) { case (acc, (p, r)) =>
       val rep = if (r == "\n") "e'\\n'" else s"'$r'"
       s"regexp_replace($acc, '$p', $rep, 'g')"
@@ -125,6 +141,13 @@ object Boilerplate {
     val lineTxt = "trim(regexp_replace(" +
       sqlEntityDecode("regexp_replace(l, '<[^>]*>', ' ', 'g')") +
       ", '\\s+', ' ', 'g'))"
+    val nsExpr =
+      if (stopwords.isEmpty) "0"
+      else "len(list_filter(string_split(f.txt, ' '), w -> list_contains([" +
+        stopwords.map(s => s"'${s.replace("'", "''")}'").mkString(", ") +
+        "], lower(w))))"
+    val stopRule =
+      if (stopwords.isEmpty) "" else s" AND f.ns * $stopDenom >= f.nw"
     s"""WITH f0 AS (
        |  SELECT $idCol,
        |    list_transform(string_split($cleaned, e'\\n'), l -> struct_pack(
@@ -136,15 +159,18 @@ object Boilerplate {
        |    list_transform(f0, f -> struct_pack(
        |      txt := f.txt, na := f.na,
        |      nw  := CASE WHEN f.txt = '' THEN 0
-       |                  ELSE len(string_split(f.txt, ' ')) END)) AS feats
+       |                  ELSE len(string_split(f.txt, ' ')) END,
+       |      ns  := $nsExpr)) AS feats
        |  FROM f0),
        |k AS (
        |  SELECT $idCol, feats,
        |    list_filter(feats,
-       |      f -> f.nw >= $minWords AND f.na * $anchorDenom <= f.nw) AS kept
+       |      f -> f.nw >= $minWords AND f.na * $anchorDenom <= f.nw$stopRule)
+       |      AS kept
        |  FROM f1)
        |SELECT $idCol,
-       |  array_to_string(list_transform(kept, f -> f.txt), e'\\n') AS $outCol,
+       |  coalesce(array_to_string(list_transform(kept, f -> f.txt), e'\\n'), '')
+       |    AS $outCol,
        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
        |  CAST(len(list_filter(feats, f -> f.nw > 0)) - len(kept) AS BIGINT)
        |    AS n_lines_dropped,

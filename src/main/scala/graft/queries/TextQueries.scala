@@ -516,7 +516,29 @@ object TextQueries {
         "doc_id", "html"),
       Some(graft.ops.Boilerplate.extractMainTextSql(
         s"(SELECT doc_id, $htmlSynthSql AS html FROM documents) AS base",
-        "doc_id", "html")))
+        "doc_id", "html"))),
+
+    // jusText's OTHER half (q217 gates link density alone): real prose
+    // carries function words at a floor rate, navigation/boilerplate text
+    // doesn't — so the keep rule additionally requires n_stopwords·16 ≥
+    // n_words (ratio ≥ 0.0625, the fixture corpus's median density —
+    // discriminative, not vacuous). The fixture appends the case the rule
+    // exists for: an anchor-FREE menu line ("products services …") that
+    // link density alone keeps and stopword density correctly drops.
+    // Stopword list = the langid en lexicon (one shared public list).
+    QueryDef("q220_html_justext",
+      (s, d) => graft.ops.Boilerplate.extractMainText(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(htmlSynth, lit("<div>Products Services Solutions " +
+            "Pricing Documentation Blog</div>")).alias("html")),
+        "doc_id", "html",
+        stopwords = graft.ops.TextAnalysis.lexicons.toMap.apply("en"),
+        stopDenom = 16),
+      Some(graft.ops.Boilerplate.extractMainTextSql(
+        s"""(SELECT doc_id, $htmlSynthSql || '<div>Products Services Solutions Pricing Documentation Blog</div>' AS html FROM documents) AS base""",
+        "doc_id", "html",
+        stopwords = graft.ops.TextAnalysis.lexicons.toMap.apply("en"),
+        stopDenom = 16)))
   )
 
   /** Deterministic HTML shell around each document's text, stated

@@ -70,6 +70,25 @@ class BoilerplateSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") == 3L)
   }
 
+  test("stopword-density rule drops anchor-free menu text, keeps prose") {
+    val stops = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+    val df = Seq((1L,
+      "<div>Products Services Solutions Pricing Documentation Blog</div>" +
+        "<p>the quick brown fox jumps over a lazy dog in the yard</p>"))
+      .toDF("doc_id", "html")
+    val r = Boilerplate.extractMainText(df, "doc_id", "html",
+      stopwords = stops, stopDenom = 4).head()
+    // menu line: 6 words, 0 anchors — link density keeps it, stopword
+    // density (0 of 6) drops it; the prose line has 4/12 stopwords
+    assert(r.getAs[String]("main_text") ==
+      "the quick brown fox jumps over a lazy dog in the yard")
+    assert(r.getAs[Long]("n_lines_kept") == 1L)
+    assert(r.getAs[Long]("n_lines_dropped") == 1L)
+    // with the rule off (default), both lines survive
+    val off = Boilerplate.extractMainText(df, "doc_id", "html").head()
+    assert(off.getAs[Long]("n_lines_kept") == 2L)
+  }
+
   test("oracle SQL is generated from the same rule table (spot fields)") {
     val sql = Boilerplate.extractMainTextSql(
       "(SELECT 1 AS doc_id, '<p>x</p>' AS html) AS base", "doc_id", "html")
