@@ -128,7 +128,12 @@ object Fuzz {
     */
   final case class WinFrameR(in: Rel, part: String, ord: String,
                              tiebreak: String, valCol: String,
-                             lo: Int, hi: Int) extends Rel
+                             lo: Int, hi: Int,
+                             fn: String = "sum") extends Rel
+  // fn ∈ sum | min | max | cnt over the frame ("fsum" stays the output
+  // name); valCol is always a Long column by generator contract. cnt is
+  // the non-null COUNT — the one frame aggregate that yields 0, not
+  // null, on an empty/all-null frame.
   /** sum(`valCol`) over (partition by part order by ord
     * RANGE BETWEEN lo PRECEDING AND hi FOLLOWING) as "rsum" — VALUE-based
     * frames: all PEERS of a bound enter the frame together, so no
@@ -201,7 +206,7 @@ object Fuzz {
     case DistinctR(in)    => schemaOf(in)
     case WindowR(in, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
     case WinSumR(in, _, _, _, _) => schemaOf(in) :+ ("runsum" -> TLong)
-    case WinFrameR(in, _, _, _, _, _, _) => schemaOf(in) :+ ("fsum" -> TLong)
+    case WinFrameR(in, _, _, _, _, _, _, _) => schemaOf(in) :+ ("fsum" -> TLong)
     case WinRangeR(in, _, _, _, _, _) => schemaOf(in) :+ ("rsum" -> TLong)
     case SortLimitR(in, _) => schemaOf(in)
   }
@@ -294,12 +299,17 @@ object Fuzz {
         sum(col(v).cast("long")).over(
           Window.partitionBy(col(part)).orderBy(col(ord), col(tb))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    case WinFrameR(in, part, ord, tb, v, lo, hi) =>
+    case WinFrameR(in, part, ord, tb, v, lo, hi, fn) =>
       import org.apache.spark.sql.expressions.Window
-      toDF(spark, sfDir, in).withColumn("fsum",
-        sum(col(v).cast("long")).over(
-          Window.partitionBy(col(part)).orderBy(col(ord), col(tb))
-            .rowsBetween(-lo.toLong, hi.toLong)))
+      val w = Window.partitionBy(col(part)).orderBy(col(ord), col(tb))
+        .rowsBetween(-lo.toLong, hi.toLong)
+      val agg = fn match {
+        case "sum" => sum(col(v).cast("long")).over(w)
+        case "min" => min(col(v)).over(w).cast("long")
+        case "max" => max(col(v)).over(w).cast("long")
+        case "cnt" => count(col(v)).over(w)
+      }
+      toDF(spark, sfDir, in).withColumn("fsum", agg)
     case WinRangeR(in, part, ord, v, lo, hi) =>
       import org.apache.spark.sql.expressions.Window
       toDF(spark, sfDir, in).withColumn("rsum",
@@ -555,7 +565,7 @@ object Fuzz {
           row + ("runsum" -> acc)
         }
       }.toSeq
-    case WinFrameR(in, part, ord, tb, v, lo, hi) =>
+    case WinFrameR(in, part, ord, tb, v, lo, hi, fn) =>
       evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
         val sorted = grp.sortWith { (a, b) =>
           val c = cmpNullsFirst(a(ord), b(ord))
@@ -563,11 +573,18 @@ object Fuzz {
         }.toIndexedSeq
         sorted.zipWithIndex.map { case (row, i) =>
           // physical frame [i-lo, i+hi] clamped to the partition; SQL
-          // null-skipping sum — an all-null (or empty) frame yields null
+          // null-skipping aggregate — empty/all-null frame yields null,
+          // except cnt which is the 0-valued non-null count
           val vs = (math.max(0, i - lo) to math.min(sorted.size - 1, i + hi))
             .map(j => sorted(j)(v)).filter(_ != null)
-          row + ("fsum" -> (if (vs.isEmpty) null
-                            else (vs.map(toL).sum: Any)))
+          val out: Any = fn match {
+            case "cnt" => vs.size.toLong
+            case _ if vs.isEmpty => null
+            case "sum" => vs.map(toL).sum
+            case "min" => vs.map(toL).min
+            case "max" => vs.map(toL).max
+          }
+          row + ("fsum" -> out)
         }
       }.toSeq
     case WinRangeR(in, part, ord, v, lo, hi) =>
@@ -859,13 +876,14 @@ object Fuzz {
         case 10 =>
           // bounded sliding ROWS frame — total order required, so base
           // table + primary-key tiebreak only (see WinFrameR scaladoc)
+          val ffn = pick(Seq("sum", "min", "max", "cnt"))
           if (rnd.nextBoolean())
             WinFrameR(Base("orders"), "o_orderstatus", "o_totalprice",
               "o_orderkey", pick(Seq("o_custkey", "o_orderkey")),
-              rnd.nextInt(4), rnd.nextInt(4))
+              rnd.nextInt(4), rnd.nextInt(4), ffn)
           else
             WinFrameR(Base("customer"), "c_mktsegment", "c_acctbal",
-              "c_custkey", "c_nationkey", rnd.nextInt(4), rnd.nextInt(4))
+              "c_custkey", "c_nationkey", rnd.nextInt(4), rnd.nextInt(4), ffn)
         case 11 =>
           // value-based RANGE frame over a non-null Long ordering key —
           // peers enter together, so ties are semantics, not flakiness

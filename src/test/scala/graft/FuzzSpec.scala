@@ -73,7 +73,8 @@ class FuzzSpec extends SparkSpec {
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
       case WinSumR(in, _, _, _, _) => ops(in) + "winsum"
-      case WinFrameR(in, _, _, _, _, _, _) => ops(in) + "windowframe"
+      case WinFrameR(in, _, _, _, _, _, _, fn) =>
+        ops(in) + "windowframe" + s"frame_$fn"
       case WinRangeR(in, _, _, _, _, _) => ops(in) + "rangeframe"
       case SortLimitR(in, _)    => ops(in) + "sortlimit"
     }
@@ -83,6 +84,7 @@ class FuzzSpec extends SparkSpec {
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "windowframe",
+      "frame_sum", "frame_min", "frame_max", "frame_cnt",
       "rangeframe", "sortlimit",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
       "upperfn", "substrfn", "like")
