@@ -424,4 +424,46 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col(idCol), col(labelOut), round(col("__cos"), 6).alias("score"))
   }
+
+  /** One spherical k-means EM step, exactly mirrored cross-engine: assign
+    * every vector to its max-cosine seed centroid (raw double cosine,
+    * ties → lowest centroid id — q50's ordering discipline), then
+    * recompute centroids as the per-dimension exact-decimal mean of the
+    * members. Seeds are corpus vectors by id (`seedIds`), so the whole
+    * step is a pure function of the data — the deterministic unit the
+    * iterative fit ([[ivfTopK]]'s internal sampled k-means) is built
+    * from, here surfaced with an oracle: what a DuckDB mirror CAN state
+    * is one EM step, not a float fixpoint, and one gated step pins the
+    * distance arithmetic, the tie rule, and the mean chain for all of
+    * them.
+    *
+    * Output long-form: (cluster, dim, n_members, centroid_val) — k·dim
+    * rows. Scale: the k-row centroid model broadcasts; the corpus scores
+    * map-side and shuffles once into the (cluster, dim) aggregate.
+    * Zero-norm vectors have no defined cosine and drop (fixture has
+    * none; mirror the filter when yours does).
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+                 seedIds: Seq[Long]): DataFrame = {
+    require(seedIds.nonEmpty, "need at least one seed centroid")
+    val cents = df.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv"))
+    val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cos").desc, col("cluster").asc)
+    val assigned = Projections.pinnedFilter(scored, col("__cos").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("__v"))
+    assigned
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).alias("n_members"),
+        round(Aggregations.exactAvg(col("__x").cast("double")), 6)
+          .alias("centroid_val"))
+      .select(col("cluster"), col("dim").cast("long").alias("dim"),
+        col("n_members"), col("centroid_val"))
+  }
 }

@@ -404,6 +404,36 @@ object SimilarityQueries {
              |  QUALIFY row_number() OVER (PARTITION BY vec_id
              |            ORDER BY cos DESC, clabel ASC) = 1)
              |SELECT true_label, predicted, COUNT(*) AS n
-             |FROM best GROUP BY 1, 2""".stripMargin))
+             |FROM best GROUP BY 1, 2""".stripMargin)),
+
+    // One spherical k-means EM step (round 10): assign by max raw-double
+    // cosine to 8 corpus-vector seeds (ties → lowest centroid id), then
+    // recompute centroids as per-dimension exact-decimal means — the
+    // deterministic unit ivfTopK's iterative fit is built from, surfaced
+    // with an oracle. A DuckDB mirror can state one EM step, not a float
+    // fixpoint; gating one step pins the distance arithmetic, the tie
+    // rule, and the mean chain for all of them. Long-form output
+    // (cluster, dim, n_members, centroid_val), k·64 rows.
+    QueryDef("q221_kmeans_step",
+      (s, d) => Similarity.kmeansStep(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq),
+      Some(s"""WITH c AS (SELECT vec_id AS cluster, embedding AS cv
+              |          FROM embeddings WHERE vec_id < 8),
+              |v AS (SELECT vec_id, embedding AS vv FROM embeddings),
+              |s AS (SELECT v.vec_id, c.cluster,
+              |        ${VectorFunctions.cosineSql("vv", "cv")} AS cos_raw
+              |      FROM v CROSS JOIN c),
+              |a AS (SELECT vec_id, cluster FROM s
+              |      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+              |        ORDER BY cos_raw DESC, cluster ASC) = 1),
+              |e AS (SELECT a.cluster, u.i AS dim,
+              |        CAST(vv[u.i + 1] AS DOUBLE) AS x
+              |      FROM a JOIN v USING (vec_id), unnest(range(len(vv))) AS u(i))
+              |SELECT cluster, CAST(dim AS BIGINT) AS dim,
+              |  CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  round(${graft.ops.Aggregations.exactAvgSql("x")}, 6)
+              |    AS centroid_val
+              |FROM e GROUP BY cluster, dim""".stripMargin))
   )
 }

@@ -394,7 +394,11 @@ class PlanSpec extends SparkSpec {
       "q213_collocations",
       //  - q218: dashboard cycle — the 1-row COUNT(*) total frame is
       //    crossed onto the 10-row page (both sides bounded by contract)
-      "q218_dashboard_cycle")
+      "q218_dashboard_cycle",
+      //  - q221: k-means step — the k-row centroid model is the broadcast
+      //    side (q178's nearest-centroid posture); the corpus scores
+      //    map-side
+      "q221_kmeans_step")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>

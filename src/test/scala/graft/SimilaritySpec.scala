@@ -8,6 +8,27 @@ import graft.functions.VectorFunctions
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("kmeansStep assigns by max cosine and recomputes exact-decimal means") {
+    // seeds 1 and 2 point along x and y; vectors 3-5 sit nearer one axis
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),   // seed A (x axis)
+      (2L, Array(0.0f, 1.0f)),   // seed B (y axis)
+      (3L, Array(2.0f, 0.5f)),   // → A
+      (4L, Array(0.5f, 2.0f)),   // → B
+      (5L, Array(3.0f, 1.0f)))   // → A
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.kmeansStep(df, "vec_id", "embedding", Seq(1L, 2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // cluster 1 members: 1,3,5 → dim0 mean (1+2+3)/3 = 2, dim1 (0+0.5+1)/3 = 0.5
+    assert(out((1L, 0L)).getLong(2) == 3L)
+    assert(out((1L, 0L)).getDouble(3) == 2.0)
+    assert(out((1L, 1L)).getDouble(3) == 0.5)
+    // cluster 2 members: 2,4 → dim0 mean 0.25, dim1 1.5
+    assert(out((2L, 0L)).getLong(2) == 2L)
+    assert(out((2L, 0L)).getDouble(3) == 0.25)
+    assert(out((2L, 1L)).getDouble(3) == 1.5)
+  }
+
   test("native dotp is bit-identical to the HOF left-fold on fixture vectors") {
     val a = graft.sources.Tables.embeddings(spark, sf001).limit(200)
       .select(col("vec_id"), col("embedding").alias("a"))
