@@ -249,4 +249,85 @@ trait DedupEmbedding {
     embeddingNearDup(df, idCol, vecCol, threshold, dim, rows, bands,
       prefilterBits = math.max(512, rows * bands))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering the embedding space, then pruning near-duplicates WITHIN
+    * each cluster — the pairwise stage never crosses cluster boundaries,
+    * which is the whole point of the algorithm's cost model. This is the
+    * deterministic, oracle-gateable statement of it:
+    *
+    *  1. assign every vector to its max-cosine seed centroid (the same
+    *     raw-double argmax + lowest-centroid-id tie rule as
+    *     [[Similarity.kmeansStep]], so one oracle discipline covers both);
+    *  2. rank cluster members by (quantized centroid-cosine ASC, id ASC)
+    *     — the paper keeps the LOW-centroid-similarity member of each
+    *     duplicate set (diversity), so low-similarity examples rank
+    *     first and survive; their high-similarity near-copies match an
+    *     earlier rank and drop;
+    *  3. drop a member when ANY earlier-ranked member of its cluster has
+    *     quantized pairwise cosine ≥ `threshold` (the reference
+    *     implementation's max-sim-to-preceding rule).
+    *
+    * Output: (idCol, cluster, centroid_cos, kept) — the full corpus
+    * annotated, not just survivors, so downstream can audit drop rates
+    * per cluster.
+    *
+    * Scale shape: the centroid set is k rows → broadcast; the only
+    * corpus-wide exchange is ONE hash shuffle on the cluster key; the
+    * pairwise stage is per-cluster local with O((n/k)²) work governed by
+    * k — raise the seed count with the corpus exactly as the paper does
+    * (they use k = 11k clusters for LAION-440M). For clusters that still
+    * blow the quadratic budget, [[embeddingNearDup]]'s banded layout is
+    * the sub-quadratic fallback within a cluster. Cosines are rounded to
+    * 6 dp before every comparison (the proven q76 cross-engine rule).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               seedIds: Seq[Long], threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(seedIds.nonEmpty, "need at least one seed centroid")
+    val cents = df.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).alias("__cid"), col(vecCol).alias("__cv"))
+    val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
+    val wAssign = Window.partitionBy(col("__id"))
+      .orderBy(col("__cos").desc, col("__cid").asc)
+    val assigned = Projections.pinnedFilter(scored, col("__cos").isNotNull)
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__cid").alias("cluster"),
+        round(col("__cos"), 6).alias("__ccos"), col("__v"))
+    val wRank = Window.partitionBy(col("cluster"))
+      .orderBy(col("__ccos").asc, col("__id").asc)
+    // ranked feeds three consumers (both pair sides + the final
+    // annotation); persist across them, release after the eager
+    // checkpoint — the triangleCounts hygiene
+    val ranked = assigned
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = ranked.select(col("cluster"), col("__rk").alias("__ra"),
+      col("__v").alias("__va"), col("__nrm").alias("__na"))
+    val r = ranked.select(col("cluster"), col("__rk").alias("__rb"),
+      col("__id").alias("__idb"), col("__v").alias("__vb"),
+      col("__nrm").alias("__nb"))
+    val dropped = Projections.pinnedFilter(
+      l.join(r, Seq("cluster")).filter(col("__ra") < col("__rb"))
+        .withColumn("__pc", round(
+          when(col("__na") > 0 && col("__nb") > 0,
+            VectorFunctions.dot(col("__va"), col("__vb")) /
+              (col("__na") * col("__nb")))
+            .otherwise(lit(null)), 6)),
+      col("__pc") >= threshold) // pinned: else the dot runs twice per pair
+      .select(col("__idb").alias("__drop")).distinct()
+    val out = ranked.join(dropped, col("__id") === col("__drop"), "left_outer")
+      .select(col("__id").alias(idCol), col("cluster"),
+        col("__ccos").alias("centroid_cos"),
+        col("__drop").isNull.alias("kept"))
+      .localCheckpoint(true)
+    ranked.unpersist()
+    out
+  }
 }

@@ -83,6 +83,175 @@ object TextAnalysis {
       .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
       .drop("__tk", "__g2")
 
+  /** The 8 function words the Gopher stopword-presence rule checks for
+    * (Rae et al. 2021, app. A1.1) — shared by [[gopherRules]] and its SQL
+    * mirror so the two can never drift.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher quality-rule table (Rae et al. 2021, app. A1.1) as
+    * per-document counters, per-rule booleans, and the conjunctive
+    * `keep_gopher` decision: word-count bounds, mean word length in
+    * [3, 10], symbol-to-word ratio (`#`/ellipsis) ≤ 0.1, bullet-initial
+    * lines ≤ 90%, ellipsis-final lines ≤ 30%, ≥ 80% of words carrying an
+    * alphabetic character, and ≥ 2 of the 8 [[gopherStopwords]] present.
+    *
+    * Every RULE is evaluated in integer arithmetic (e.g. alpha ≥ 0.8 is
+    * stated as 5·n_alpha ≥ 4·n_words), so the booleans are exact on any
+    * engine; the one double column (`mean_word_len`) is reporting-only
+    * and rounded to 6 dp. Pure per-row expressions over one bound token
+    * array and one bound line array — zero shuffles, codegen end-to-end,
+    * linear at any corpus size.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    def occ(pat: String, w: Int): Column =
+      ((length(t) - length(regexp_replace(t, pat, ""))) / w).cast("long")
+    df.withColumn("__tk", TextFunctions.tokens(t))
+      .withColumn("__ln", split(t, "\n"))
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("n_lines", size(col("__ln")).cast("long"))
+      .withColumn("__swl", aggregate(col("__tk"), lit(0L),
+        (a, x) => a + length(x).cast("long")))
+      .withColumn("n_alpha_words",
+        size(filter(col("__tk"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_symbol_hits",
+        occ("#", 1) + occ("\\.\\.\\.", 3) + occ("…", 1))
+      .withColumn("n_bullet_lines",
+        size(filter(col("__ln"), x => x.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("__ln"), x => x.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"))
+      .withColumn("n_stop_hits", size(array_intersect(col("__tk"),
+        array(gopherStopwords.map(lit): _*))).cast("long"))
+      .withColumn("mean_word_len", when(col("n_words") > 0,
+        round(col("__swl").cast("double") / col("n_words"), 6)))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_word_len", col("n_words") > 0 &&
+        col("__swl") >= lit(3L) * col("n_words") &&
+        col("__swl") <= lit(10L) * col("n_words"))
+      .withColumn("r_symbol_ratio", col("n_symbol_hits") * 10L <= col("n_words"))
+      .withColumn("r_bullet", col("n_bullet_lines") * 10L <= col("n_lines") * 9L)
+      .withColumn("r_ellipsis", col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("r_alpha", col("n_alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("r_stopwords", col("n_stop_hits") >= 2L)
+      .withColumn("keep_gopher", Seq("r_word_count", "r_word_len",
+        "r_symbol_ratio", "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords")
+        .map(col).reduce(_ && _))
+      .drop("__tk", "__ln", "__swl")
+  }
+
+  /** DuckDB mirror of [[gopherRules]] over `base` (must expose `doc_id`
+    * and the text column) — generated from the SAME bounds and
+    * [[gopherStopwords]] constants, emitting the identical column set.
+    */
+  def gopherRulesSql(base: String, textCol: String,
+                     minWords: Long = 50, maxWords: Long = 100000): String = {
+    val stops = gopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH g0 AS (SELECT doc_id, $textCol AS t FROM $base),
+       |g1 AS (SELECT doc_id, t,
+       |  regexp_split_to_array(trim(lower(t)), '\\s+') AS tk,
+       |  string_split(t, chr(10)) AS ln FROM g0),
+       |g2 AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  CAST(len(ln) AS BIGINT) AS n_lines,
+       |  list_reduce(list_transform(tk, x -> CAST(len(x) AS BIGINT)),
+       |    (a, b) -> a + b) AS swl,
+       |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+       |    AS n_alpha_words,
+       |  CAST((length(t) - length(replace(t, '#', '')))
+       |     + (length(t) - length(replace(t, '...', ''))) / 3
+       |     + (length(t) - length(replace(t, '…', ''))) AS BIGINT)
+       |    AS n_symbol_hits,
+       |  CAST(len(list_filter(ln, x -> regexp_matches(x, '^\\s*[-*•]')))
+       |    AS BIGINT) AS n_bullet_lines,
+       |  CAST(len(list_filter(ln, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))
+       |    AS BIGINT) AS n_ellipsis_lines,
+       |  CAST(len(list_intersect(tk, [$stops])) AS BIGINT) AS n_stop_hits
+       |FROM g1)
+       |SELECT doc_id, n_words, n_lines, n_alpha_words, n_symbol_hits,
+       |  n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+       |  CASE WHEN n_words > 0
+       |    THEN round(CAST(swl AS DOUBLE) / n_words, 6) END AS mean_word_len,
+       |  (n_words >= $minWords AND n_words <= $maxWords) AS r_word_count,
+       |  (n_words > 0 AND swl >= 3 * n_words AND swl <= 10 * n_words)
+       |    AS r_word_len,
+       |  (n_symbol_hits * 10 <= n_words) AS r_symbol_ratio,
+       |  (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
+       |  (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
+       |  (n_alpha_words * 5 >= n_words * 4) AS r_alpha,
+       |  (n_stop_hits >= 2) AS r_stopwords,
+       |  (n_words >= $minWords AND n_words <= $maxWords
+       |    AND n_words > 0 AND swl >= 3 * n_words AND swl <= 10 * n_words
+       |    AND n_symbol_hits * 10 <= n_words
+       |    AND n_bullet_lines * 10 <= n_lines * 9
+       |    AND n_ellipsis_lines * 10 <= n_lines * 3
+       |    AND n_alpha_words * 5 >= n_words * 4
+       |    AND n_stop_hits >= 2) AS keep_gopher
+       |FROM g2""".stripMargin
+  }
+
+  /** DSIR importance signals (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * fit two hashed-n-gram bag models — one on the TARGET slice (the
+    * distribution you want more of), one on the RAW corpus — and score
+    * every document by how target-like its grams are. Grams are the
+    * document's unigrams + bigrams (non-distinct: frequency is signal),
+    * hashed into `buckets` buckets via the portable-md5 discipline
+    * (first 4 hex chars parsed as an int — any engine with a standard
+    * md5 reproduces the bucketing bit-for-bit), bucket probabilities
+    * add-one smoothed.
+    *
+    * The paper scores log p_t(g) − p_r(g) sums; logs are transcendental
+    * and libm's last-ulp drift breaks cross-engine hash gates (the q109
+    * lesson), so the score is stated rationally: each gram's importance
+    * ratio p_t(b)/p_r(b) = (ct+1)(TR+B) / ((cr+1)(TT+B)) is an exact
+    * integer ratio rounded at 6 dp, and the document signals are the
+    * exact-decimal MEAN of those ratios plus the count of target-leaning
+    * grams (ratio > 1). Ranking by mean ratio is order-isomorphic to the
+    * paper's mean-log for the distribution tails a selector keeps/cuts.
+    *
+    * Scale shape: pass 1 is ONE explode→agg corpus scan producing both
+    * models simultaneously (conditional sum for the target side) into a
+    * B-row table; totals and per-bucket ratios stay B-row and broadcast;
+    * pass 2 re-explodes and probes the broadcast ratio table — two linear
+    * scans, no corpus-sized shuffle on anything but the doc-id regroup,
+    * exactly the paper's fit-once-score-once cost model.
+    */
+  def dsirSignals(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 64): DataFrame = {
+    val withGrams = df
+      .withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol), targetPred.alias("__is_t"),
+        explode(concat(col("__tk"), grams(col("__tk"), 2))).alias("__g"))
+      .withColumn("__b",
+        conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("long") % buckets)
+    val bucketCounts = withGrams.groupBy(col("__b"))
+      .agg(count(lit(1)).alias("__cr"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).alias("__ct"))
+    val totals = bucketCounts
+      .agg(sum(col("__cr")).alias("__tr"), sum(col("__ct")).alias("__tt"))
+    // the fitted model is B rows — materialize it eagerly (the HITS
+    // mean-normalization discipline) so the scoring pass probes a
+    // checkpointed broadcast table instead of re-deriving the fit, and
+    // the 1-row totals join never reaches the corpus-sized plan
+    val ratios = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(((col("__ct") + 1) * (col("__tr") + buckets)).cast("double") /
+          ((col("__cr") + 1) * (col("__tt") + buckets)), 6).alias("__ratio"))
+      .localCheckpoint(true)
+    withGrams.join(broadcast(ratios), "__b")
+      .groupBy(col(idCol), col("__is_t"))
+      .agg(count(lit(1)).alias("n_grams"),
+        round(Aggregations.exactAvg(col("__ratio")), 6).alias("mean_ratio"),
+        sum(when(col("__ratio") > 1.0, 1L).otherwise(0L))
+          .alias("n_target_leaning"))
+      .select(col(idCol), col("__is_t").alias("is_target"),
+        col("n_grams"), col("mean_ratio"), col("n_target_leaning"))
+  }
+
   /** Stopword-lexicon language ID: score = |distinct tokens ∩ lexicon| per
     * language; argmax with fixed priority order on ties. Emits
     * `lang_pred` + per-language scores.

@@ -580,6 +580,42 @@ object DedupQueries {
               |SELECT tot.doc_id, COALESCE(a.clean_text, '') AS clean_text,
               |  COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
               |  tot.n_lines - COALESCE(a.n_lines_kept, 0) AS n_lines_dropped
-              |FROM tot LEFT JOIN a USING (doc_id)""".stripMargin))
+              |FROM tot LEFT JOIN a USING (doc_id)""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    // assign to max-cosine seed centroids (q221's assignment rule), rank
+    // within cluster by centroid-cosine ASC (the paper keeps the
+    // LOW-centroid-similarity member of each duplicate set, so those
+    // rank first and survive), drop members
+    // whose pairwise cosine against ANY earlier-ranked cluster-mate
+    // reaches the threshold. 0.4 on the near-orthogonal fixture for the
+    // same reason as q44/q76. The oracle restates all three stages, so it
+    // gates the assignment, the rank rule, and the drop rule together.
+    QueryDef("q222_semdedup",
+      (s, d) => Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq, threshold = 0.4),
+      Some {
+        val cos = graft.functions.VectorFunctions.cosineSql _
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |          FROM embeddings WHERE vec_id < 8),
+           |v AS (SELECT vec_id, embedding AS vv FROM embeddings),
+           |s AS (SELECT v.vec_id, c.cid, ${cos("vv", "cv")} AS cos_raw
+           |      FROM v CROSS JOIN c),
+           |a AS (SELECT vec_id, cid AS cluster, round(cos_raw, 6) AS ccos
+           |      FROM s QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY cos_raw DESC, cid ASC) = 1),
+           |rk AS (SELECT vec_id, cluster, ccos,
+           |        ROW_NUMBER() OVER (PARTITION BY cluster
+           |          ORDER BY ccos ASC, vec_id ASC) AS r
+           |       FROM a),
+           |drp AS (SELECT DISTINCT y.vec_id AS idb
+           |        FROM rk x JOIN rk y ON x.cluster = y.cluster AND x.r < y.r
+           |        JOIN v vx ON vx.vec_id = x.vec_id
+           |        JOIN v vy ON vy.vec_id = y.vec_id
+           |        WHERE round(${cos("vx.vv", "vy.vv")}, 6) >= 0.4)
+           |SELECT rk.vec_id, cluster, ccos AS centroid_cos,
+           |  (drp.idb IS NULL) AS kept
+           |FROM rk LEFT JOIN drp ON rk.vec_id = drp.idb""".stripMargin
+      })
   )
 }

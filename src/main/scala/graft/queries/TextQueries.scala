@@ -538,8 +538,97 @@ object TextQueries {
         s"""(SELECT doc_id, $htmlSynthSql || '<div>Products Services Solutions Pricing Documentation Blog</div>' AS html FROM documents) AS base""",
         "doc_id", "html",
         stopwords = graft.ops.TextAnalysis.lexicons.toMap.apply("en"),
-        stopDenom = 16)))
+        stopDenom = 16))),
+
+    // The full Gopher quality-rule table (Rae et al. 2021) at its REAL
+    // published bounds — min 50 words is discriminative here (fixture
+    // median is 56). The fixture appends deterministic multi-line
+    // suffixes ([[gopherSuffixes]], one shared table driving both
+    // engines) so every rule fires both ways: doc_id%5==0 gets 10
+    // bullet-initial lines (bullet frac 10/11 > 0.9 → dropped),
+    // %5==1 one trailing-ellipsis line of four (1/4 ≤ 0.3 → kept) plus a
+    // mid-line '…' (counts as a symbol hit, not an ellipsis line) AND the
+    // corpus's only 2nd stopword ('and' — the word-salad vocab carries
+    // only 'the', so every OTHER doc fails r_stopwords and the
+    // conjunctive keep fires true only on long-enough %5==1 docs), %5==2 a
+    // hash-tag line gating the symbol ratio on word count. The oracle is
+    // generated from the same bounds/stoplist constants as the op
+    // (TextAnalysis.gopherRulesSql).
+    QueryDef("q223_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(
+        Tables.documents(s, d)
+          .withColumn("gtext", concat(col("text"), gopherSuffixCol)), "gtext")
+        .select("doc_id", "n_words", "n_lines", "n_alpha_words",
+          "n_symbol_hits", "n_bullet_lines", "n_ellipsis_lines",
+          "n_stop_hits", "mean_word_len", "r_word_count", "r_word_len",
+          "r_symbol_ratio", "r_bullet", "r_ellipsis", "r_alpha",
+          "r_stopwords", "keep_gopher"),
+      Some(TextAnalysis.gopherRulesSql(
+        s"(SELECT doc_id, text || $gopherSuffixSql AS gtext FROM documents)",
+        "gtext"))),
+
+    // DSIR importance signals (Xie et al. 2023): target slice = English
+    // docs, raw = the whole corpus; unigram+bigram grams hashed into 64
+    // buckets via portable md5, add-one-smoothed bucket models, per-doc
+    // exact-decimal mean importance ratio + target-leaning gram count.
+    // The oracle restates both passes (model fit and scoring), so it
+    // gates the bucketing, the smoothing arithmetic, and the mean chain.
+    QueryDef("q224_dsir_importance",
+      (s, d) => TextAnalysis.dsirSignals(
+        Tables.documents(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en", buckets = 64),
+      Some(s"""WITH t AS (SELECT doc_id, (lang = 'en') AS is_t, $toks AS tk
+              |          FROM documents),
+              |g AS (SELECT doc_id, is_t, u.g
+              |      FROM t, unnest(list_cat(tk,
+              |        CASE WHEN len(tk) >= 2
+              |          THEN list_transform(range(len(tk) - 1),
+              |                 i -> tk[i+1] || ' ' || tk[i+2])
+              |          ELSE CAST([] AS VARCHAR[]) END)) AS u(g)),
+              |b AS (SELECT doc_id, is_t,
+              |        ('0x' || substr(md5(g), 1, 4))::BIGINT % 64 AS bk
+              |      FROM g),
+              |bc AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr,
+              |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+              |       FROM b GROUP BY bk),
+              |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+              |r AS (SELECT bk,
+              |        round(CAST((ct + 1) * (tr + 64) AS DOUBLE) /
+              |              ((cr + 1) * (tt + 64)), 6) AS ratio
+              |      FROM bc CROSS JOIN tot),
+              |sc AS (SELECT doc_id, is_t, ratio FROM b JOIN r USING (bk))
+              |SELECT doc_id, is_t AS is_target,
+              |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+              |  round(${exactAvgSql("ratio")}, 6) AS mean_ratio,
+              |  CAST(SUM(CASE WHEN ratio > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_target_leaning
+              |FROM sc GROUP BY doc_id, is_t""".stripMargin))
   )
+
+  /** Deterministic multi-line suffixes for the Gopher fixture — ONE table
+    * rendered into both the Spark column ([[gopherSuffixCol]]) and the
+    * DuckDB CASE expression ([[gopherSuffixSql]]).
+    */
+  private lazy val gopherSuffixes: Seq[(Int, Seq[String])] = Seq(
+    0 -> (Seq("- item one", "- item two", "- item three", "- item four",
+      "- item five", "- item six", "- item seven", "- item eight",
+      "* item nine", "• item ten")),
+    1 -> Seq("this line trails off...", "and a mid-line pause… continues",
+      "but this one ends here"),
+    2 -> Seq("### ## # tags 12345 67890"))
+
+  private def gopherSuffixCol: org.apache.spark.sql.Column =
+    gopherSuffixes.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((m, ls), rest) =>
+        when(col("doc_id") % 5 === m, lit(ls.mkString("\n", "\n", "")))
+          .otherwise(rest)
+    }
+
+  private def gopherSuffixSql: String =
+    "CASE " + gopherSuffixes.map { case (m, ls) =>
+      s"WHEN doc_id % 5 = $m THEN " +
+        ls.map(l => s"chr(10) || '$l'").mkString(" || ")
+    }.mkString(" ") + " ELSE '' END"
 
   /** Deterministic HTML shell around each document's text, stated
     * identically in Spark (here) and DuckDB ([[htmlSynthSql]]): head

@@ -656,4 +656,50 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((14L, 1L, 10L, "b1 b2 b3 b4")))
     assert(out(3L) == ((12L, 0L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")))
   }
+
+  test("semDedup keeps the LOW-centroid-similarity member of a duplicate pair") {
+    // seeds 10 (≈e0) and 20 (≈e1). id 1 is a near-copy of seed 10
+    // (cos ≈ 0.9998 ≥ 0.99) but sits slightly OFF the centroid, so the
+    // paper's diversity rule keeps id 1 and drops the centroid-hugging
+    // seed 10. id 2 shares the cluster below threshold; cluster B's pair
+    // (20, 3) is below threshold entirely; id 5 ties between both seeds
+    // (cos = √2/2 to each) and must land in the LOWEST centroid id.
+    val df = Seq(
+      10L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      20L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      1L -> Seq(1.0f, 0.02f, 0.0f, 0.0f),
+      2L -> Seq(0.9f, 0.35f, 0.0f, 0.0f),
+      3L -> Seq(0.0f, 1.0f, 0.25f, 0.0f),
+      5L -> Seq(1.0f, 1.0f, 0.0f, 0.0f)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", Seq(10L, 20L), 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((10L, false)), "centroid-hugging near-copy must drop")
+    assert(out(1L) == ((10L, true)), "the diverse member of the pair survives")
+    assert(out(2L) == ((10L, true)))
+    assert(out(20L) == ((20L, true)))
+    assert(out(3L) == ((20L, true)))
+    assert(out(5L) == ((10L, true)), "seed-cosine tie must break to the lowest centroid id")
+  }
+
+  test("semDedup never drops across cluster boundaries") {
+    // ids 3 and 4 are near-copies (cos ≈ 0.9973 ≥ 0.99) but straddle the
+    // cluster boundary — 3 assigns to seed 1 (cos 0.97523 vs 0.97412),
+    // 4 to seed 2 (0.98805 vs 0.95643). SemDeDup by design only prunes
+    // within a cluster, so BOTH survive; the within-cluster pairs
+    // (3 vs seed 1 at 0.9752, 4 vs seed 2 at 0.98805) sit below the
+    // threshold. This pins the algorithm's deliberate blind spot — the
+    // reason the paper's recall depends on cluster quality.
+    val df = Seq(
+      1L -> Seq(1.0f, 0.0f),
+      2L -> Seq(0.9f, 0.43589f),
+      3L -> Seq(0.97f, 0.22f),
+      4L -> Seq(0.95f, 0.29f)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", Seq(1L, 2L), 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(3L) == ((1L, true)) && out(4L) == ((2L, true)),
+      s"cross-cluster near-dups must both survive: $out")
+    assert(out(1L) == ((1L, true)) && out(2L) == ((2L, true)))
+  }
 }

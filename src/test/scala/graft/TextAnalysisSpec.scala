@@ -169,4 +169,82 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(top.toSeq == Seq(1L)) // tie on score → lower doc_id wins
   }
+
+  test("gopherRules evaluates each rule on crafted violations") {
+    val df = docs(
+      // 1: clean — 8 distinct stopwords + 44 alpha words = 52 words, keep
+      1L -> ("the be to of and that have with " +
+        (1 to 44).map(i => s"word$i").mkString(" ")),
+      // 2: too short (3 words) and only 1 stopword
+      2L -> "the quick fox",
+      // 3: bullet-heavy — 10 of 11 lines bullet-initial (10/11 > 0.9)
+      3L -> ("intro line\n" + (1 to 8).map(i => s"- item $i").mkString("\n")
+        + "\n* item nine\n  • item ten"),
+      // 4: ellipsis-heavy — 2 of 4 lines trail off (2/4 > 0.3); one via …
+      4L -> "first trails...\nsecond stays\nthird also goes…\nfourth stays",
+      // 5: symbol-heavy — 3 '#' + 1 '...' + 1 '…' = 5 hits over 4 words
+      5L -> "# ## tag... rest…",
+      // 6: digit words — 4 of 5 words carry no alphabetic char (1/5 < 0.8)
+      6L -> "12345 67890 999 111 cat",
+      // 7: two-char words — mean word length 2 < 3
+      7L -> "aa bb cc dd ee")
+    val out = TextAnalysis.gopherRules(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep_gopher"),
+      "the clean 52-word doc must pass every rule")
+    assert(out(1L).getAs[Long]("n_stop_hits") == 8L)
+    assert(!out(2L).getAs[Boolean]("r_word_count"))
+    assert(!out(2L).getAs[Boolean]("r_stopwords")) // only 'the'
+    assert(out(3L).getAs[Long]("n_bullet_lines") == 10L) // -, *, indented •
+    assert(!out(3L).getAs[Boolean]("r_bullet"))
+    assert(out(4L).getAs[Long]("n_ellipsis_lines") == 2L) // ... and …
+    assert(!out(4L).getAs[Boolean]("r_ellipsis"))
+    assert(out(5L).getAs[Long]("n_symbol_hits") == 5L)
+    assert(!out(5L).getAs[Boolean]("r_symbol_ratio"))
+    assert(out(6L).getAs[Long]("n_alpha_words") == 1L)
+    assert(!out(6L).getAs[Boolean]("r_alpha"))
+    assert(out(7L).getAs[Double]("mean_word_len") == 2.0)
+    assert(!out(7L).getAs[Boolean]("r_word_len"))
+  }
+
+  test("gopherRules word-count bounds are parameters (both ends)") {
+    val df = docs(1L -> "a b c d e", 2L -> "a b")
+    val out = TextAnalysis.gopherRules(df, "text", minWords = 3, maxWords = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("r_word_count")).toMap
+    assert(out == Map(1L -> false, 2L -> false)) // 5 > max, 2 < min
+  }
+
+  test("dsirSignals computes the closed-form smoothed importance ratios") {
+    // target doc "x x x" (grams x·3, "x x"·2), raw-only doc "y y y".
+    // TT = 5, TR = 10, B = 64; buckets (md5-derived) are distinct:
+    // x→20, "x x"→34, y→18, "y y"→51. Every x-gram bucket has ct = cr,
+    // so ratio = (TR+64)/(TT+64) = 74/69 ≈ 1.072464; y buckets have
+    // ct = 0: y → 74/276 ≈ 0.268116, "y y" → 74/207 ≈ 0.357488.
+    val df = Seq((1L, "x x x", true), (2L, "y y y", false))
+      .toDF("doc_id", "text", "is_en")
+    val out = TextAnalysis.dsirSignals(df, "doc_id", "text", col("is_en"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_target"))
+    assert(out(1L).getAs[Long]("n_grams") == 5L)
+    assert(math.abs(out(1L).getAs[Double]("mean_ratio") - 1.072464) < 1e-9)
+    assert(out(1L).getAs[Long]("n_target_leaning") == 5L)
+    assert(out(2L).getAs[Long]("n_grams") == 5L)
+    // mean of (0.268116·3 + 0.357488·2)/5 = 0.303865 after 6-dp rounds
+    assert(math.abs(out(2L).getAs[Double]("mean_ratio") - 0.303865) < 1e-9)
+    assert(out(2L).getAs[Long]("n_target_leaning") == 0L)
+  }
+
+  test("dsirSignals ranks target-like docs above off-target docs") {
+    val df = Seq(
+      (1L, "spark table join window agg", true),
+      (2L, "spark table join window agg", false), // same text, raw slice
+      (3L, "der hund und die katze", false))
+      .toDF("doc_id", "text", "is_en")
+    val out = TextAnalysis.dsirSignals(df, "doc_id", "text", col("is_en"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_ratio")).toMap
+    assert(out(1L) == out(2L), "scoring depends on grams, not the label")
+    assert(out(1L) > out(3L), "target-vocabulary docs must score higher")
+  }
 }
