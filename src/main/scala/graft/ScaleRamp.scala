@@ -56,6 +56,21 @@ object ScaleRamp {
         graft.ops.Similarity.ivfTopK(emb, emb, "vec_id", "embedding", k = 10,
           nCentroids = math.max(16, math.sqrt(n.toDouble).toInt), nProbe = 8)
       }),
+      // q222's operator: fixed-k registry form vs the paper's k ∝ n seed
+      // rule — SemDeDup's pairwise stage is Σ(n_c²) ≈ n²/k, so a fixed
+      // seed count bends quadratic at 10× data while k scaled with the
+      // corpus (k = n/250 here; the paper uses 11k clusters for 440M)
+      // holds the pairwise work linear. The A/B adjudicates that the
+      // in-API control (seedIds) is the real mitigation.
+      "x_semdedup_fixed_k8" -> (() => graft.ops.Dedup.semDedup(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq, threshold = 0.4)),
+      "x_semdedup_scaled_k" -> (() => {
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        val k = math.max(8L, emb.count() / 250L)
+        graft.ops.Dedup.semDedup(emb, "vec_id", "embedding",
+          seedIds = (0L until k).toSeq, threshold = 0.4)
+      }),
       // q135's operator without the oracle-bounding doc_id cap (the
       // recursive-CTE oracle is why the registry form stops at 500 docs):
       // cluster-aware split over the WHOLE corpus — the family's most
