@@ -108,6 +108,13 @@ object Fuzz {
     */
   final case class SetR(a: Rel, b: Rel, except: Boolean) extends Rel
   final case class AggR(in: Rel, key: String, aggs: Seq[(String, AggFn)]) extends Rel
+  /** GROUP BY ROLLUP(k1, k2) with grouping_id(): the (k1,k2) detail level
+    * ++ the (k1) subtotal (k2 rolled to NULL) ++ the grand total — `gid`
+    * ∈ {0,1,3} is what distinguishes a REAL NULL key value from a
+    * rolled-up one (the q216 semantic, now under differential fuzz).
+    */
+  final case class RollupR(in: Rel, k1: String, k2: String,
+                           aggs: Seq[(String, AggFn)]) extends Rel
   final case class DistinctR(in: Rel) extends Rel
   /** row_number() over (partition by part order by ord, tiebreak) */
   final case class WindowR(in: Rel, part: String, ord: String, tiebreak: String) extends Rel
@@ -182,6 +189,13 @@ object Fuzz {
     case NullIfE(a, _)   => resolveType(a, schema)
   }
 
+  private def aggTyp(fn: AggFn, inSchema: Seq[(String, Typ)]): Typ = fn match {
+    case CountStar | SumL(_) => TLong
+    case AvgL(_)             => TDouble
+    case MinC(c)             => inSchema.find(_._1 == c).get._2
+    case MaxC(c)             => inSchema.find(_._1 == c).get._2
+  }
+
   def schemaOf(r: Rel): Seq[(String, Typ)] = r match {
     case Base(n)          => schemas(n)
     case FilterR(in, _)   => schemaOf(in)
@@ -195,14 +209,12 @@ object Fuzz {
     case AggR(in, k, aggs) =>
       val inSchema = schemaOf(in)
       val kt = inSchema.find(_._1 == k).get._2
-      (k -> kt) +: aggs.map { case (n, fn) =>
-        n -> (fn match {
-          case CountStar | SumL(_) => TLong
-          case AvgL(_) => TDouble
-          case MinC(c) => inSchema.find(_._1 == c).get._2
-          case MaxC(c) => inSchema.find(_._1 == c).get._2
-        })
-      }
+      (k -> kt) +: aggs.map { case (n, fn) => n -> aggTyp(fn, inSchema) }
+    case RollupR(in, k1, k2, aggs) =>
+      val inSchema = schemaOf(in)
+      def kt(k: String) = inSchema.find(_._1 == k).get._2
+      Seq(k1 -> kt(k1), k2 -> kt(k2), ("gid", TLong): (String, Typ)) ++
+        aggs.map { case (n, fn) => n -> aggTyp(fn, inSchema) }
     case DistinctR(in)    => schemaOf(in)
     case WindowR(in, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
     case WinSumR(in, _, _, _, _) => schemaOf(in) :+ ("runsum" -> TLong)
@@ -287,6 +299,10 @@ object Fuzz {
       toDF(spark, sfDir, in).groupBy(col(k)).agg(
         aggCol(aggs.head._1, aggs.head._2),
         aggs.tail.map { case (n, fn) => aggCol(n, fn) }: _*)
+    case RollupR(in, k1, k2, aggs) =>
+      toDF(spark, sfDir, in).rollup(col(k1), col(k2)).agg(
+        grouping_id().cast("long").alias("gid"),
+        aggs.map { case (n, fn) => aggCol(n, fn) }: _*)
     case DistinctR(in)   => toDF(spark, sfDir, in).distinct()
     case WindowR(in, part, ord, tb) =>
       import org.apache.spark.sql.expressions.Window
@@ -471,6 +487,24 @@ object Fuzz {
       })
   }
 
+  /** Null-skipping aggregate evaluation shared by [[AggR]] and [[RollupR]]
+    * (empty input: count 0, every other aggregate null).
+    */
+  private def aggValues(aggs: Seq[(String, AggFn)], rows: Seq[NRow]): Map[String, Any] =
+    aggs.map { case (n, fn) =>
+      n -> (fn match {
+        case CountStar => rows.size.toLong
+        case SumL(c) =>
+          val vs = rows.map(_(c)).filter(_ != null).map(toL)
+          if (vs.isEmpty) null else vs.sum
+        case MinC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = true)
+        case MaxC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = false)
+        case AvgL(c) =>
+          val vs = rows.map(_(c)).filter(_ != null).map(toL)
+          if (vs.isEmpty) null else vs.sum.toDouble / vs.size
+      })
+    }.toMap
+
   def evalRel(tables: Map[String, Seq[NRow]], r: Rel): Seq[NRow] = r match {
     case Base(n)        => tables(n)
     case FilterR(in, p) => evalRel(tables, in).filter(evalPred(p, _).contains(true))
@@ -503,20 +537,24 @@ object Fuzz {
       leftPart ++ rightPad
     case AggR(in, k, aggs) =>
       evalRel(tables, in).groupBy(_(k)).map { case (kv, rows) =>
-        (Map[String, Any](k -> kv) ++ aggs.map { case (n, fn) =>
-          n -> (fn match {
-            case CountStar => rows.size.toLong
-            case SumL(c) =>
-              val vs = rows.map(_(c)).filter(_ != null).map(toL)
-              if (vs.isEmpty) null else vs.sum
-            case MinC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = true)
-            case MaxC(c) => minMax(rows.map(_(c)).filter(_ != null), isMin = false)
-            case AvgL(c) =>
-              val vs = rows.map(_(c)).filter(_ != null).map(toL)
-              if (vs.isEmpty) null else vs.sum.toDouble / vs.size
-          })
-        }.toMap)
+        Map[String, Any](k -> kv) ++ aggValues(aggs, rows)
       }.toSeq
+    case RollupR(in, k1, k2, aggs) =>
+      val rows = evalRel(tables, in)
+      def level(keys: Seq[String], gid: Long): Seq[NRow] =
+        rows.groupBy(r => keys.map(r(_))).map { case (_, rs) =>
+          Map[String, Any](
+            k1 -> (if (keys.contains(k1)) rs.head(k1) else null),
+            k2 -> (if (keys.contains(k2)) rs.head(k2) else null),
+            "gid" -> gid) ++ aggValues(aggs, rs)
+        }.toSeq
+      // SPARK semantic, found BY this fuzzer: rollup over an EMPTY input
+      // yields ZERO rows — standard SQL (and DuckDB) emit one grand-total
+      // row (count 0) because the empty grouping set aggregates like an
+      // ungrouped query. The differential gate mirrors Spark; the
+      // cross-engine divergence is recorded in DECISIONS.md (oracle
+      // queries over possibly-empty inputs must not end in a bare ROLLUP).
+      level(Seq(k1, k2), 0L) ++ level(Seq(k1), 1L) ++ level(Seq.empty, 3L)
     case SemiR(l, rr, lk, rk, anti) =>
       val keys = evalRel(tables, rr).map(_(rk)).filter(_ != null).toSet
       evalRel(tables, l).filter { row =>
@@ -915,7 +953,15 @@ object Fuzz {
               Seq("mn" -> (MinC(pick(anyCols)): AggFn)) else Seq.empty) ++
             (if (rnd.nextBoolean())
               Seq("mx" -> (MaxC(pick(anyCols)): AggFn)) else Seq.empty)
-          val agg = AggR(mid, k, aggs)
+          // 1-in-3 aggregates become a two-key ROLLUP when a second
+          // groupable key exists (gid distinguishes rolled NULLs)
+          val k2s = schema
+            .filter(t => (t._2 == TLong || t._2 == TString) && t._1 != k)
+            .map(_._1)
+          val agg =
+            if (k2s.nonEmpty && rnd.nextInt(3) == 0)
+              RollupR(mid, k, pick(k2s), aggs)
+            else AggR(mid, k, aggs)
           if (rnd.nextBoolean())
             FilterR(agg, Cmp(pick(Seq(">", ">=", "<")), ColRef("cnt"),
               LitL(1 + rnd.nextInt(5).toLong)))

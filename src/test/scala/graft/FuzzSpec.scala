@@ -2,9 +2,10 @@ package graft
 
 /** Differential fuzzing of the core relational surface: 200 seeded random
   * plans (filter / project / inner+left+right+full join / semi+anti join /
-  * union / intersect+except / agg / having / distinct / window over
-  * customer⋈orders⋈nation) evaluated through Spark AND through [[Fuzz]]'s
-  * naive SQL-semantics interpreter, compared as canonical multisets.
+  * union / intersect+except / agg / rollup+grouping_id / having /
+  * distinct / window over customer⋈orders⋈nation) evaluated through Spark
+  * AND through [[Fuzz]]'s naive SQL-semantics interpreter, compared as
+  * canonical multisets.
   *
   * The seed corpus is `1 to 200` with [[Fuzz.Gen]]'s deterministic
   * derivation — committing the generator commits the corpus, so a
@@ -70,6 +71,7 @@ class FuzzSpec extends SparkSpec {
       case AggR(in, _, aggs)    =>
         ops(in) + "agg" ++
           (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
+      case RollupR(in, _, _, _) => ops(in) + "rollup"
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
       case WinSumR(in, _, _, _, _) => ops(in) + "winsum"
@@ -85,7 +87,7 @@ class FuzzSpec extends SparkSpec {
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "windowframe",
       "frame_sum", "frame_min", "frame_max", "frame_cnt",
-      "rangeframe", "sortlimit",
+      "rangeframe", "sortlimit", "rollup",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
       "upperfn", "substrfn", "like")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
