@@ -178,4 +178,98 @@ object Boilerplate {
        |    AS BIGINT) AS n_words
        |FROM k""".stripMargin
   }
+
+  // ---- URL canonicalization + URL-keyed dedup -----------------------
+
+  /** Tracking query parameters [[canonicalUrl]] drops — the shared rule
+    * list (rendered into both engines) every web-corpus pipeline strips
+    * before URL-keyed dedup.
+    */
+  val trackingParams: Seq[String] = Seq("utm_source", "utm_medium",
+    "utm_campaign", "utm_term", "utm_content", "fbclid", "gclid", "ref")
+
+  /** Canonical form of a URL column — the normalization CommonCrawl-style
+    * pipelines apply BEFORE URL-keyed document dedup, stated as a pure
+    * RE2-safe expression chain (identical in [[canonicalUrlSql]]):
+    *
+    *  1. drop the fragment;
+    *  2. lowercase scheme and host (path/query stay case-sensitive);
+    *  3. strip a leading `www.` and the scheme-default port
+    *     (`http:80` / `https:443`; other ports survive);
+    *  4. collapse duplicate slashes in the path, strip one trailing
+    *     slash (`/` alone → empty);
+    *  5. drop [[trackingParams]] and empty query params, SORT the rest
+    *     (param order never distinguishes documents).
+    *
+    * Non-URLs (no `scheme://host`) canonicalize to NULL. Zero shuffle,
+    * codegen end-to-end.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_replace(
+        regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1),
+        "/{2,}", "/"),
+      "/$", "")
+    val keepParams = filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => p =!= "" &&
+        !array_contains(typedLit(trackingParams), split(p, "=").getItem(0)))
+    val q = array_join(array_sort(keepParams), "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** DuckDB statement of [[canonicalUrl]] over `urlExpr` — generated from
+    * the same [[trackingParams]] list and the same regex chain.
+    */
+  def canonicalUrlSql(urlExpr: String): String = {
+    val tracking = trackingParams.map(p => s"'$p'").mkString(", ")
+    val noFrag = s"regexp_replace($urlExpr, '#.*$$', '')"
+    val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hostport = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)"
+    val host = s"regexp_replace(lower(regexp_replace($hostport, ':[0-9]+$$', '')), '^www\\.', '')"
+    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    val portPart = s"""CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
+                      |  OR ($scheme = 'https' AND $port = '443') THEN ''
+                      |  ELSE ':' || $port END""".stripMargin
+    val path = s"""regexp_replace(regexp_replace(
+                  |  regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1),
+                  |  '/{2,}', '/', 'g'), '/$$', '')""".stripMargin
+    // coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+    // Spark's array_join is '' — without it every query-less URL
+    // canonicalizes to NULL through the || chain
+    val q = s"""coalesce(array_to_string(list_sort(list_filter(
+               |  string_split(regexp_extract($noFrag, '\\?(.*)$$', 1), '&'),
+               |  p -> p <> '' AND NOT list_contains([$tracking],
+               |         string_split(p, '=')[1]))), '&'), '')""".stripMargin
+    s"""CASE WHEN $scheme = '' OR $host = '' THEN NULL
+       |  ELSE $scheme || '://' || $host || $portPart || $path ||
+       |    (CASE WHEN $q = '' THEN '' ELSE '?' || $q END) END""".stripMargin
+  }
+
+  /** URL-keyed keep-first dedup: every row annotated with its canonical
+    * URL and `kept` = (canonical is NULL, i.e. not a URL — never grouped)
+    * OR (lowest id among that canonical's rows). ONE hash shuffle on the
+    * canonical key (window min); at corpus scale pre-filter non-URL rows
+    * so the NULL partition cannot become the hot key.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .withColumn("__minid",
+        min(col(idCol)).over(Window.partitionBy(col("canonical_url"))))
+      .select(col(idCol), col("canonical_url"),
+        (col("canonical_url").isNull || col(idCol) === col("__minid"))
+          .alias("kept"))
+  }
 }

@@ -602,8 +602,69 @@ object TextQueries {
               |  round(${exactAvgSql("ratio")}, 6) AS mean_ratio,
               |  CAST(SUM(CASE WHEN ratio > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_target_leaning
-              |FROM sc GROUP BY doc_id, is_t""".stripMargin))
+              |FROM sc GROUP BY doc_id, is_t""".stripMargin)),
+
+    // URL canonicalization — fragment/tracking-param/default-port/www/
+    // trailing-slash/param-order normalization, the per-row pass that
+    // precedes URL-keyed dedup in CommonCrawl-style pipelines. Fixture:
+    // six deterministic variants per doc ([[urlVariants]], one shared
+    // table rendered into both engines); variants 0-2 and 3-4 of the same
+    // group collapse to identical canonicals, variant 5 is a non-URL →
+    // NULL. Oracle generated from the same regex chain + tracking list
+    // (Boilerplate.canonicalUrlSql).
+    QueryDef("q225_url_canonicalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), urlSynthCol.alias("url"))
+        .withColumn("canonical_url",
+          graft.ops.Boilerplate.canonicalUrl(col("url"))),
+      Some(s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents)
+              |SELECT doc_id, url,
+              |  ${graft.ops.Boilerplate.canonicalUrlSql("url")} AS canonical_url
+              |FROM u""".stripMargin)),
+
+    // URL-keyed keep-first dedup over the same fixture: one hash shuffle
+    // on the canonical key, lowest doc_id per canonical survives,
+    // non-URLs (NULL canonical) are never grouped.
+    QueryDef("q226_url_dedup",
+      (s, d) => graft.ops.Boilerplate.urlDedup(
+        Tables.documents(s, d).select(col("doc_id"), urlSynthCol.alias("url")),
+        "doc_id", "url"),
+      Some(s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
+              |c AS (SELECT doc_id,
+              |        ${graft.ops.Boilerplate.canonicalUrlSql("url")} AS canonical_url
+              |      FROM u)
+              |SELECT doc_id, canonical_url,
+              |  (canonical_url IS NULL OR
+              |   doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)) AS kept
+              |FROM c""".stripMargin))
   )
+
+  /** Deterministic URL fixture — ONE variant table rendered into both the
+    * Spark column ([[urlSynthCol]]) and the DuckDB CASE ([[urlSynthSql]]).
+    * Same `doc_id DIV 6` group across variants 0-2 (resp. 3-4) must
+    * collapse to one canonical URL; hosts are RFC 2606 reserved
+    * documentation domains.
+    */
+  private lazy val urlVariants: Seq[(Int, (String, String))] = Seq(
+    0 -> (("https://www.Example.com:443/g", "/page?b=2&a=1")),
+    1 -> (("https://example.com/g", "/page/?a=1&b=2&utm_source=news#frag")),
+    2 -> (("HTTPS://www.example.COM/g", "/page?a=1&b=2")),
+    3 -> (("http://example.org:80/g", "//sub")),
+    4 -> (("http://example.org/g", "/sub/")),
+    5 -> (("not a url ", "")))
+
+  private def urlSynthCol: org.apache.spark.sql.Column =
+    urlVariants.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((m, (pre, post)), rest) =>
+        when(col("doc_id") % 6 === m,
+          concat(lit(pre), expr("CAST(doc_id DIV 6 AS STRING)"), lit(post)))
+          .otherwise(rest)
+    }
+
+  private def urlSynthSql: String =
+    "CASE " + urlVariants.map { case (m, (pre, post)) =>
+      s"WHEN doc_id % 6 = $m THEN '$pre' || CAST(doc_id // 6 AS VARCHAR) || '$post'"
+    }.mkString(" ") + " ELSE '' END"
 
   /** Deterministic multi-line suffixes for the Gopher fixture — ONE table
     * rendered into both the Spark column ([[gopherSuffixCol]]) and the

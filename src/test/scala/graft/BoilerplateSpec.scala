@@ -101,4 +101,44 @@ class BoilerplateSpec extends SparkSpec {
     }
     assert(sql.contains(s"'${Boilerplate.anchorPattern}'"))
   }
+
+  private def canon(url: String): String = {
+    val r = Seq((1L, url)).toDF("doc_id", "url")
+      .select(Boilerplate.canonicalUrl(org.apache.spark.sql.functions.col("url"))
+        .alias("c")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonicalUrl applies every normalization rule") {
+    // default port + www + host case + fragment + param sort
+    assert(canon("https://WWW.Example.COM:443/a/b?z=1&a=2#frag") ==
+      "https://example.com/a/b?a=2&z=1")
+    // non-default port SURVIVES; duplicate + trailing slashes collapse
+    assert(canon("http://h.example:8080//x//y/") == "http://h.example:8080/x/y")
+    // tracking-only query → no '?' at all; root path → empty
+    assert(canon("https://example.org/?utm_source=a&fbclid=b&gclid=c") ==
+      "https://example.org")
+    // tracking params drop, the rest sort; empty params vanish
+    assert(canon("http://example.org/p?b=2&utm_campaign=x&&a=1") ==
+      "http://example.org/p?a=1&b=2")
+    // path/query case is PRESERVED (only scheme/host fold)
+    assert(canon("HTTP://EXAMPLE.ORG/CaseSensitive?Q=V") ==
+      "http://example.org/CaseSensitive?Q=V")
+    // not a URL → null
+    assert(canon("no scheme here") == null)
+    assert(canon("http://") == null)
+  }
+
+  test("urlDedup keeps the lowest id per canonical and every non-URL") {
+    val df = Seq(
+      1L -> "https://www.example.com/a?utm_source=x",
+      2L -> "https://example.com:443/a",   // same canonical as 1
+      3L -> "https://example.com/b",
+      4L -> "junk", 5L -> "junk"           // non-URLs: ALL kept
+    ).toDF("doc_id", "url")
+    val out = Boilerplate.urlDedup(df, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true))
+  }
 }
