@@ -193,6 +193,67 @@ object TextAnalysis {
        |FROM g2""".stripMargin
   }
 
+  /** Ordered mojibake repair table (the ftfy-style common cases): UTF-8
+    * bytes decoded as cp1252 — `â€™` for `'`, `Ã©` for `é`, `Â ` for a
+    * NBSP, etc. Each key is the EXACT cp1252 rendering of the fixed
+    * form's UTF-8 bytes; shared as data between [[fixMojibake]] and its
+    * SQL mirror. Punctuation maps to its ASCII equivalent (the corpus
+    * normalization most pipelines want), letters to the real letter.
+    */
+  val mojibakeRules: Seq[(String, String)] = Seq(
+    "â€™" -> "'", // ' (E2 80 99)
+    "â€œ" -> "\"", // " (E2 80 9C)
+    "â€" -> "\"", // " (E2 80 9D)
+    "â€“" -> "-", // – (E2 80 93)
+    "â€”" -> "-", // — (E2 80 94)
+    "â€¦" -> "...", // … (E2 80 A6)
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ã¤" -> "ä", // ä
+    "Ã¶" -> "ö", // ö
+    "Ã¼" -> "ü", // ü
+    "Ã±" -> "ñ", // ñ
+    "Ã§" -> "ç", // ç
+    "Â " -> " ") // NBSP read as latin-1
+
+  private val controlCharClass = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  private val exoticSpaceClass = "[   ]"
+
+  /** Encoding repair + character hygiene (the ftfy-lite pass CCNet-style
+    * pipelines run before tokenization): apply [[mojibakeRules]] in
+    * order, strip C0/DEL control characters (keeping \n and \t), unify
+    * exotic unicode spaces to ASCII space, collapse space runs. Emits
+    * `text_fixed` + a `changed` flag. Idempotent (every fixed form is a
+    * fixed point of the table). Pure per-row literal replaces + two
+    * regexes — zero shuffle, codegen end-to-end.
+    */
+  def fixMojibake(df: DataFrame, textCol: String,
+                  outCol: String = "text_fixed"): DataFrame = {
+    val repaired = mojibakeRules.foldLeft(col(textCol)) {
+      case (acc, (broken, fixed)) => replace(acc, lit(broken), lit(fixed))
+    }
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(repaired, controlCharClass, ""),
+        exoticSpaceClass, " "),
+      " {2,}", " ")
+    df.withColumn(outCol, cleaned)
+      .withColumn("changed", col(outCol) =!= col(textCol))
+  }
+
+  /** DuckDB mirror of [[fixMojibake]]'s column expression over `expr` —
+    * generated from the SAME rule table and character classes.
+    */
+  def fixMojibakeSql(expr: String): String = {
+    val repaired = mojibakeRules.foldLeft(expr) {
+      case (acc, (broken, fixed)) =>
+        s"replace($acc, '${broken.replace("'", "''")}', '${fixed.replace("'", "''")}')"
+    }
+    s"""regexp_replace(regexp_replace(regexp_replace($repaired,
+       |  '$controlCharClass', '', 'g'),
+       |  '$exoticSpaceClass', ' ', 'g'), ' {2,}', ' ', 'g')""".stripMargin
+  }
+
   /** DSIR importance signals (Xie et al. 2023, arXiv:2302.03169 —
     * "Data Selection for Language Models via Importance Resampling"):
     * fit two hashed-n-gram bag models — one on the TARGET slice (the

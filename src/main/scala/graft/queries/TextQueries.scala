@@ -636,8 +636,67 @@ object TextQueries {
               |SELECT doc_id, canonical_url,
               |  (canonical_url IS NULL OR
               |   doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)) AS kept
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // Mojibake repair + character hygiene (the ftfy-lite pass): fixture
+    // appends cp1252-mangled punctuation (doc_id%3==0: â€œ â€<9d> â€” â€¦
+    // â€™), mangled accents + a NBSP artifact + a control char + a double
+    // space (%3==1), or nothing (%3==2 → changed=false). Suffixes are
+    // shared Scala constants rendered into both engines (control chars
+    // via chr() splices in SQL); the oracle applies the generated mirror
+    // of the SAME rule table.
+    QueryDef("q227_fix_mojibake",
+      (s, d) => TextAnalysis.fixMojibake(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(col("text"), mojibakeSuffixCol).alias("t")), "t")
+        .select("doc_id", "text_fixed", "changed"),
+      Some(s"""WITH b AS (SELECT doc_id, text || $mojibakeSuffixSql AS t
+              |          FROM documents),
+              |f AS (SELECT doc_id, t,
+              |        ${TextAnalysis.fixMojibakeSql("t")} AS text_fixed
+              |      FROM b)
+              |SELECT doc_id, text_fixed, (text_fixed <> t) AS changed
+              |FROM f""".stripMargin))
   )
+
+  /** Mojibake fixture suffixes — shared constants rendered into both
+    * engines ([[mojibakeSuffixCol]] / [[mojibakeSuffixSql]]). Suffix 0
+    * carries the five punctuation keys (incl. the invisible-U+009D
+    * right-double-quote form), suffix 1 the accent/NBSP keys plus a
+    * 0x01 control char and a double space — TextAnalysisSpec pins the
+    * exact bytes so an editor "fixing" them fails loudly.
+    */
+  private lazy val mojibakeSuffixes: Seq[(Int, String)] = Seq(
+    0 -> (" â€œquotedâ€ â€”" +
+      " wellâ€¦ itâ€™s fine"),
+    1 -> (" cafÃ© niÃ±oÂ plusctl  done"),
+    2 -> "")
+
+  private def mojibakeSuffixCol: org.apache.spark.sql.Column =
+    mojibakeSuffixes.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((m, s), rest) =>
+        when(col("doc_id") % 3 === m, lit(s)).otherwise(rest)
+    }
+
+  /** Render a Scala string as a DuckDB literal, splicing control chars
+    * through chr() (a raw control byte inside a SQL literal is parser
+    * poison; everything printable rides as UTF-8).
+    */
+  private def sqlLit(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach { ch =>
+      if (ch < ' ') sb.append("' || chr(" + ch.toInt + ") || '")
+      else if (ch == '\'') sb.append("''")
+      else sb.append(ch)
+    }
+    sb.append("'").toString
+  }
+
+  private def mojibakeSuffixSql: String =
+    "CASE " + mojibakeSuffixes.map { case (m, s) =>
+      s"WHEN doc_id % 3 = $m THEN ${sqlLit(s)}"
+    }.mkString(" ") + " ELSE '' END"
 
   /** Deterministic URL fixture — ONE variant table rendered into both the
     * Spark column ([[urlSynthCol]]) and the DuckDB CASE ([[urlSynthSql]]).

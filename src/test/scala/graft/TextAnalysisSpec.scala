@@ -235,6 +235,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_target_leaning") == 0L)
   }
 
+  test("fixMojibake repairs every rule-table key and is idempotent") {
+    // broken forms written as \u escapes so the test fails LOUDLY if an
+    // editor ever "fixes" the fixture or the rule table
+    val broken =
+      "cafÃ© â€œqâ€" +      // cafÃ© â€œqâ€(9d)
+        " â€” itâ€™s â€¦" + // â€” itâ€™s â€¦
+        " niÃ±oÂ xy  z"                      // niÃ±o Â(nbsp) ctl dbl-space
+    val out = TextAnalysis.fixMojibake(
+      Seq((1L, broken)).toDF("doc_id", "text"), "text").head()
+    assert(out.getAs[String]("text_fixed") ==
+      "café \"q\" - it's ... niño xy z")
+    assert(out.getAs[Boolean]("changed"))
+    // idempotence: a fixed text is a fixed point
+    val twice = TextAnalysis.fixMojibake(
+      Seq((1L, out.getAs[String]("text_fixed"))).toDF("doc_id", "text"), "text").head()
+    assert(!twice.getAs[Boolean]("changed"))
+    // every rule key's VALUE is itself stable under the table (no
+    // surrounding spaces — the NBSP rule's fixed form IS a space, and
+    // padding it would manufacture a run the collapse step rewrites)
+    TextAnalysis.mojibakeRules.foreach { case (_, fixed) =>
+      val r = TextAnalysis.fixMojibake(
+        Seq((1L, s"a${fixed}b")).toDF("doc_id", "text"), "text").head()
+      assert(!r.getAs[Boolean]("changed"), s"fixed form not a fixed point: $fixed")
+    }
+  }
+
   test("dsirSignals ranks target-like docs above off-target docs") {
     val df = Seq(
       (1L, "spark table join window agg", true),
