@@ -262,14 +262,18 @@ object Boilerplate {
     * OR (lowest id among that canonical's rows). ONE hash shuffle on the
     * canonical key (window min); at corpus scale pre-filter non-URL rows
     * so the NULL partition cannot become the hot key.
+    *
+    * Input columns PASS THROUGH (plus `canonical_url`, `kept`), so a
+    * pipeline filters `kept` and continues without re-joining the corpus
+    * to itself — the q228 composition's shape.
     */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
       .withColumn("__minid",
         min(col(idCol)).over(Window.partitionBy(col("canonical_url"))))
-      .select(col(idCol), col("canonical_url"),
-        (col("canonical_url").isNull || col(idCol) === col("__minid"))
-          .alias("kept"))
+      .withColumn("kept",
+        col("canonical_url").isNull || col(idCol) === col("__minid"))
+      .drop("__minid")
   }
 }

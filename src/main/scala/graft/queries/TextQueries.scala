@@ -628,7 +628,8 @@ object TextQueries {
     QueryDef("q226_url_dedup",
       (s, d) => graft.ops.Boilerplate.urlDedup(
         Tables.documents(s, d).select(col("doc_id"), urlSynthCol.alias("url")),
-        "doc_id", "url"),
+        "doc_id", "url")
+        .select("doc_id", "canonical_url", "kept"),
       Some(s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
               |c AS (SELECT doc_id,
               |        ${graft.ops.Boilerplate.canonicalUrlSql("url")} AS canonical_url
@@ -657,8 +658,53 @@ object TextQueries {
               |        ${TextAnalysis.fixMojibakeSql("t")} AS text_fixed
               |      FROM b)
               |SELECT doc_id, text_fixed, (text_fixed <> t) AS changed
-              |FROM f""".stripMargin))
+              |FROM f""".stripMargin)),
+
+    webCurationDef
   )
+
+  /** The round-10 web-curation tier composed END-TO-END (the q138/q218
+    * pattern): URL-keyed keep-first dedup → mojibake repair → the full
+    * Gopher rule gate, one oracle-gated chain over the shared URL and
+    * mojibake fixtures — pins the three ops' interfaces the way a C4
+    * pipeline actually strings them. Only the URL window shuffles; the
+    * repair and rule stages stay per-row on the survivors.
+    */
+  private def webCurationDef: QueryDef =
+    QueryDef("q228_web_curation_cycle",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), mojibakeSuffixCol).alias("t"),
+          urlSynthCol.alias("url"))
+        // urlDedup passes the input columns through, so the survivors
+        // flow straight into the per-row stages — no corpus self-join
+        val kept = graft.ops.Boilerplate.urlDedup(base, "doc_id", "url")
+          .filter(col("kept"))
+        val fixed = TextAnalysis.fixMojibake(kept, "t")
+        TextAnalysis.gopherRules(fixed, "text_fixed")
+          .select("doc_id", "canonical_url", "changed", "n_words",
+            "keep_gopher")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |          text || $mojibakeSuffixSql AS t,
+              |          $urlSynthSql AS url FROM documents),
+              |c AS (SELECT doc_id, t,
+              |        ${graft.ops.Boilerplate.canonicalUrlSql("url")}
+              |          AS canonical_url
+              |      FROM base),
+              |k AS (SELECT doc_id, t, canonical_url FROM (
+              |        SELECT *, MIN(doc_id) OVER (PARTITION BY canonical_url)
+              |          AS m FROM c)
+              |      WHERE canonical_url IS NULL OR doc_id = m),
+              |f AS (SELECT doc_id, canonical_url, t,
+              |        ${TextAnalysis.fixMojibakeSql("t")} AS text_fixed
+              |      FROM k)
+              |SELECT f.doc_id, f.canonical_url,
+              |  (f.text_fixed <> f.t) AS changed, g.n_words, g.keep_gopher
+              |FROM f JOIN (
+              |  ${TextAnalysis.gopherRulesSql(
+                   "(SELECT doc_id, text_fixed FROM f)", "text_fixed")}
+              |) g ON f.doc_id = g.doc_id""".stripMargin))
 
   /** Mojibake fixture suffixes — shared constants rendered into both
     * engines ([[mojibakeSuffixCol]] / [[mojibakeSuffixSql]]). Suffix 0

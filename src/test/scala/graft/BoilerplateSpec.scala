@@ -137,7 +137,7 @@ class BoilerplateSpec extends SparkSpec {
       4L -> "junk", 5L -> "junk"           // non-URLs: ALL kept
     ).toDF("doc_id", "url")
     val out = Boilerplate.urlDedup(df, "doc_id", "url")
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> true,
       4L -> true, 5L -> true))
   }
