@@ -334,6 +334,25 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming URL-keyed dedup (the incremental form of
+    * [[graft.ops.Boilerplate.urlDedup]]): canonicalize each arriving
+    * row's URL with the SAME rule chain as the batch op, keep the
+    * first-seen row per canonical within the watermark horizon. Rows
+    * whose URL canonicalizes to NULL (non-URLs) bypass the dedup state
+    * entirely — the batch op's "never grouped" rule; routing them
+    * through dropDuplicates would collapse ALL of them onto the one
+    * NULL key. State is bounded by the watermark, cost ∝ batch.
+    */
+  def urlDedupStream(rows: DataFrame, urlCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame = {
+    val canon = rows.withColumn("canonical_url",
+      graft.ops.Boilerplate.canonicalUrl(col(urlCol)))
+    canon.filter(col("canonical_url").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+      .unionByName(canon.filter(col("canonical_url").isNull))
+  }
+
   /** Stream-stream attribution join: each click is matched to same-user
     * signups that happened AT OR BEFORE the click, within `maxDelay`. The
     * event-time interval condition plus watermarks on BOTH sides is what

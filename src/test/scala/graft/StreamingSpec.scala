@@ -162,6 +162,61 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("urlDedupStream keeps first-seen per canonical URL, passes every non-URL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val stream = StreamingOps.urlDedupStream(
+      in.toDF().toDF("doc_id", "url", "ts"), "url", "ts", watermark = "1 hour")
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("urldedup_out").start()
+    try {
+      in.addData(
+        (1L, "https://www.example.com/a?utm_source=x", ts(0)),
+        (2L, "junk one", ts(1)))
+      q.processAllAvailable()
+      // same canonical arriving in a LATER micro-batch → dropped;
+      // a second non-URL must NOT collapse onto the first's null key
+      in.addData(
+        (3L, "https://example.com:443/a", ts(2)),
+        (4L, "junk two", ts(3)),
+        (5L, "https://example.com/b", ts(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("urldedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("the stateless curation ops run UNCHANGED on a stream (batch/stream unification)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val in = MemoryStream[(Long, String)]
+    // mojibake repair + the Gopher rule gate are pure per-row expression
+    // chains, so the SAME operator code plans on an unbounded source
+    val stream = graft.ops.TextAnalysis.gopherRules(
+      graft.ops.TextAnalysis.fixMojibake(in.toDF().toDF("doc_id", "text"), "text"),
+      "text_fixed", minWords = 3)
+      .select("doc_id", "changed", "n_words", "keep_gopher")
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curation_out").start()
+    try {
+      in.addData(
+        (1L, "the cat and cafÃ© dog have fun with it"),
+        (2L, "## #"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("curation_out").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((true, true)))  // mojibake fixed AND gate passes
+    assert(out(2L) == ((false, false)))
+  }
+
   test("stream-stream attribution join matches within the interval, drops outside it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
