@@ -154,4 +154,31 @@ object Profiling {
           b => col(valCol).cast("double") > b))).cast("long"))
       .drop("__bounds")
   }
+
+  /** Mergeable distinct-count sketches (DataSketches HLL via
+    * `hll_sketch_agg`) — the 100 TB PRE-AGGREGATION pattern the
+    * [[profile]] note points at, made concrete: a gold table stores one
+    * SKETCH COLUMN per group, and every downstream reader answers
+    * "distinct over any group combination" by MERGING sketches instead
+    * of rescanning the corpus. One row per group: the sketch bytes, its
+    * estimate, and the group's row count. `lgK` trades 2^lgK bytes for
+    * rsd ≈ 1.04/√2^lgK (lgK 12 ≈ ±1.6%).
+    */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], valCol: String,
+                     lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valCol), lit(lgK)).alias("sketch"),
+        count(lit(1)).alias("n_rows"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Merge a frame of per-group sketches to ONE global estimate — the
+    * read path of the pattern: sketch-union is the monoid `hll_union_agg`
+    * folds, so the merged estimate provably equals sketching the whole
+    * corpus at once (ProfilingSpec pins the equality, not just a bound).
+    */
+  def sketchRollup(sketched: DataFrame): DataFrame =
+    sketched.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
+        .alias("estimate"),
+      sum(col("n_rows")).alias("n_rows"))
 }

@@ -266,6 +266,19 @@ object AnalyticsQueries {
         approx_count_distinct(col("l_partkey")).alias("approx_parts")),
       None),
 
+    // Mergeable HLL sketch columns (DataSketches) — per-status customer
+    // sketches UNIONED to one global estimate, the pre-aggregated-gold-
+    // table read path at 100 TB. Sketch bytes + estimates are
+    // engine-internal (DuckDB has no DataSketches HLL) → rows-only;
+    // ProfilingSpec pins the merge-equality (union of partials EQUALS
+    // the whole-corpus sketch, exactly) and the rsd accuracy bound vs
+    // exact distinct — the q37 discipline with the merge story added.
+    QueryDef("q229_hll_mergeable",
+      (s, d) => graft.ops.Profiling.sketchRollup(
+        graft.ops.Profiling.distinctSketch(
+          Tables.orders(s, d), Seq("o_orderstatus"), "o_custkey")),
+      None),
+
     // As-of join: each click paired with the user's most recent signup at
     // or before it. Composed from built-ins (tagged union + running
     // last-value window) — no custom operator needed; the oracle uses

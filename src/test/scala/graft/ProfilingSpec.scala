@@ -77,4 +77,29 @@ class ProfilingSpec extends SparkSpec {
     val ideal = total.toDouble / 10
     assert(hist.forall(b => math.abs(b._2 - ideal) < ideal * 0.2), hist.mkString(","))
   }
+
+  test("HLL sketch union of per-group partials EQUALS the whole-corpus sketch") {
+    val orders = graft.sources.Tables.orders(spark, sf001)
+    val perGroup = graft.ops.Profiling.distinctSketch(
+      orders, Seq("o_orderstatus"), "o_custkey")
+    val merged = graft.ops.Profiling.sketchRollup(perGroup).head()
+    val whole = graft.ops.Profiling.distinctSketch(
+      orders.withColumn("__all", org.apache.spark.sql.functions.lit(1)),
+      Seq("__all"), "o_custkey").head()
+    // union is the sketch's monoid: merging partials must reproduce the
+    // all-at-once sketch's estimate EXACTLY, not approximately
+    assert(merged.getAs[Long]("estimate") == whole.getAs[Long]("estimate"))
+    assert(merged.getAs[Long]("n_rows") == orders.count())
+  }
+
+  test("HLL sketch estimate sits inside the lgK accuracy bound vs exact distinct") {
+    val orders = graft.sources.Tables.orders(spark, sf001)
+    val est = graft.ops.Profiling.sketchRollup(
+      graft.ops.Profiling.distinctSketch(
+        orders, Seq("o_orderstatus"), "o_custkey")).head().getAs[Long]("estimate").toDouble
+    val exact = orders.select("o_custkey").distinct().count().toDouble
+    val rsd = 1.04 / math.sqrt(math.pow(2, 12)) // lgK = 12
+    assert(math.abs(est - exact) / exact <= 4 * rsd,
+      s"estimate $est vs exact $exact outside 4sigma ($rsd)")
+  }
 }
