@@ -112,9 +112,11 @@ object Fuzz {
     * ++ the (k1) subtotal (k2 rolled to NULL) ++ the grand total — `gid`
     * ∈ {0,1,3} is what distinguishes a REAL NULL key value from a
     * rolled-up one (the q216 semantic, now under differential fuzz).
+    * `cube = true` adds the (k2) level (gid 2) — full GROUP BY CUBE.
     */
   final case class RollupR(in: Rel, k1: String, k2: String,
-                           aggs: Seq[(String, AggFn)]) extends Rel
+                           aggs: Seq[(String, AggFn)],
+                           cube: Boolean = false) extends Rel
   final case class DistinctR(in: Rel) extends Rel
   /** row_number() over (partition by part order by ord, tiebreak) */
   final case class WindowR(in: Rel, part: String, ord: String, tiebreak: String) extends Rel
@@ -210,7 +212,7 @@ object Fuzz {
       val inSchema = schemaOf(in)
       val kt = inSchema.find(_._1 == k).get._2
       (k -> kt) +: aggs.map { case (n, fn) => n -> aggTyp(fn, inSchema) }
-    case RollupR(in, k1, k2, aggs) =>
+    case RollupR(in, k1, k2, aggs, _) =>
       val inSchema = schemaOf(in)
       def kt(k: String) = inSchema.find(_._1 == k).get._2
       Seq(k1 -> kt(k1), k2 -> kt(k2), ("gid", TLong): (String, Typ)) ++
@@ -299,8 +301,11 @@ object Fuzz {
       toDF(spark, sfDir, in).groupBy(col(k)).agg(
         aggCol(aggs.head._1, aggs.head._2),
         aggs.tail.map { case (n, fn) => aggCol(n, fn) }: _*)
-    case RollupR(in, k1, k2, aggs) =>
-      toDF(spark, sfDir, in).rollup(col(k1), col(k2)).agg(
+    case RollupR(in, k1, k2, aggs, cube) =>
+      val grouped =
+        if (cube) toDF(spark, sfDir, in).cube(col(k1), col(k2))
+        else toDF(spark, sfDir, in).rollup(col(k1), col(k2))
+      grouped.agg(
         grouping_id().cast("long").alias("gid"),
         aggs.map { case (n, fn) => aggCol(n, fn) }: _*)
     case DistinctR(in)   => toDF(spark, sfDir, in).distinct()
@@ -539,7 +544,7 @@ object Fuzz {
       evalRel(tables, in).groupBy(_(k)).map { case (kv, rows) =>
         Map[String, Any](k -> kv) ++ aggValues(aggs, rows)
       }.toSeq
-    case RollupR(in, k1, k2, aggs) =>
+    case RollupR(in, k1, k2, aggs, cube) =>
       val rows = evalRel(tables, in)
       def level(keys: Seq[String], gid: Long): Seq[NRow] =
         rows.groupBy(r => keys.map(r(_))).map { case (_, rs) =>
@@ -548,13 +553,16 @@ object Fuzz {
             k2 -> (if (keys.contains(k2)) rs.head(k2) else null),
             "gid" -> gid) ++ aggValues(aggs, rs)
         }.toSeq
-      // SPARK semantic, found BY this fuzzer: rollup over an EMPTY input
-      // yields ZERO rows — standard SQL (and DuckDB) emit one grand-total
-      // row (count 0) because the empty grouping set aggregates like an
-      // ungrouped query. The differential gate mirrors Spark; the
-      // cross-engine divergence is recorded in DECISIONS.md (oracle
-      // queries over possibly-empty inputs must not end in a bare ROLLUP).
-      level(Seq(k1, k2), 0L) ++ level(Seq(k1), 1L) ++ level(Seq.empty, 3L)
+      // SPARK semantic, found BY this fuzzer: rollup/cube over an EMPTY
+      // input yields ZERO rows — standard SQL (and DuckDB) emit one
+      // grand-total row (count 0) because the empty grouping set
+      // aggregates like an ungrouped query. The differential gate mirrors
+      // Spark; the cross-engine divergence is recorded in DECISIONS.md
+      // (oracle queries over possibly-empty inputs must not end in a
+      // bare ROLLUP/CUBE).
+      level(Seq(k1, k2), 0L) ++ level(Seq(k1), 1L) ++
+        (if (cube) level(Seq(k2), 2L) else Seq.empty) ++
+        level(Seq.empty, 3L)
     case SemiR(l, rr, lk, rk, anti) =>
       val keys = evalRel(tables, rr).map(_(rk)).filter(_ != null).toSet
       evalRel(tables, l).filter { row =>
@@ -960,7 +968,7 @@ object Fuzz {
             .map(_._1)
           val agg =
             if (k2s.nonEmpty && rnd.nextInt(3) == 0)
-              RollupR(mid, k, pick(k2s), aggs)
+              RollupR(mid, k, pick(k2s), aggs, cube = rnd.nextBoolean())
             else AggR(mid, k, aggs)
           if (rnd.nextBoolean())
             FilterR(agg, Cmp(pick(Seq(">", ">=", "<")), ColRef("cnt"),

@@ -71,7 +71,8 @@ class FuzzSpec extends SparkSpec {
       case AggR(in, _, aggs)    =>
         ops(in) + "agg" ++
           (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
-      case RollupR(in, _, _, _) => ops(in) + "rollup"
+      case RollupR(in, _, _, _, cube) =>
+        ops(in) + (if (cube) "cube" else "rollup")
       case DistinctR(in)        => ops(in) + "distinct"
       case WindowR(in, _, _, _) => ops(in) + "window"
       case WinSumR(in, _, _, _, _) => ops(in) + "winsum"
@@ -87,7 +88,7 @@ class FuzzSpec extends SparkSpec {
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
       "except", "agg", "avg", "distinct", "window", "winsum", "windowframe",
       "frame_sum", "frame_min", "frame_max", "frame_cnt",
-      "rangeframe", "sortlimit", "rollup",
+      "rangeframe", "sortlimit", "rollup", "cube",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
       "upperfn", "substrfn", "like")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
