@@ -618,6 +618,74 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame-windowed audio features — the VAD/segmentation primitive of an
+    * audio-corpus pipeline: decode the WAV, window the INTERLEAVED sample
+    * stream into fixed `frameSize`-sample frames (last frame ragged), and
+    * emit per frame the integer sum of squares, the integer
+    * zero-crossing count (adjacent sign flips WITHIN the frame, sign =
+    * `< 0`), and the derived RMS. The integer stats make the frame rows
+    * hash-exact against an oracle recomputing them from the fixture's
+    * stored samples (the q129 discipline); the one double (`rms`) is a
+    * single IEEE sqrt+divide over integers. mapPartitions only for the
+    * codec context; output size ∝ samples/frameSize.
+    */
+  def audioFrameFeatures(media: DataFrame, frameSize: Int = 256): DataFrame = {
+    require(frameSize >= 2, "a frame needs at least two samples")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", LongType),
+      StructField("n_samples", LongType), StructField("sum_sq", LongType),
+      StructField("zcr", LongType), StructField("rms", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("content"), col("media_type"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          if (bytes == null || mediaType == null || !mediaType.startsWith("audio/"))
+            Iterator.empty
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) Iterator.empty
+            else {
+              val data = ais.readAllBytes()
+              val bigEndian = fmt.isBigEndian
+              val n = data.length / 2
+              val samples = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                samples(i) =
+                  if (bigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
+                  else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+                i += 1
+              }
+              val nf = (n + frameSize - 1) / frameSize
+              (0 until nf).iterator.map { f =>
+                val s = f * frameSize
+                val e = math.min(s + frameSize, n)
+                var ss = 0L
+                var j = s
+                while (j < e) { ss += samples(j).toLong * samples(j); j += 1 }
+                var z = 0L
+                j = s + 1
+                while (j < e) {
+                  if ((samples(j - 1) < 0) != (samples(j) < 0)) z += 1
+                  j += 1
+                }
+                val len = e - s
+                Row(id, f.toLong, len.toLong, ss, z,
+                  math.sqrt(ss.toDouble / len) / 32768.0)
+              }
+            }
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }(enc)
+  }
+
   /** The stub's FNV-1a stripe features (shared by [[decodeStub]] and the
     * non-image fallback of [[decodeImages]]).
     */

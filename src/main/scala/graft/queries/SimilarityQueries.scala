@@ -340,6 +340,38 @@ object SimilarityQueries {
              |  CAST(list_max(list_transform(ds, x -> abs(x))) AS BIGINT) AS peak
              |FROM m""".stripMargin)),
 
+    // Frame-windowed audio features (per-frame RMS + zero-crossing rate —
+    // the VAD/segmentation primitive) under the q129 fixture discipline:
+    // the oracle recomputes every frame's INTEGER sum-of-squares and
+    // sign-flip count from the stored samples via 1-based list slices, so
+    // a frame-boundary off-by-one, a sign-extension slip in the 16-bit
+    // parse, or a ragged-tail mishandling hash-diverges. ~19 frames per
+    // media at frameSize 256.
+    QueryDef("q230_audio_frame_features",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_audio_frames/$sfName/media"
+        Multimodal.wavFromTones(Multimodal.tonesFromDocuments(Tables.documents(s, d)))
+          .write.mode("overwrite").parquet(out)
+        Multimodal.audioFrameFeatures(s.read.parquet(out), frameSize = 256)
+          .select(col("media_id"), col("frame_idx"), col("n_samples"),
+            col("sum_sq"), col("zcr"), round(col("rms"), 9).alias("rms"))
+      },
+      Some("""WITH m AS (SELECT media_id, samples
+             |  FROM parquet_scan('/root/repo/target/graft_audio_frames/__SF_NAME__/media/*.parquet')),
+             |f AS (SELECT media_id, u.i AS frame_idx,
+             |        samples[(u.i*256 + 1):(u.i*256 + 256)] AS fr
+             |      FROM m, unnest(range(CAST(ceil(len(samples) / 256.0) AS BIGINT))) AS u(i))
+             |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  CAST(len(fr) AS BIGINT) AS n_samples,
+             |  CAST(list_sum(list_transform(fr, x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+             |    AS sum_sq,
+             |  CAST(len(list_filter(range(2, len(fr) + 1),
+             |    i -> (fr[i-1] < 0) <> (fr[i] < 0))) AS BIGINT) AS zcr,
+             |  round(sqrt(CAST(list_sum(list_transform(fr, x -> CAST(x AS BIGINT) * x))
+             |    AS DOUBLE) / len(fr)) / 32768.0, 9) AS rms
+             |FROM f""".stripMargin)),
+
     // Per-label embedding centroids: element sums in exact decimal per
     // (label, position) — centroid doubles bit-reproducible at any
     // partition count; one posexplode (map-side combined) + dim-sized

@@ -343,4 +343,37 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 3L), (2L, 3L, 1L)),
       s"expected the Hamming-3 and Hamming-1 pairs only, got $pairs")
   }
+
+  test("audioFrameFeatures: exact frame stats on a crafted square wave") {
+    import spark.implicits._
+    // 10 samples alternating ±1000: every adjacent pair flips sign, so a
+    // full 4-sample frame has zcr 3 and the ragged 2-sample tail zcr 1
+    val samples = Array.tabulate(10)(i => if (i % 2 == 0) 1000 else -1000)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, bos.toByteArray, "audio/wav", bos.size.toLong))
+      .toDF("media_id", "content", "media_type", "n_bytes")
+    val out = Multimodal.audioFrameFeatures(media, frameSize = 4)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((4L, 4000000L, 3L, math.sqrt(1000000.0) / 32768.0)))
+    assert(out(1L) == ((4L, 4000000L, 3L, math.sqrt(1000000.0) / 32768.0)))
+    // ragged tail: 2 samples, 1 sign flip
+    assert(out(2L) == ((2L, 2000000L, 1L, math.sqrt(1000000.0) / 32768.0)))
+    // non-audio rows contribute nothing
+    val none = Multimodal.audioFrameFeatures(
+      Seq((2L, Array[Byte](1, 2, 3), "application/octet-stream", 3L))
+        .toDF("media_id", "content", "media_type", "n_bytes"), frameSize = 4)
+    assert(none.count() == 0L)
+  }
 }
