@@ -80,6 +80,52 @@ object MiscQueries {
              |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // TYPED nested-JSON ingestion — the other half of q39's scalar hops:
+    // a nested document (struct-in-struct + typed array) is parsed ONCE
+    // with from_json(schema) and flattened via dot access + posexplode,
+    // the semi-structured ingestion path a JSON-lines corpus needs at
+    // scale (one parse per row, then columnar; never N get_json_object
+    // re-parses). The JSON itself is synthesized identically in both
+    // engines from event columns; the oracle re-extracts with DuckDB's
+    // json functions + a typed BIGINT[] cast and unnests with ordinality.
+    QueryDef("q231_json_flatten",
+      (s, d) => {
+        val js = concat(
+          lit("{\"meta\":{\"uid\":"), col("user_id").cast("string"),
+          lit(",\"type\":\""), col("event_type"),
+          lit("\"},\"k\":"), get_json_object(col("props"), "$.k"),
+          lit(",\"vals\":["), (col("event_id") % 7).cast("string"),
+          lit(","), (col("event_id") % 11).cast("string"),
+          lit(","), (col("event_id") % 13).cast("string"), lit("]}"))
+        val schema = "meta STRUCT<uid: BIGINT, type: STRING>, k BIGINT, vals ARRAY<BIGINT>"
+        Tables.events(s, d)
+          .select(col("event_id"),
+            from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema))
+              .alias("p"))
+          .select(col("event_id"),
+            col("p.meta.uid").alias("uid"),
+            col("p.meta.type").alias("etype"),
+            col("p.k").alias("k"),
+            posexplode(col("p.vals")).as(Seq("pos", "val")))
+      },
+      Some("""WITH j AS (SELECT event_id,
+             |  '{"meta":{"uid":' || CAST(user_id AS VARCHAR) ||
+             |  ',"type":"' || event_type ||
+             |  '"},"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+             |  ',"vals":[' || CAST(event_id % 7 AS VARCHAR) ||
+             |  ',' || CAST(event_id % 11 AS VARCHAR) ||
+             |  ',' || CAST(event_id % 13 AS VARCHAR) || ']}' AS js
+             |  FROM events),
+             |p AS (SELECT event_id,
+             |  CAST(json_extract(js, '$.meta.uid') AS BIGINT) AS uid,
+             |  json_extract_string(js, '$.meta.type') AS etype,
+             |  CAST(json_extract(js, '$.k') AS BIGINT) AS k,
+             |  CAST(json_extract(js, '$.vals') AS BIGINT[]) AS vals
+             |  FROM j)
+             |SELECT event_id, uid, etype, k,
+             |  CAST(u.i AS INTEGER) AS pos, vals[u.i + 1] AS val
+             |FROM p, unnest(range(len(vals))) AS u(i)""".stripMargin)),
+
     // Single-pass dataset profiling (long/string columns only: double→
     // string casts format differently across engines in scientific-
     // notation ranges).
