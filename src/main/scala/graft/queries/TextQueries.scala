@@ -660,7 +660,62 @@ object TextQueries {
               |SELECT doc_id, text_fixed, (text_fixed <> t) AS changed
               |FROM f""".stripMargin)),
 
-    webCurationDef
+    webCurationDef,
+
+    // The Gopher rule table as ONE Spark SQL statement (the q151 pattern:
+    // the DSL and SQL surfaces of an operator gated against the SAME
+    // oracle, so the dialects can never drift): HOF lambdas (aggregate /
+    // filter / rlike), array_intersect, the identical integer rules, and
+    // the shared suffix CASE — gopherSuffixSql renders with chr(10)
+    // splices, which parse identically in Spark SQL and DuckDB.
+    QueryDef("q232_gopher_sql_surface",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val stops = TextAnalysis.gopherStopwords.map(w => s"'$w'").mkString(", ")
+        s.sql(s"""
+          WITH g0 AS (SELECT doc_id, text || $gopherSuffixSql AS t FROM documents),
+          g1 AS (SELECT doc_id, t,
+            split(trim(lower(t)), '\\\\s+') AS tk,
+            split(t, '\\\\n') AS ln FROM g0),
+          g2 AS (SELECT doc_id,
+            CAST(size(tk) AS BIGINT) AS n_words,
+            CAST(size(ln) AS BIGINT) AS n_lines,
+            aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS swl,
+            CAST(size(filter(tk, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha_words,
+            CAST((length(t) - length(regexp_replace(t, '#', '')))
+               + CAST((length(t) - length(regexp_replace(t, '\\\\.\\\\.\\\\.', ''))) / 3 AS BIGINT)
+               + (length(t) - length(regexp_replace(t, '…', ''))) AS BIGINT)
+              AS n_symbol_hits,
+            CAST(size(filter(ln, x -> x rlike '^\\\\s*[-*•]')) AS BIGINT)
+              AS n_bullet_lines,
+            CAST(size(filter(ln, x -> x rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$$')) AS BIGINT)
+              AS n_ellipsis_lines,
+            CAST(size(array_intersect(tk, array($stops))) AS BIGINT) AS n_stop_hits
+          FROM g1)
+          SELECT doc_id, n_words, n_lines, n_alpha_words, n_symbol_hits,
+            n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+            CASE WHEN n_words > 0
+              THEN round(CAST(swl AS DOUBLE) / n_words, 6) END AS mean_word_len,
+            (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+            (n_words > 0 AND swl >= 3 * n_words AND swl <= 10 * n_words)
+              AS r_word_len,
+            (n_symbol_hits * 10 <= n_words) AS r_symbol_ratio,
+            (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
+            (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
+            (n_alpha_words * 5 >= n_words * 4) AS r_alpha,
+            (n_stop_hits >= 2) AS r_stopwords,
+            (n_words >= 50 AND n_words <= 100000
+              AND n_words > 0 AND swl >= 3 * n_words AND swl <= 10 * n_words
+              AND n_symbol_hits * 10 <= n_words
+              AND n_bullet_lines * 10 <= n_lines * 9
+              AND n_ellipsis_lines * 10 <= n_lines * 3
+              AND n_alpha_words * 5 >= n_words * 4
+              AND n_stop_hits >= 2) AS keep_gopher
+          FROM g2""")
+      },
+      Some(TextAnalysis.gopherRulesSql(
+        s"(SELECT doc_id, text || $gopherSuffixSql AS gtext FROM documents)",
+        "gtext")))
   )
 
   /** The round-10 web-curation tier composed END-TO-END (the q138/q218
