@@ -254,6 +254,65 @@ object TextAnalysis {
        |  '$exoticSpaceClass', ' ', 'g'), ' {2,}', ' ', 'g')""".stripMargin
   }
 
+  /** The C4 cleaning rule table (Raffel et al. 2020, §2.2) — the third of
+    * the three canonical web-corpus rule families next to [[gopherRules]]
+    * and jusText (q220): LINE rules (keep a line iff it ends in a
+    * terminal punctuation mark, carries ≥ `minLineWords` words, and does
+    * not mention "javascript") and PAGE rules (drop the page when the
+    * kept text has fewer than `minSentences` terminal marks, or the RAW
+    * page contains "lorem ipsum" or a curly brace). All string/integer
+    * tests — exact on any engine; pure per-row HOF work, zero shuffle.
+    * Emits the cleaned text + every intermediate counter so the page
+    * decision is auditable.
+    */
+  def c4Rules(df: DataFrame, textCol: String,
+              minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val keptLines = filter(split(t, "\n"), l =>
+      trim(l).rlike("[.!?\"]\\s*$") &&
+        size(TextFunctions.tokens(l)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.withColumn("clean_text",
+        array_join(transform(keptLines, l => trim(l)), "\n"))
+      .withColumn("n_lines_kept", size(keptLines).cast("long"))
+      .withColumn("n_sentences", (length(col("clean_text")) -
+        length(regexp_replace(col("clean_text"), "[.!?]", ""))).cast("long"))
+      .withColumn("has_lorem", instr(lower(t), "lorem ipsum") > 0)
+      .withColumn("has_brace", instr(t, "{") > 0)
+      .withColumn("keep_c4", col("n_sentences") >= minSentences &&
+        !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** DuckDB mirror of [[c4Rules]] over `base` (must expose `doc_id` and
+    * the text column) — same rule table, same thresholds.
+    */
+  def c4RulesSql(base: String, textCol: String,
+                 minLineWords: Int = 3, minSentences: Int = 5): String =
+    s"""WITH c0 AS (SELECT doc_id, $textCol AS t FROM $base),
+       |c1 AS (SELECT doc_id, t,
+       |  list_transform(
+       |    list_filter(string_split(t, chr(10)), l ->
+       |      regexp_matches(trim(l), '[.!?"]\\s*$$')
+       |      AND len(regexp_split_to_array(trim(lower(l)), '\\s+')) >= $minLineWords
+       |      AND NOT contains(lower(l), 'javascript')),
+       |    l -> trim(l)) AS kept
+       |  FROM c0),
+       |c2 AS (SELECT doc_id, t,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       |  CAST(len(kept) AS BIGINT) AS n_lines_kept
+       |  FROM c1)
+       |SELECT doc_id, clean_text, n_lines_kept,
+       |  CAST(length(clean_text) -
+       |    length(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT)
+       |    AS n_sentences,
+       |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+       |  contains(t, '{') AS has_brace,
+       |  (length(clean_text) -
+       |     length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= $minSentences
+       |   AND NOT contains(lower(t), 'lorem ipsum')
+       |   AND NOT contains(t, '{')) AS keep_c4
+       |FROM c2""".stripMargin
+
   /** DSIR importance signals (Xie et al. 2023, arXiv:2302.03169 —
     * "Data Selection for Language Models via Importance Resampling"):
     * fit two hashed-n-gram bag models — one on the TARGET slice (the

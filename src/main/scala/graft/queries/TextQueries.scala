@@ -662,6 +662,25 @@ object TextQueries {
 
     webCurationDef,
 
+    // The C4 cleaning rule table (Raffel et al. 2020) — completes the
+    // canonical rule-family trio (C4 here, Gopher q223, jusText q220).
+    // The word-salad base line never ends in terminal punctuation, so it
+    // always drops at the LINE stage; suffixes ([[c4Suffixes]], one
+    // shared table) exercise each rule both ways: %5==0 adds six proper
+    // sentences (page kept), %5==1 plants "lorem ipsum" (page dropped
+    // despite clean lines), %5==2 a curly brace, %5==3 a javascript
+    // line (line dropped, page starved below 5 sentences), %5==4
+    // nothing (zero kept lines).
+    QueryDef("q233_c4_rules",
+      (s, d) => TextAnalysis.c4Rules(
+        Tables.documents(s, d)
+          .withColumn("ctext", concat(col("text"), c4SuffixCol)), "ctext")
+        .select("doc_id", "clean_text", "n_lines_kept", "n_sentences",
+          "has_lorem", "has_brace", "keep_c4"),
+      Some(TextAnalysis.c4RulesSql(
+        s"(SELECT doc_id, text || $c4SuffixSql AS ctext FROM documents)",
+        "ctext"))),
+
     // The Gopher rule table as ONE Spark SQL statement (the q151 pattern:
     // the DSL and SQL surfaces of an operator gated against the SAME
     // oracle, so the dialects can never drift): HOF lambdas (aggregate /
@@ -760,6 +779,36 @@ object TextQueries {
               |  ${TextAnalysis.gopherRulesSql(
                    "(SELECT doc_id, text_fixed FROM f)", "text_fixed")}
               |) g ON f.doc_id = g.doc_id""".stripMargin))
+
+  /** C4 fixture suffixes — one shared table rendered into both engines
+    * ([[c4SuffixCol]] / [[c4SuffixSql]], chr(10) splices).
+    */
+  private lazy val c4Suffixes: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("The first sentence lands cleanly.",
+      "A second one follows it!", "Does a third one ask?",
+      "The fourth keeps going.", "A fifth sentence arrives.",
+      "And the sixth one closes.\""),
+    1 -> Seq("This page looks fine at first.",
+      "But it hides lorem ipsum filler text."),
+    2 -> Seq("A config block follows here.", "settings = { debug: true }"),
+    3 -> Seq("This site uses javascript for tracking.",
+      "One honest sentence survives here."),
+    4 -> Seq())
+
+  private def c4SuffixCol: org.apache.spark.sql.Column =
+    c4Suffixes.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((m, ls), rest) =>
+        when(col("doc_id") % 5 === m,
+          lit(if (ls.isEmpty) "" else ls.mkString("\n", "\n", "")))
+          .otherwise(rest)
+    }
+
+  private def c4SuffixSql: String =
+    "CASE " + c4Suffixes.map { case (m, ls) =>
+      s"WHEN doc_id % 5 = $m THEN " +
+        (if (ls.isEmpty) "''"
+         else ls.map(l => s"chr(10) || '${l.replace("'", "''")}'").mkString(" || "))
+    }.mkString(" ") + " ELSE '' END"
 
   /** Mojibake fixture suffixes — shared constants rendered into both
     * engines ([[mojibakeSuffixCol]] / [[mojibakeSuffixSql]]). Suffix 0

@@ -261,6 +261,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("c4Rules applies line and page rules exactly") {
+    val df = docs(
+      // 6 proper sentences, no lorem/brace → page kept; the bare line drops
+      1L -> ("no terminal punct here\nOne clean sentence lands.\n" +
+        "Two more sentences follow!\nDoes three ask nicely?\n" +
+        "Four keeps the page going.\nFive is almost there.\nSix closes it."),
+      // clean lines but the RAW page plants lorem ipsum → page dropped
+      2L -> "A fine sentence here.\nBut lorem ipsum dolor lurks.",
+      // a brace anywhere on the page drops it
+      3L -> "Perfectly good sentence.\nconfig = { a: 1 }",
+      // javascript drops the LINE (not the page); page then starves
+      4L -> "This site uses javascript today.\nOnly one honest sentence stays.",
+      // short line (< 3 words) drops even with terminal punctuation
+      5L -> "No.\nYes it does.")
+    val out = TextAnalysis.c4Rules(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep_c4"))
+    assert(out(1L).getAs[Long]("n_lines_kept") == 6L)
+    assert(out(1L).getAs[Long]("n_sentences") == 6L)
+    assert(out(2L).getAs[Boolean]("has_lorem") && !out(2L).getAs[Boolean]("keep_c4"))
+    assert(out(2L).getAs[Long]("n_lines_kept") == 2L) // lines fine, page not
+    assert(out(3L).getAs[Boolean]("has_brace") && !out(3L).getAs[Boolean]("keep_c4"))
+    assert(out(4L).getAs[Long]("n_lines_kept") == 1L) // javascript line gone
+    assert(!out(4L).getAs[Boolean]("keep_c4"))        // 1 sentence < 5
+    assert(out(5L).getAs[Long]("n_lines_kept") == 1L) // "No." is 1 word
+    assert(out(5L).getAs[String]("clean_text") == "Yes it does.")
+  }
+
   test("dsirSignals ranks target-like docs above off-target docs") {
     val df = Seq(
       (1L, "spark table join window agg", true),
