@@ -443,6 +443,64 @@ object Similarity {
     * Zero-norm vectors have no defined cosine and drop (fixture has
     * none; mirror the filter when yours does).
     */
+  /** Contrastive pair mining — the training-data constructor for
+    * embedding models: for every anchor, its POSITIVES are all
+    * cluster-mates whose 6-dp cosine reaches `threshold`, and its one
+    * HARD NEGATIVE is the highest-cosine cluster-mate BELOW the
+    * threshold (the closest non-match is the informative negative;
+    * random negatives are trivially separable). Clustering is the
+    * [[kmeansStep]] assignment (max raw cosine to seed centroids,
+    * lowest-id tie), so mining never crosses cluster boundaries — the
+    * SemDeDup cost model: one corpus shuffle on the cluster key,
+    * per-cluster-local O((n/k)²) pairs governed by the seed count
+    * (scale k with the corpus; see q222's SCALE.md A/B).
+    *
+    * Output: (anchor_id, other_id, cosine, is_positive) — positives
+    * complete, exactly one hard negative per anchor that has any
+    * below-threshold mate. Deterministic: cosines quantized at 6 dp
+    * before every comparison, ties broken on the mate id.
+    */
+  def contrastivePairs(df: DataFrame, idCol: String, vecCol: String,
+                       seedIds: Seq[Long], threshold: Double): DataFrame = {
+    require(seedIds.nonEmpty, "need at least one seed centroid")
+    val cents = df.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).alias("__cid"), col(vecCol).alias("__cv"))
+    val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
+    val wAssign = Window.partitionBy(col("__id"))
+      .orderBy(col("__cos").desc, col("__cid").asc)
+    val assigned = Projections.pinnedFilter(scored, col("__cos").isNotNull)
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__cid").alias("__cluster"), col("__v"))
+      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("__cluster"), col("__id").alias("anchor_id"),
+      col("__v").alias("__va"), col("__nrm").alias("__na"))
+    val b = assigned.select(col("__cluster"), col("__id").alias("other_id"),
+      col("__v").alias("__vb"), col("__nrm").alias("__nb"))
+    val pairs = a.join(b, Seq("__cluster"))
+      .filter(col("anchor_id") =!= col("other_id"))
+      .withColumn("cosine", round(
+        when(col("__na") > 0 && col("__nb") > 0,
+          VectorFunctions.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb")))
+          .otherwise(lit(null)), 6))
+      .select(col("anchor_id"), col("other_id"), col("cosine"))
+    val positives = Projections.pinnedFilter(pairs, col("cosine") >= threshold)
+      .withColumn("is_positive", lit(true))
+    val wHard = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("other_id").asc)
+    val hardNegatives = Projections.pinnedFilter(pairs, col("cosine") < threshold)
+      .withColumn("__hn", row_number().over(wHard))
+      .filter(col("__hn") === 1).drop("__hn")
+      .withColumn("is_positive", lit(false))
+    val out = positives.unionByName(hardNegatives).localCheckpoint(true)
+    assigned.unpersist()
+    out
+  }
+
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
                  seedIds: Seq[Long]): DataFrame = {
     require(seedIds.nonEmpty, "need at least one seed centroid")

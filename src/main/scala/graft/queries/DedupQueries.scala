@@ -591,6 +591,41 @@ object DedupQueries {
     // reaches the threshold. 0.4 on the near-orthogonal fixture for the
     // same reason as q44/q76. The oracle restates all three stages, so it
     // gates the assignment, the rank rule, and the drop rule together.
+    // Contrastive pair mining for embedding training — q222's cluster
+    // machinery pointed the other way: positives = within-cluster pairs
+    // at/above the threshold (complete), hard negative = each anchor's
+    // highest-cosine BELOW-threshold cluster-mate (the informative
+    // negative). Oracle restates assignment, pairing, and both
+    // selections; 0.4 as in q44/q76 (near-orthogonal fixture).
+    QueryDef("q234_contrastive_pairs",
+      (s, d) => graft.ops.Similarity.contrastivePairs(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq, threshold = 0.4),
+      Some {
+        val cos = graft.functions.VectorFunctions.cosineSql _
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |          FROM embeddings WHERE vec_id < 8),
+           |v AS (SELECT vec_id, embedding AS vv FROM embeddings),
+           |s AS (SELECT v.vec_id, c.cid, ${cos("vv", "cv")} AS cos_raw
+           |      FROM v CROSS JOIN c),
+           |a AS (SELECT vec_id, cid AS cluster
+           |      FROM s QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY cos_raw DESC, cid ASC) = 1),
+           |p AS (SELECT x.vec_id AS anchor_id, y.vec_id AS other_id,
+           |        round(${cos("vx.vv", "vy.vv")}, 6) AS cosine
+           |      FROM a x JOIN a y ON x.cluster = y.cluster
+           |        AND x.vec_id <> y.vec_id
+           |      JOIN v vx ON vx.vec_id = x.vec_id
+           |      JOIN v vy ON vy.vec_id = y.vec_id)
+           |SELECT anchor_id, other_id, cosine, true AS is_positive
+           |FROM p WHERE cosine >= 0.4
+           |UNION ALL
+           |SELECT anchor_id, other_id, cosine, false AS is_positive
+           |FROM (SELECT * FROM p WHERE cosine < 0.4
+           |      QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+           |        ORDER BY cosine DESC, other_id ASC) = 1)""".stripMargin
+      }),
+
     QueryDef("q222_semdedup",
       (s, d) => Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         seedIds = (0L until 8L).toSeq, threshold = 0.4),

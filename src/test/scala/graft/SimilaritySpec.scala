@@ -271,4 +271,28 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
     }
   }
+
+  test("contrastivePairs mines complete positives and the hardest negative per anchor") {
+    import spark.implicits._
+    // cluster A (seed 10): 1 is a positive of 10 (cos ≈ 0.9998 ≥ 0.99),
+    // 2 sits below threshold against both; cluster B (seed 20): 3 is
+    // below threshold against 20. Hard negative = highest sub-threshold
+    // cluster-mate: 1→2 (0.939 beats nothing else), 2→1 (0.939 > 0.932
+    // vs the seed), 10→2 (only 0.932 left after its positive).
+    val df = Seq(
+      10L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      20L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      1L -> Seq(1.0f, 0.02f, 0.0f, 0.0f),
+      2L -> Seq(0.9f, 0.35f, 0.0f, 0.0f),
+      3L -> Seq(0.0f, 1.0f, 0.25f, 0.0f)
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.contrastivePairs(
+      df, "vec_id", "embedding", Seq(10L, 20L), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    val positives = out.filter(_._3).map(t => (t._1, t._2))
+    val negatives = out.filterNot(_._3).map(t => (t._1, t._2))
+    assert(positives == Set((1L, 10L), (10L, 1L)), s"positives: $positives")
+    assert(negatives == Set((1L, 2L), (2L, 1L), (10L, 2L),
+      (20L, 3L), (3L, 20L)), s"negatives: $negatives")
+  }
 }
