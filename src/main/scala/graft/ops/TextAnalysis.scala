@@ -340,29 +340,43 @@ object TextAnalysis {
     * scans, no corpus-sized shuffle on anything but the doc-id regroup,
     * exactly the paper's fit-once-score-once cost model.
     */
-  def dsirSignals(df: DataFrame, idCol: String, textCol: String,
-                  targetPred: Column, buckets: Int = 64): DataFrame = {
-    val withGrams = df
-      .withColumn("__tk", TextFunctions.tokens(col(textCol)))
+  private def dsirBucket(g: Column, buckets: Int): Column =
+    conv(substring(md5(g), 1, 4), 16, 10).cast("long") % buckets
+
+  private def dsirExploded(df: DataFrame, idCol: String, textCol: String,
+                           targetPred: Column, buckets: Int): DataFrame =
+    df.withColumn("__tk", TextFunctions.tokens(col(textCol)))
       .select(col(idCol), targetPred.alias("__is_t"),
         explode(concat(col("__tk"), grams(col("__tk"), 2))).alias("__g"))
-      .withColumn("__b",
-        conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("long") % buckets)
+      .withColumn("__b", dsirBucket(col("__g"), buckets))
+
+  /** Pass 1 of DSIR standalone: fit BOTH hashed bag models in one
+    * conditional-sum scan and emit the B-row importance-ratio table,
+    * eagerly checkpointed (the HITS mean-normalization discipline) — the
+    * artifact a production pipeline persists and ships to scorers (batch
+    * probes it via broadcast join in [[dsirSignals]]; streams score
+    * against its collected form via [[dsirScoreStateless]]).
+    */
+  def dsirModel(df: DataFrame, idCol: String, textCol: String,
+                targetPred: Column, buckets: Int = 64): DataFrame = {
+    val withGrams = dsirExploded(df, idCol, textCol, targetPred, buckets)
     val bucketCounts = withGrams.groupBy(col("__b"))
       .agg(count(lit(1)).alias("__cr"),
         sum(when(col("__is_t"), 1L).otherwise(0L)).alias("__ct"))
     val totals = bucketCounts
       .agg(sum(col("__cr")).alias("__tr"), sum(col("__ct")).alias("__tt"))
-    // the fitted model is B rows — materialize it eagerly (the HITS
-    // mean-normalization discipline) so the scoring pass probes a
-    // checkpointed broadcast table instead of re-deriving the fit, and
-    // the 1-row totals join never reaches the corpus-sized plan
-    val ratios = bucketCounts.crossJoin(broadcast(totals))
+    bucketCounts.crossJoin(broadcast(totals))
       .select(col("__b"),
         round(((col("__ct") + 1) * (col("__tr") + buckets)).cast("double") /
           ((col("__cr") + 1) * (col("__tt") + buckets)), 6).alias("__ratio"))
       .localCheckpoint(true)
-    withGrams.join(broadcast(ratios), "__b")
+  }
+
+  def dsirSignals(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 64): DataFrame = {
+    val ratios = dsirModel(df, idCol, textCol, targetPred, buckets)
+    dsirExploded(df, idCol, textCol, targetPred, buckets)
+      .join(broadcast(ratios), "__b")
       .groupBy(col(idCol), col("__is_t"))
       .agg(count(lit(1)).alias("n_grams"),
         round(Aggregations.exactAvg(col("__ratio")), 6).alias("mean_ratio"),
@@ -370,6 +384,40 @@ object TextAnalysis {
           .alias("n_target_leaning"))
       .select(col(idCol), col("__is_t").alias("is_target"),
         col("n_grams"), col("mean_ratio"), col("n_target_leaning"))
+  }
+
+  /** STATELESS DSIR scoring against a COLLECTED model (bucket → ratio;
+    * B entries, so the driver-side collection is bounded by
+    * construction): the whole computation is one per-row expression
+    * chain — gram the text, look each gram's bucket up in a LITERAL
+    * map, decimal-exact mean — so the SAME operator runs on batch
+    * frames and unbounded streams (no shuffle, no state: the
+    * stream-static scoring shape). Grams whose bucket the model never
+    * saw are dropped, mirroring the batch path's inner join; the
+    * decimal fold reproduces [[Aggregations.exactAvg]] bit-for-bit
+    * (StreamingSpec pins output equality with [[dsirSignals]]).
+    */
+  def dsirScoreStateless(df: DataFrame, idCol: String, textCol: String,
+                         model: Map[Long, Double],
+                         buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val mapLit = map(model.toSeq.sortBy(_._1)
+      .flatMap { case (b, r) => Seq(lit(b), lit(r)) }: _*)
+    val acc = DecimalType(30, 8)
+    df.withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      .withColumn("__grams", concat(col("__tk"), grams(col("__tk"), 2)))
+      .withColumn("__ratios", filter(
+        transform(col("__grams"), g => element_at(mapLit, dsirBucket(g, buckets))),
+        r => r.isNotNull))
+      .select(col(idCol),
+        size(col("__ratios")).cast("long").alias("n_grams"),
+        when(size(col("__ratios")) > 0,
+          round(aggregate(col("__ratios"),
+            lit(java.math.BigDecimal.ZERO).cast(acc),
+            (a, x) => (a + x.cast(acc)).cast(acc)).cast(DoubleType) /
+            size(col("__ratios")), 6)).alias("mean_ratio"),
+        size(filter(col("__ratios"), r => r > 1.0)).cast("long")
+          .alias("n_target_leaning"))
   }
 
   /** Stopword-lexicon language ID: score = |distinct tokens ∩ lexicon| per

@@ -217,6 +217,49 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L) == ((false, false)))
   }
 
+  test("stream-static DSIR scoring equals the batch scorer bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // fit the model ONCE on a static corpus, collect its B rows
+    val corpus = Seq(
+      (1L, "spark table join window agg", true),
+      (2L, "spark table join window agg", false),
+      (3L, "der hund und die katze", false),
+      (4L, "la casa de los gatos", false))
+      .toDF("doc_id", "text", "is_en")
+    val model = graft.ops.TextAnalysis
+      .dsirModel(corpus, "doc_id", "text", col("is_en"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the batch scorer over the same corpus = ground truth
+    val batch = graft.ops.TextAnalysis
+      .dsirSignals(corpus, "doc_id", "text", col("is_en"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+
+    // the STATELESS scorer over a stream of the same docs
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis.dsirScoreStateless(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dsir_stream_out").start()
+    try {
+      in.addData((1L, "spark table join window agg"),
+        (3L, "der hund und die katze"))
+      q.processAllAvailable()
+      in.addData((4L, "la casa de los gatos"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_stream_out").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    Seq(1L, 3L, 4L).foreach { id =>
+      assert(streamed(id) == batch(id),
+        s"doc $id: stream ${streamed(id)} vs batch ${batch(id)}")
+    }
+  }
+
   test("stream-stream attribution join matches within the interval, drops outside it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
