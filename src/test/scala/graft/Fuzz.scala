@@ -106,7 +106,13 @@ object Fuzz {
     * (resp. absent) in `b`, with NULL-SAFE row equality — unlike the
     * `=` of a join predicate, two all-NULL rows compare EQUAL here.
     */
-  final case class SetR(a: Rel, b: Rel, except: Boolean) extends Rel
+  /** `all = true` switches to BAG semantics (EXCEPT ALL / INTERSECT
+    * ALL): per canonical row, except-all keeps max(0, n_a - n_b) copies
+    * and intersect-all min(n_a, n_b) — the multiset corner the
+    * distinct forms never touch.
+    */
+  final case class SetR(a: Rel, b: Rel, except: Boolean,
+                        all: Boolean = false) extends Rel
   final case class AggR(in: Rel, key: String, aggs: Seq[(String, AggFn)]) extends Rel
   /** GROUP BY ROLLUP(k1, k2) with grouping_id(): the (k1,k2) detail level
     * ++ the (k1) subtotal (k2 rolled to NULL) ++ the grand total — `gid`
@@ -207,7 +213,7 @@ object Fuzz {
     case JoinR(l, rr, _, _, _) => schemaOf(l) ++ schemaOf(rr)
     case SemiR(l, _, _, _, _)  => schemaOf(l)
     case UnionR(a, _)          => schemaOf(a)
-    case SetR(a, _, _)         => schemaOf(a)
+    case SetR(a, _, _, _)      => schemaOf(a)
     case AggR(in, k, aggs) =>
       val inSchema = schemaOf(in)
       val kt = inSchema.find(_._1 == k).get._2
@@ -294,9 +300,14 @@ object Fuzz {
       val (dl, dr) = (toDF(spark, sfDir, l), toDF(spark, sfDir, rr))
       dl.join(dr, dl(lk) === dr(rk), if (anti) "left_anti" else "left_semi")
     case UnionR(a, b) => toDF(spark, sfDir, a).union(toDF(spark, sfDir, b))
-    case SetR(a, b, except) =>
+    case SetR(a, b, except, all) =>
       val (da, db) = (toDF(spark, sfDir, a), toDF(spark, sfDir, b))
-      if (except) da.except(db) else da.intersect(db)
+      (except, all) match {
+        case (true, false)  => da.except(db)
+        case (false, false) => da.intersect(db)
+        case (true, true)   => da.exceptAll(db)
+        case (false, true)  => da.intersectAll(db)
+      }
     case AggR(in, k, aggs) =>
       toDF(spark, sfDir, in).groupBy(col(k)).agg(
         aggCol(aggs.head._1, aggs.head._2),
@@ -571,15 +582,26 @@ object Fuzz {
         if (anti) !matched else matched
       }
     case UnionR(a, b) => evalRel(tables, a) ++ evalRel(tables, b)
-    case SetR(a, b, except) =>
+    case SetR(a, b, except, all) =>
       // NULL-safe row equality via the canonical rendering (the same one
-      // the multiset compare uses): distinct rows of a, kept by presence
-      // (intersect) or absence (except) in b
+      // the multiset compare uses). Distinct forms: distinct rows of a,
+      // kept by presence (intersect) or absence (except) in b. ALL forms
+      // are per-key COUNT arithmetic: except-all keeps max(0, n_a - n_b)
+      // copies, intersect-all min(n_a, n_b).
       val cols = schemaOf(a).map(_._1)
-      val bKeys = evalRel(tables, b).map(r => canon(cols, r(_))).toSet
+      val bCounts = evalRel(tables, b).groupBy(r => canon(cols, r(_)))
+        .map { case (k, rs) => k -> rs.size }
       evalRel(tables, a)
         .groupBy(r => canon(cols, r(_))).toSeq
-        .collect { case (k, rs) if bKeys.contains(k) != except => rs.head }
+        .flatMap { case (k, rs) =>
+          val nb = bCounts.getOrElse(k, 0)
+          if (all) {
+            val keep = if (except) math.max(0, rs.size - nb)
+                       else math.min(rs.size, nb)
+            rs.take(keep)
+          } else if ((nb > 0) != except) rs.headOption.toSeq
+          else Seq.empty
+        }
     case DistinctR(in) => evalRel(tables, in).distinct
     case SortLimitR(in, n) =>
       val cols = schemaOf(in).map(_._1)
@@ -909,7 +931,7 @@ object Fuzz {
           val t = pick(Seq("customer", "orders"))
           SetR(FilterR(Base(t), genPred(schemas(t), 1)),
             FilterR(Base(t), genPred(schemas(t), 1)),
-            except = rnd.nextBoolean())
+            except = rnd.nextBoolean(), all = rnd.nextBoolean())
         case 9 =>
           // running sum over a join of any type: outer padding feeds the
           // null-skipping frame path. Determinism: within a (part, ord,

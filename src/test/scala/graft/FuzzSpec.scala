@@ -66,8 +66,13 @@ class FuzzSpec extends SparkSpec {
       case SemiR(l, rr, _, _, anti) =>
         ops(l) ++ ops(rr) + (if (anti) "antijoin" else "semijoin")
       case UnionR(a, b)         => ops(a) ++ ops(b) + "union"
-      case SetR(a, b, except)   =>
-        ops(a) ++ ops(b) + (if (except) "except" else "intersect")
+      case SetR(a, b, except, all) =>
+        ops(a) ++ ops(b) + ((except, all) match {
+          case (true, false)  => "except"
+          case (false, false) => "intersect"
+          case (true, true)   => "exceptall"
+          case (false, true)  => "intersectall"
+        })
       case AggR(in, _, aggs)    =>
         ops(in) + "agg" ++
           (if (aggs.exists(_._2.isInstanceOf[AvgL])) Set("avg") else Set.empty)
@@ -86,7 +91,8 @@ class FuzzSpec extends SparkSpec {
     }
     val expected = Set("base", "filter", "project", "innerjoin", "leftjoin",
       "rightjoin", "fulljoin", "semijoin", "antijoin", "union", "intersect",
-      "except", "agg", "avg", "distinct", "window", "winsum", "windowframe",
+      "except", "exceptall", "intersectall", "agg", "avg", "distinct",
+      "window", "winsum", "windowframe",
       "frame_sum", "frame_min", "frame_max", "frame_cnt",
       "rangeframe", "sortlimit", "rollup", "cube",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
