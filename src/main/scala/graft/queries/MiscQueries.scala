@@ -126,6 +126,46 @@ object MiscQueries {
              |  CAST(u.i AS INTEGER) AS pos, vals[u.i + 1] AS val
              |FROM p, unnest(range(len(vals))) AS u(i)""".stripMargin)),
 
+    // Error-TOLERANT ingestion (q231's failure half): a seventh of the
+    // rows carry truncated JSON; PERMISSIVE from_json with a
+    // columnNameOfCorruptRecord captures the raw malformed text in-band
+    // (fields null, pipeline keeps flowing) instead of failing the job —
+    // how a 100 TB ingest survives the bad records every real corpus
+    // has. Oracle states the same contract with json_valid guards.
+    QueryDef("q235_json_malformed",
+      (s, d) => {
+        val good = concat(lit("{\"uid\":"), col("user_id").cast("string"),
+          lit(",\"k\":"), get_json_object(col("props"), "$.k"), lit("}"))
+        val js = when(col("event_id") % 7 === 0, substring(good, 1, 9))
+          .otherwise(good)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "uid BIGINT, k BIGINT, _corrupt_record STRING")
+        Tables.events(s, d)
+          .select(col("event_id"), from_json(js, schema,
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record")).alias("p"))
+          .select(col("event_id"),
+            col("p.uid").alias("uid"), col("p.k").alias("k"),
+            col("p._corrupt_record").alias("corrupt_raw"),
+            col("p._corrupt_record").isNotNull.alias("is_corrupt"))
+      },
+      Some("""WITH j AS (SELECT event_id,
+             |  CASE WHEN event_id % 7 = 0
+             |    THEN substr('{"uid":' || CAST(user_id AS VARCHAR) ||
+             |           ',"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+             |           || '}', 1, 9)
+             |    ELSE '{"uid":' || CAST(user_id AS VARCHAR) ||
+             |           ',"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+             |           || '}' END AS js
+             |  FROM events)
+             |SELECT event_id,
+             |  CASE WHEN json_valid(js)
+             |    THEN CAST(json_extract(js, '$.uid') AS BIGINT) END AS uid,
+             |  CASE WHEN json_valid(js)
+             |    THEN CAST(json_extract(js, '$.k') AS BIGINT) END AS k,
+             |  CASE WHEN NOT json_valid(js) THEN js END AS corrupt_raw,
+             |  NOT json_valid(js) AS is_corrupt
+             |FROM j""".stripMargin)),
+
     // Single-pass dataset profiling (long/string columns only: double→
     // string casts format differently across engines in scientific-
     // notation ranges).
