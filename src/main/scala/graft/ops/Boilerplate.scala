@@ -207,7 +207,11 @@ object Boilerplate {
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    // userinfo (user:pass@) is STRIPPED, not parsed — credentials never
+    // belong in a dedup key, and leaving them in would corrupt the host
+    val hostport = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1),
+      "^[^@]*@", "")
     val host = regexp_replace(
       lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
@@ -236,7 +240,7 @@ object Boilerplate {
     val tracking = trackingParams.map(p => s"'$p'").mkString(", ")
     val noFrag = s"regexp_replace($urlExpr, '#.*$$', '')"
     val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    val hostport = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)"
+    val hostport = s"regexp_replace(regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1), '^[^@]*@', '')"
     val host = s"regexp_replace(lower(regexp_replace($hostport, ':[0-9]+$$', '')), '^www\\.', '')"
     val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
     val portPart = s"""CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
