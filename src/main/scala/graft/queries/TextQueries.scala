@@ -662,6 +662,48 @@ object TextQueries {
 
     webCurationDef,
 
+    // Per-language tokenizer fertility — the multilingual-corpus budget
+    // metric (subwords per word decides how many TOKENS a language's
+    // text costs): q34's BPE-ish subword rule aggregated per lang with
+    // exact integer sums, one double division per group at the end.
+    QueryDef("q236_token_fertility",
+      (s, d) => {
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        Tables.documents(s, d)
+          .withColumn("__tk", tk)
+          .withColumn("__nw", size(col("__tk")).cast("long"))
+          .withColumn("__nsw", when(size(col("__tk")) === 0, 0L)
+            .otherwise(aggregate(col("__tk"), lit(0L),
+              (a, t) => a + floor((length(t) + 3) / 4).cast("long"))))
+          .withColumn("__nc", aggregate(col("__tk"), lit(0L),
+            (a, t) => a + length(t).cast("long")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).alias("n_docs"),
+            sum(col("__nw")).alias("total_words"),
+            sum(col("__nsw")).alias("total_subwords"),
+            round(sum(col("__nsw")).cast("double") /
+              sum(col("__nw")), 6).alias("fertility"),
+            round(sum(col("__nc")).cast("double") /
+              sum(col("__nw")), 6).alias("chars_per_word"))
+      },
+      Some(s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
+              |p AS (SELECT lang,
+              |  CAST(len(tk) AS BIGINT) AS nw,
+              |  CASE WHEN len(tk) = 0 THEN 0
+              |    ELSE CAST(list_reduce(list_transform(tk,
+              |           x -> CAST(floor((len(x) + 3) / 4) AS BIGINT)),
+              |         (a, b) -> a + b) AS BIGINT) END AS nsw,
+              |  CAST(list_reduce(list_transform(tk,
+              |         x -> CAST(len(x) AS BIGINT)), (a, b) -> a + b)
+              |    AS BIGINT) AS nc
+              |  FROM t)
+              |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(nw) AS BIGINT) AS total_words,
+              |  CAST(SUM(nsw) AS BIGINT) AS total_subwords,
+              |  round(CAST(SUM(nsw) AS DOUBLE) / SUM(nw), 6) AS fertility,
+              |  round(CAST(SUM(nc) AS DOUBLE) / SUM(nw), 6) AS chars_per_word
+              |FROM p GROUP BY lang""".stripMargin)),
+
     // The C4 cleaning rule table (Raffel et al. 2020) — completes the
     // canonical rule-family trio (C4 here, Gopher q223, jusText q220).
     // The word-salad base line never ends in terminal punctuation, so it
