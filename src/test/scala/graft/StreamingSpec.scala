@@ -260,6 +260,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("the DSIR model survives a parquet round trip (the shippable-artifact claim)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark table join window agg", true),
+      (2L, "der hund und die katze", false))
+      .toDF("doc_id", "text", "is_en")
+    val model = graft.ops.TextAnalysis
+      .dsirModel(corpus, "doc_id", "text", col("is_en"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("dsir_model").toString + "/model"
+    model.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = model.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reloaded == direct, "model must round-trip bit-exactly")
+    // scoring from the RELOADED artifact equals scoring from the live fit
+    val a = graft.ops.TextAnalysis.dsirScoreStateless(
+      corpus, "doc_id", "text", reloaded).collect().map(_.toSeq).toSet
+    val b = graft.ops.TextAnalysis.dsirScoreStateless(
+      corpus, "doc_id", "text", direct).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("stream-stream attribution join matches within the interval, drops outside it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
