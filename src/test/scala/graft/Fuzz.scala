@@ -44,7 +44,11 @@ object Fuzz {
   final case class LitL(v: Long) extends Expr
   final case class LitD(v: Double) extends Expr
   final case class LitS(v: String) extends Expr
-  /** op ∈ + - * ; integral operands promoted to Long, any double → double */
+  /** op ∈ + - * % ; integral operands promoted to Long, any double →
+    * double. '%' is generated over LONG operands only and renders with a
+    * zero-divisor guard (NULL, never an ANSI error): Java sign semantics
+    * (sign of the dividend) on both sides.
+    */
   final case class Arith(op: Char, a: Expr, b: Expr) extends Expr
   /** CASE WHEN p THEN t ELSE e END. Generator invariant: both branches
     * resolve to the SAME type, so neither engine inserts a numeric
@@ -250,6 +254,9 @@ object Fuzz {
         case '+' => ca + cb
         case '-' => ca - cb
         case '*' => ca * cb
+        // NULL on zero divisor, stated in the PLAN (when guards the %
+        // from ever executing) so ANSI mode cannot throw
+        case '%' => when(cb === 0, lit(null)).otherwise(ca % cb)
       }
     case CaseW(p, t, e2) =>
       when(toSparkPred(p, schema), toColumn(t, schema))
@@ -377,7 +384,9 @@ object Fuzz {
       else (va, vb) match {
         case (x: Double, y) => darith(op, x, toD(y))
         case (x, y: Double) => darith(op, toD(x), y)
-        case (x, y)         => larith(op, toL(x), toL(y))
+        case (x, y)         =>
+          if (op == '%' && toL(y) == 0L) null
+          else larith(op, toL(x), toL(y))
       }
     case CaseW(p, t, e2) =>
       // SQL: only a TRUE condition takes the THEN branch; FALSE and
@@ -435,7 +444,8 @@ object Fuzz {
     if (r == 0.0) 0.0 else r
   }
   private def larith(op: Char, a: Long, b: Long): Long =
-    op match { case '+' => a + b; case '-' => a - b; case '*' => a * b }
+    op match { case '+' => a + b; case '-' => a - b; case '*' => a * b
+               case '%' => a % b } // Java sign semantics, matching Spark
 
   /** SQL three-valued logic: None = UNKNOWN. */
   def evalPred(p: Pred, row: NRow): Option[Boolean] = p match {
@@ -838,9 +848,14 @@ object Fuzz {
                 // longs could exceed Long range, which throws under ANSI
                 // on the Spark side but wraps in the interpreter
                 val isDerived = (c: String) => c.startsWith("derived")
+                // '%' only when both operands are Long (a double mod is
+                // fmod — a different operation) — derived Longs are fine:
+                // the guard nulls zero divisors and % cannot overflow
+                val bothLong = a._2 == TLong && b._2 == TLong
                 val ops =
-                  if (isDerived(a._1) || isDerived(b._1)) Seq('+', '-')
-                  else Seq('+', '-', '*')
+                  (if (isDerived(a._1) || isDerived(b._1)) Seq('+', '-')
+                   else Seq('+', '-', '*')) ++
+                    (if (bothLong) Seq('%') else Seq.empty)
                 derivedN += 1
                 Seq(s"derived$derivedN" -> (Arith(pick(ops),
                   ColRef(a._1), ColRef(b._1)): Expr))

@@ -61,7 +61,9 @@ class FuzzSpec extends SparkSpec {
         (if (cs.exists(_._2.isInstanceOf[Coalesce2])) Set("coalesce") else Set.empty) ++
         (if (cs.exists(_._2.isInstanceOf[NullIfE])) Set("nullif") else Set.empty) ++
         (if (cs.exists(_._2.isInstanceOf[Upper])) Set("upperfn") else Set.empty) ++
-        (if (cs.exists(_._2.isInstanceOf[Substr])) Set("substrfn") else Set.empty)
+        (if (cs.exists(_._2.isInstanceOf[Substr])) Set("substrfn") else Set.empty) ++
+        (if (cs.exists(_._2 match { case Arith('%', _, _) => true; case _ => false }))
+          Set("modarith") else Set.empty)
       case JoinR(l, rr, _, _, jt) => ops(l) ++ ops(rr) + s"${jt}join"
       case SemiR(l, rr, _, _, anti) =>
         ops(l) ++ ops(rr) + (if (anti) "antijoin" else "semijoin")
@@ -96,7 +98,7 @@ class FuzzSpec extends SparkSpec {
       "frame_sum", "frame_min", "frame_max", "frame_cnt",
       "rangeframe", "sortlimit", "rollup", "cube",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
-      "upperfn", "substrfn", "like")
+      "upperfn", "substrfn", "like", "modarith")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
