@@ -286,18 +286,8 @@ trait DedupEmbedding {
     import graft.functions.VectorFunctions
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    require(seedIds.nonEmpty, "need at least one seed centroid")
-    val cents = df.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).alias("__cid"), col(vecCol).alias("__cv"))
-    val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
-    val wAssign = Window.partitionBy(col("__id"))
-      .orderBy(col("__cos").desc, col("__cid").asc)
-    val assigned = Projections.pinnedFilter(scored, col("__cos").isNotNull)
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__cid").alias("cluster"),
+    val assigned = Similarity.assignToSeeds(df, idCol, vecCol, seedIds)
+      .select(col("__id"), col("cluster"),
         round(col("__cos"), 6).alias("__ccos"), col("__v"))
     val wRank = Window.partitionBy(col("cluster"))
       .orderBy(col("__ccos").asc, col("__id").asc)

@@ -462,18 +462,8 @@ object Similarity {
     */
   def contrastivePairs(df: DataFrame, idCol: String, vecCol: String,
                        seedIds: Seq[Long], threshold: Double): DataFrame = {
-    require(seedIds.nonEmpty, "need at least one seed centroid")
-    val cents = df.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).alias("__cid"), col(vecCol).alias("__cv"))
-    val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
-    val wAssign = Window.partitionBy(col("__id"))
-      .orderBy(col("__cos").desc, col("__cid").asc)
-    val assigned = Projections.pinnedFilter(scored, col("__cos").isNotNull)
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__cid").alias("__cluster"), col("__v"))
+    val assigned = assignToSeeds(df, idCol, vecCol, seedIds)
+      .select(col("__id"), col("cluster").alias("__cluster"), col("__v"))
       .withColumn("__nrm", VectorFunctions.norm(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("__cluster"), col("__id").alias("anchor_id"),
@@ -502,7 +492,27 @@ object Similarity {
   }
 
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
-                 seedIds: Seq[Long]): DataFrame = {
+                 seedIds: Seq[Long]): DataFrame =
+    assignToSeeds(df, idCol, vecCol, seedIds)
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).alias("n_members"),
+        round(Aggregations.exactAvg(col("__x").cast("double")), 6)
+          .alias("centroid_val"))
+      .select(col("cluster"), col("dim").cast("long").alias("dim"),
+        col("n_members"), col("centroid_val"))
+
+  /** The ONE seed-centroid assignment shared by [[kmeansStep]] (q221),
+    * SemDeDup (q222), and [[contrastivePairs]] (q234): broadcast the
+    * seed vectors, argmax by RAW-double cosine with the lowest-centroid-
+    * id tie rule, null cosines (zero vectors) dropped. One definition so
+    * the three operators' oracles gate the same rule and the
+    * assignments can never drift apart. Output columns: `__id`,
+    * `cluster`, `__cos` (raw cosine to the assigned centroid), `__v`.
+    */
+  private[graft] def assignToSeeds(df: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   seedIds: Seq[Long]): DataFrame = {
     require(seedIds.nonEmpty, "need at least one seed centroid")
     val cents = df.filter(col(idCol).isin(seedIds: _*))
       .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv"))
@@ -511,17 +521,9 @@ object Similarity {
       .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__cos").desc, col("cluster").asc)
-    val assigned = Projections.pinnedFilter(scored, col("__cos").isNotNull)
+    Projections.pinnedFilter(scored, col("__cos").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("cluster"), col("__v"))
-    assigned
-      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
-      .groupBy(col("cluster"), col("dim"))
-      .agg(count(lit(1)).alias("n_members"),
-        round(Aggregations.exactAvg(col("__x").cast("double")), 6)
-          .alias("centroid_val"))
-      .select(col("cluster"), col("dim").cast("long").alias("dim"),
-        col("n_members"), col("centroid_val"))
+      .select(col("__id"), col("cluster"), col("__cos"), col("__v"))
   }
 }
