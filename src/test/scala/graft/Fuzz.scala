@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Random-plan differential fuzzer: seeded generator over the core
-  * relational surface (filter / project / inner+left+right+full join /
-  * semi + anti join / union / intersect + except / aggregate / having /
-  * distinct / window: row_number, running sum, bounded ROWS frames,
-  * value-based RANGE frames / order-by-limit), evaluated twice —
+  * relational surface (filter / project incl. guarded modulo /
+  * inner+left+right+full join / semi + anti join / union / intersect +
+  * except in distinct AND ALL forms / aggregate / rollup + cube with
+  * grouping_id / having / distinct / window: row_number, running sum,
+  * bounded ROWS frames, value-based RANGE frames / order-by-limit),
+  * evaluated twice —
   *
   *  1. through Spark (DataFrame API → Catalyst → Tungsten), and
   *  2. through a NAIVE Scala-collections interpreter written against SQL

@@ -1,9 +1,11 @@
 package graft
 
 /** Differential fuzzing of the core relational surface: 200 seeded random
-  * plans (filter / project / inner+left+right+full join / semi+anti join /
-  * union / intersect+except / agg / rollup+grouping_id / having /
-  * distinct / window over customer⋈orders⋈nation) evaluated through Spark
+  * plans (filter / project incl. guarded modulo / inner+left+right+full
+  * join / semi+anti join / union / intersect+except in BOTH distinct and
+  * ALL forms / agg / rollup+cube with grouping_id / having / distinct /
+  * window functions with bounded ROWS and value RANGE frames /
+  * order-by-limit over customer⋈orders⋈nation) evaluated through Spark
   * AND through [[Fuzz]]'s naive SQL-semantics interpreter, compared as
   * canonical multisets.
   *
