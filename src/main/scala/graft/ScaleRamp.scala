@@ -71,6 +71,18 @@ object ScaleRamp {
         graft.ops.Dedup.semDedup(emb, "vec_id", "embedding",
           seedIds = (0L until k).toSeq, threshold = 0.4)
       }),
+      // q234's operator under the same fixed-k vs k ∝ n A/B as semdedup
+      // (shared assignment + pairwise machinery, so the same control
+      // must show the same curve)
+      "x_contrastive_fixed_k8" -> (() => graft.ops.Similarity.contrastivePairs(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq, threshold = 0.4)),
+      "x_contrastive_scaled_k" -> (() => {
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        val k = math.max(8L, emb.count() / 250L)
+        graft.ops.Similarity.contrastivePairs(emb, "vec_id", "embedding",
+          seedIds = (0L until k).toSeq, threshold = 0.4)
+      }),
       // q135's operator without the oracle-bounding doc_id cap (the
       // recursive-CTE oracle is why the registry form stops at 500 docs):
       // cluster-aware split over the WHOLE corpus — the family's most
