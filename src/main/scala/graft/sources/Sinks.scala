@@ -24,6 +24,22 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"${base.stripSuffix("/")}/$table/${partition._1}=${partition._2}")
 
+  /** DYNAMIC partition overwrite — the lakehouse incremental-write
+    * semantic the static mode can't express: overwrite ONLY the
+    * partitions present in this batch, leave every other partition
+    * untouched (static mode would wipe the whole table root first). The
+    * setting is applied per-WRITE via the writer option, never session-
+    * wide — a session-wide flip silently changes unrelated writers'
+    * semantics. At scale this is how per-day/per-source re-ingestion
+    * stays idempotent without rewriting history.
+    */
+  def parquetOverwriteDynamic(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S8: JDBC overwrite (drop+recreate semantics, reference:
     * gold/processor.py:284-313). `numPartitions` bounds concurrent
     * connections; `batchsize` amortizes round-trips — a single-connection

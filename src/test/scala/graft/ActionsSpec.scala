@@ -43,6 +43,22 @@ class ActionsSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("dynamic partition overwrite rewrites ONLY the touched partitions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dyn").toString + "/t"
+    // initial load: two partitions
+    Sinks.parquetOverwriteDynamic(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"), base, Seq("p"))
+    // re-ingest partition a ONLY, with different content
+    Sinks.parquetOverwriteDynamic(
+      Seq((9L, "a")).toDF("id", "p"), base, Seq("p"))
+    val back = spark.read.parquet(base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // partition b SURVIVES; partition a holds only the new batch.
+    // (static overwrite mode would have wiped b with the table root)
+    assert(back == Set((9L, "a"), (3L, "b")), s"got $back")
+  }
+
   test("catalog registration (S9) enables name-based SQL") {
     val base = java.nio.file.Files.createTempDirectory("cat").toString
     Sinks.parquet(Tables.nation(spark, sf001), s"$base/nation")
