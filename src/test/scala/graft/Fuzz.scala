@@ -61,6 +61,8 @@ object Fuzz {
   final case class CaseW(p: Pred, t: Expr, e: Expr) extends Expr
   final case class Coalesce2(a: Expr, b: Expr) extends Expr // same-typed pair
   final case class Upper(a: Expr) extends Expr               // string → string
+  /** string concatenation; SQL semantics: NULL if either side is NULL */
+  final case class Concat2(a: Expr, b: Expr) extends Expr
   final case class Substr(a: Expr, pos: Int, len: Int) extends Expr // 1-based, pos/len >= 1
   final case class NullIfE(a: Expr, b: Expr) extends Expr   // same-typed pair
 
@@ -199,6 +201,7 @@ object Fuzz {
     case CaseW(_, t, _) => resolveType(t, schema) // branches same-typed
     case Coalesce2(a, _) => resolveType(a, schema)
     case Upper(_)        => TString
+    case Concat2(_, _)   => TString
     case Substr(_, _, _) => TString
     case NullIfE(a, _)   => resolveType(a, schema)
   }
@@ -265,6 +268,7 @@ object Fuzz {
         .otherwise(toColumn(e2, schema))
     case Coalesce2(a, b) => coalesce(toColumn(a, schema), toColumn(b, schema))
     case Upper(a)          => upper(toColumn(a, schema))
+    case Concat2(a, b)     => concat(toColumn(a, schema), toColumn(b, schema))
     case Substr(a, p, l)   => substring(toColumn(a, schema), p, l)
     case NullIfE(a, b) =>
       // SQL NULLIF(a, b): NULL when a = b is TRUE; a otherwise —
@@ -401,6 +405,10 @@ object Fuzz {
     case Upper(a) =>
       val va = evalExpr(a, row)
       if (va == null) null else va.asInstanceOf[String].toUpperCase(java.util.Locale.ROOT)
+    case Concat2(a, b) =>
+      val (va, vb) = (evalExpr(a, row), evalExpr(b, row))
+      if (va == null || vb == null) null
+      else va.asInstanceOf[String] + vb.asInstanceOf[String]
     case Substr(a, p, l) =>
       // SQL substring with 1-based pos >= 1: past-the-end is empty, the
       // slice clamps to the string's length (fixture strings are ASCII,
@@ -887,9 +895,13 @@ object Fuzz {
               if (strs.nonEmpty && rnd.nextInt(3) == 0) {
                 val c = pick(strs)._1
                 derivedN += 1
-                Seq(s"derived$derivedN" ->
-                  (if (rnd.nextBoolean()) Upper(ColRef(c))
-                   else Substr(ColRef(c), 1 + rnd.nextInt(4), 1 + rnd.nextInt(6)): Expr))
+                val strFn: Expr = rnd.nextInt(3) match {
+                  case 0 => Upper(ColRef(c))
+                  case 1 => Substr(ColRef(c), 1 + rnd.nextInt(4), 1 + rnd.nextInt(6))
+                  case _ => Concat2(ColRef(c),
+                    if (rnd.nextBoolean()) LitS("_sfx") else ColRef(c))
+                }
+                Seq(s"derived$derivedN" -> strFn)
               } else Seq.empty
             }
             // COALESCE / NULLIF derived column: same-typed operand pair

@@ -64,6 +64,7 @@ class FuzzSpec extends SparkSpec {
         (if (cs.exists(_._2.isInstanceOf[NullIfE])) Set("nullif") else Set.empty) ++
         (if (cs.exists(_._2.isInstanceOf[Upper])) Set("upperfn") else Set.empty) ++
         (if (cs.exists(_._2.isInstanceOf[Substr])) Set("substrfn") else Set.empty) ++
+        (if (cs.exists(_._2.isInstanceOf[Concat2])) Set("concatfn") else Set.empty) ++
         (if (cs.exists(_._2 match { case Arith('%', _, _) => true; case _ => false }))
           Set("modarith") else Set.empty)
       case JoinR(l, rr, _, _, jt) => ops(l) ++ ops(rr) + s"${jt}join"
@@ -100,7 +101,7 @@ class FuzzSpec extends SparkSpec {
       "frame_sum", "frame_min", "frame_max", "frame_cnt",
       "rangeframe", "sortlimit", "rollup", "cube",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
-      "upperfn", "substrfn", "like", "modarith")
+      "upperfn", "substrfn", "like", "modarith", "concatfn")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
