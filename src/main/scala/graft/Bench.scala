@@ -161,21 +161,27 @@ object Bench {
         // CHECKED, not assumed (round-7 ADVICE): a query with genuinely
         // bimodal plans (e.g. AQE re-planning differently per rep) has
         // different job counts and must keep its honest median.
+        // The global min is tracked as a full Rep (not just its seconds) so
+        // the jobs/scanBytes plan-equality guard is checked against the
+        // ACTUAL rep whose time triggers the retry and is reported as min —
+        // including one from a since-discarded rep set (round-10 ADVICE: a
+        // min from a dropped set was never plan-validated against the
+        // reported median, weakening the "CHECKED, not assumed" invariant).
         val current = scala.collection.mutable.Map.empty[String, Vector[Rep]]
-        val globalMin = scala.collection.mutable.Map.empty[String, Double]
+        val globalMinRep = scala.collection.mutable.Map.empty[String, Rep]
         val okAll = scala.collection.mutable.Map.empty[String, Boolean]
         for ((name, _) <- ordered) {
           current(name) = byName(name)
-          globalMin(name) = current(name).map(_.sec).min
+          globalMinRep(name) = current(name).minBy(_.sec)
           okAll(name) = current(name).forall(_.ok)
         }
         for (round <- 1 to 2) {
           val retryNames = ordered.filter { case (name, _) =>
             val reps = current(name)
             val med = reps.sortBy(_.sec).apply(reps.size / 2)
-            val minRep = reps.minBy(_.sec)
-            okAll(name) && globalMin(name) > 0 &&
-              med.sec > 1.5 * globalMin(name) &&
+            val minRep = globalMinRep(name)
+            okAll(name) && minRep.sec > 0 &&
+              med.sec > 1.5 * minRep.sec &&
               med.jobs == minRep.jobs &&
               math.abs(med.scanBytes - minRep.scanBytes) <=
                 math.max(minRep.scanBytes / 10, 1L << 20)
@@ -187,7 +193,8 @@ object Bench {
           for (_ <- 1 to Reps; (name, fn) <- retryNames)
             retried(name) = retried(name) :+ runOne(fn)
           for ((name, reps) <- retried) {
-            globalMin(name) = math.min(globalMin(name), reps.map(_.sec).min)
+            val newMin = reps.minBy(_.sec)
+            if (newMin.sec < globalMinRep(name).sec) globalMinRep(name) = newMin
             okAll(name) = okAll(name) && reps.forall(_.ok)
             val oldMed = current(name).sortBy(_.sec).apply(current(name).size / 2)
             val newMed = reps.sortBy(_.sec).apply(reps.size / 2)
@@ -196,7 +203,7 @@ object Bench {
         }
         ordered.map { case (name, _) =>
           val med = current(name).sortBy(_.sec).apply(current(name).size / 2)
-          name -> (med.copy(ok = okAll(name)), globalMin(name))
+          name -> (med.copy(ok = okAll(name)), globalMinRep(name).sec)
         }
       } finally spark.sparkContext.removeSparkListener(meter)
     // Per-query record is [median_sec, min_sec, jobs, scan_mb] (round-4

@@ -91,6 +91,10 @@ object Boilerplate {
                       outCol: String = "main_text",
                       stopwords: Seq[String] = Nil,
                       stopDenom: Int = 4): DataFrame = {
+    // minWords=0 would let blank lines (nw=0) pass the keep rule while
+    // the nonblank counter excludes them: n_lines_dropped goes negative
+    // and main_text gains empty lines (round-10 ADVICE).
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
     val cleaned = blockRules.foldLeft(col(htmlCol)) {
       case (acc, (p, r)) => regexp_replace(acc, p, r)
     }

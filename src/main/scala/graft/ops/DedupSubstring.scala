@@ -198,7 +198,19 @@ trait DedupSubstring {
         explode(lineArr).alias("f"))
       .select(col("doc_id"), col("f.pos").alias("pos"),
         col("f.line").alias("line"))
-      .withColumn("__rank", col("doc_id") * lit(1L << 20) + col("pos"))
+      // The keep-first rank packs (doc_id, pos) into one long: doc_id*2^20
+      // + pos. The contract (pos < 2^20, 0 <= doc_id < 2^43) is ENFORCED,
+      // not assumed — an out-of-contract corpus would otherwise silently
+      // pick the wrong "first" occurrence (round-10 ADVICE). Per-row
+      // predicate on already-materialized columns: free at scan speed.
+      .withColumn("__rank",
+        when(col("doc_id") < 0 || col("doc_id") >= lit(1L << 43) ||
+             col("pos") >= lit(1L << 20),
+          raise_error(format_string(
+            "dedupLinesKeepFirst rank-pack contract violated: " +
+              "doc_id=%d (need [0, 2^43)) pos=%d (need < 2^20)",
+            col("doc_id"), col("pos"))))
+          .otherwise(col("doc_id") * lit(1L << 20) + col("pos")))
     val w = l.groupBy(col("line")).agg(min(col("__rank")).alias("__keep"))
     val kept = l.join(w, Seq("line")).filter(col("__rank") === col("__keep"))
     val tot = l.groupBy(col("doc_id")).agg(count(lit(1)).alias("__n_lines"))

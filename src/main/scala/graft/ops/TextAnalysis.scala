@@ -216,7 +216,11 @@ object TextAnalysis {
     "Ã§" -> "ç", // ç
     "Â " -> " ") // NBSP read as latin-1
 
-  private val controlCharClass = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  // Every C0 control except \t (\x09) and \n (\x0a), plus DEL — NUL and
+  // CR included (round-10 ADVICE: the class previously kept \x00/\x0d,
+  // narrower than the documented contract). Shared as data with the
+  // generated DuckDB mirror, so both engines move together by definition.
+  private val controlCharClass = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
   private val exoticSpaceClass = "[   ]"
 
   /** Encoding repair + character hygiene (the ftfy-lite pass CCNet-style

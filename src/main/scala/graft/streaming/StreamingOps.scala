@@ -43,8 +43,13 @@ object StreamingOps {
     */
   def eventsStream(spark: SparkSession, path: String,
                    maxFilesPerTrigger: Int = 1): DataFrame = {
-    val tsIsLong =
+    // The footer sniff needs at least one file; an existing-but-empty
+    // source directory (stream declared before any files arrive — the
+    // normal streaming bootstrap) falls back to the current micros-NTZ
+    // layout rather than failing setup (round-10 ADVICE).
+    val tsIsLong = scala.util.Try(
       spark.read.parquet(path).schema("ts").dataType == LongType
+    ).getOrElse(false)
     val readSchema =
       if (tsIsLong)
         StructType(eventsRawSchema.map {

@@ -259,6 +259,11 @@ class TextAnalysisSpec extends SparkSpec {
         Seq((1L, s"a${fixed}b")).toDF("doc_id", "text"), "text").head()
       assert(!r.getAs[Boolean]("changed"), s"fixed form not a fixed point: $fixed")
     }
+    // NUL and CR are in the strip class (full C0 minus \t\n, plus DEL);
+    // \t and \n survive
+    val ctl = TextAnalysis.fixMojibake(
+      Seq((1L, "a\u0000b\rc\td\ne")).toDF("doc_id", "text"), "text").head()
+    assert(ctl.getAs[String]("text_fixed") == "abc\td\ne")
   }
 
   test("c4Rules applies line and page rules exactly") {
