@@ -166,6 +166,51 @@ object MiscQueries {
              |  NOT json_valid(js) AS is_corrupt
              |FROM j""".stripMargin)),
 
+    // CSV malformed-record ingestion (round-11 verdict #3 — q235's twin
+    // for the reference's ACTUAL ingest path, spark/bronze/feeder_csv.py):
+    // a CSV fixture with three planted malformation classes (truncated
+    // row, type-failing field, extra field) read back PERMISSIVE with
+    // columnNameOfCorruptRecord. The oracle reads the SAME files via
+    // read_text and restates Spark's pinned PERMISSIVE contract as a
+    // string split: parsed prefix kept, failing field null, raw line
+    // captured in-band. Path-pinned at sf0.01 like q72 (static oracle
+    // SQL); the write is parallel, the read is one parse per line.
+    QueryDef("q239_csv_malformed",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_csv_bad/$sfName/orders"
+        val good = concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").cast("string"))
+        val line = when(col("o_orderkey") % 7 === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus")))
+          .when(col("o_orderkey") % 11 === 0,
+            concat_ws(",", col("o_orderkey"), col("o_orderstatus"), lit("oops")))
+          .when(col("o_orderkey") % 13 === 0, concat(good, lit(",extra")))
+          .otherwise(good)
+        Tables.orders(s, d).select(line.alias("value"))
+          .write.mode("overwrite").text(out)
+        graft.sources.CsvQuarantine.read(s, out,
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            col("_corrupt_record").alias("corrupt_raw"),
+            col("_corrupt_record").isNotNull.alias("is_corrupt"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT unnest(string_split(content, chr(10))) AS line
+             |  FROM read_text('/root/repo/target/graft_csv_bad/sf0.01/orders/part-*.txt')),
+             |t AS (SELECT line, string_split(line, ',') AS toks
+             |      FROM raw WHERE line <> ''),
+             |j AS (SELECT line, toks,
+             |  (len(toks) <> 3 OR TRY_CAST(toks[3] AS DOUBLE) IS NULL)
+             |    AS bad FROM t)
+             |SELECT TRY_CAST(toks[1] AS BIGINT) AS o_orderkey,
+             |  toks[2] AS o_orderstatus,
+             |  TRY_CAST(toks[3] AS DOUBLE) AS o_totalprice,
+             |  CASE WHEN bad THEN line END AS corrupt_raw,
+             |  bad AS is_corrupt
+             |FROM j""".stripMargin)),
+
     // Single-pass dataset profiling (long/string columns only: double→
     // string casts format differently across engines in scientific-
     // notation ranges).

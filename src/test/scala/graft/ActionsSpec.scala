@@ -198,4 +198,25 @@ class ActionsSpec extends SparkSpec {
       assert(xml.contains("""t="b"><v>1</v>"""))
     } finally zf.close()
   }
+
+  test("CSV quarantine split: pinned PERMISSIVE semantics, disjoint-complete") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_q").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      "1,GOOD,10.5\n2,SHORT\n3,BAD,oops\n4,LONG,7.25,extra\n5,ok,0.125\n"
+        .getBytes("UTF-8"))
+    val parsed = graft.sources.CsvQuarantine.read(spark, dir,
+      "id BIGINT, status STRING, price DOUBLE")
+    val (good, bad) = graft.sources.CsvQuarantine.split(parsed)
+    // quarantine counts: 3 malformed classes, 2 clean rows
+    assert(good.count() == 2L && bad.count() == 3L)
+    assert(!good.columns.contains("_corrupt_record"))
+    // pinned semantics: parsed prefix survives on malformed rows
+    val byId = bad.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getString(1) == "SHORT" && byId(2L).isNullAt(2))
+    assert(byId(3L).isNullAt(2) && byId(3L).getString(3) == "3,BAD,oops")
+    assert(byId(4L).getDouble(2) == 7.25) // extra token dropped, rest kept
+    // disjoint-complete: union of the split equals the parse
+    assert(good.count() + bad.count() == parsed.count())
+  }
 }
