@@ -706,11 +706,15 @@ object Multimodal {
     feats
   }
 
-  /** STUB — deterministic fake "decode + feature extract".
-    * ??? real implementation requires image/audio codecs not present in
-    * this container. The fake derives an 8-dim feature vector from content
-    * bytes (FNV-1a rolling hash per stripe) so the plumbing (batch shape,
-    * schema, partitioning) is fully exercised and test-assertable.
+  /** STUB — deterministic fake "decode + feature extract" for media the
+    * JVM has no codec for. For VIDEO the container METADATA side is now
+    * REAL ([[mp4Meta]] — brand/timescale/duration/tracks/codecs by pure
+    * byte arithmetic over ISO-BMFF boxes); only FRAME decode is honestly
+    * absent (??? a real implementation needs video codecs that do not
+    * exist in the JDK). The fake derives an 8-dim feature vector from
+    * content bytes (FNV-1a rolling hash per stripe) so the plumbing
+    * (batch shape, schema, partitioning) is fully exercised and
+    * test-assertable.
     */
   def decodeStub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -727,5 +731,251 @@ object Multimodal {
           Row(r.getLong(0), r.getLong(2), stubFeatures(r.getAs[Array[Byte]](1)).toSeq)
         }
       }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // MP4/ISO-BMFF container metadata (ISO/IEC 14496-12 box structure).
+  // Pure byte arithmetic over the binary column — no codec, no frame
+  // decode (which the JDK honestly cannot do; see [[decodeStub]]).
+  // Lifts the video tier from "stub" to real metadata extraction:
+  // brand, movie timescale/duration, track count, codec fourccs.
+  // ------------------------------------------------------------------
+
+  /** MP4 fixture schema: blob + byte length + the EXPECTED metadata,
+    * written at generation time from the generation parameters (never by
+    * running the walker) — the q129 discipline that lets a DuckDB oracle
+    * gate the parse hash-exactly.
+    */
+  val mp4FixtureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("n_bytes", LongType),
+    StructField("exp_parse_ok", BooleanType),
+    StructField("exp_major_brand", StringType),
+    StructField("exp_timescale", LongType),
+    StructField("exp_duration", LongType),
+    StructField("exp_n_tracks", LongType),
+    StructField("exp_codecs", StringType)))
+
+  private def mp4Box(typ: String, payload: Array[Byte],
+                     large: Boolean = false): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    require(t.length == 4, s"fourcc must be 4 bytes: $typ")
+    if (large) {
+      // size==1 sentinel + 64-bit largesize (the >4 GiB form; exercised
+      // small so the walker's largesize path is pinned)
+      val b = java.nio.ByteBuffer.allocate(16 + payload.length)
+      b.putInt(1).put(t).putLong(16L + payload.length).put(payload)
+      b.array()
+    } else {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t).put(payload)
+      b.array()
+    }
+  }
+
+  private def mp4Mvhd(version: Int, timescale: Long, duration: Long,
+                      nextTrack: Long): Array[Byte] = {
+    val fixed = new Array[Byte](80) // rate..next_track-4: rate(4) volume(2)
+    // reserved(10) matrix(36) predefined(24) = 76 + next_track(4)
+    val bb = java.nio.ByteBuffer.wrap(fixed)
+    bb.putInt(0x00010000).putShort(0x0100.toShort)
+    bb.position(76); bb.putInt(nextTrack.toInt)
+    val head =
+      if (version == 1) {
+        val b = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8)
+        b.putInt(0x01000000).putLong(0L).putLong(0L)
+          .putInt(timescale.toInt).putLong(duration)
+        b.array()
+      } else {
+        val b = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 4 + 4)
+        b.putInt(0).putInt(0).putInt(0)
+          .putInt(timescale.toInt).putInt(duration.toInt)
+        b.array()
+      }
+    mp4Box("mvhd", head ++ fixed)
+  }
+
+  private def mp4Trak(codec: String): Array[Byte] = {
+    val entry = mp4Box(codec, new Array[Byte](16))
+    val stsd = mp4Box("stsd",
+      java.nio.ByteBuffer.allocate(8).putInt(0).putInt(1).array() ++ entry)
+    val stbl = mp4Box("stbl", stsd)
+    val minf = mp4Box("minf", mp4Box("vmhd", new Array[Byte](8)) ++ stbl)
+    val mdia = mp4Box("mdia", mp4Box("mdhd", new Array[Byte](24)) ++ minf)
+    mp4Box("trak", mp4Box("tkhd", new Array[Byte](84)) ++ mdia)
+  }
+
+  private val mp4Codecs = Array("avc1", "mp4a", "hvc1", "av01")
+
+  /** Deterministic MP4 fixture per document id: real ISO-BMFF box
+    * structure (ftyp + free + moov{mvhd, trak*, udta}) with planted
+    * variation — mvhd version 1 (64-bit times) every 5th id, a 64-bit
+    * largesize free box every 7th, and a TRUNCATED file (cut mid-moov)
+    * every 13th so degradation is part of the contract: brand still
+    * parses, movie metadata comes back null, parse_ok=false.
+    */
+  def mp4Fixture(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mp4FixtureSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val timescale = 600L + (id % 5) * 100
+          val duration = 1200L + (id % 97) * 330
+          val nTracks = 1 + (id % 3).toInt
+          val codecs = (0 until nTracks)
+            .map(t => mp4Codecs(((id + t) % 4).toInt))
+          val mvhdVer = if (id % 5 == 0) 1 else 0
+          val ftyp = mp4Box("ftyp",
+            "isom".getBytes("US-ASCII") ++
+              java.nio.ByteBuffer.allocate(4).putInt(512).array() ++
+              "isomiso2mp41".getBytes("US-ASCII"))
+          val free = mp4Box("free", new Array[Byte](12), large = id % 7 == 0)
+          val moovPayload = mp4Mvhd(mvhdVer, timescale, duration, nTracks + 1) ++
+            codecs.flatMap(mp4Trak).toArray ++
+            mp4Box("udta", new Array[Byte](6))
+          val whole = ftyp ++ free ++ mp4Box("moov", moovPayload)
+          val corrupt = id % 13 == 0
+          val content =
+            if (corrupt) whole.take(ftyp.length + free.length + 12)
+            else whole
+          if (corrupt)
+            Row(id, content, content.length.toLong, false, "isom",
+              null, null, null, null)
+          else
+            Row(id, content, content.length.toLong, true, "isom",
+              timescale, duration, nTracks.toLong, codecs.mkString(","))
+        }
+      }(enc)
+  }
+
+  /** Parsed-metadata schema of [[mp4Meta]]. */
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("parse_ok", BooleanType),
+    StructField("major_brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("n_tracks", LongType),
+    StructField("codecs", StringType)))
+
+  private def mp4U32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def mp4U64(b: Array[Byte], off: Int): Long =
+    (mp4U32(b, off) << 32) | mp4U32(b, off + 4)
+
+  /** Lenient sibling-box walk of [start, end): collects (type,
+    * payloadStart, payloadEnd) until a structural violation (header past
+    * end, size below header, box past end) and reports whether the walk
+    * was clean — truncated files keep their parsable prefix.
+    */
+  private def mp4Walk(b: Array[Byte], start: Int,
+                      end: Int): (Seq[(String, Int, Int)], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var p = start
+    while (p < end) {
+      if (p + 8 > end) return (out.toSeq, false)
+      var size = mp4U32(b, p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      var hdr = 8
+      if (size == 1L) {
+        if (p + 16 > end) return (out.toSeq, false)
+        size = mp4U64(b, p + 8); hdr = 16
+      } else if (size == 0L) size = (end - p).toLong
+      if (size < hdr || size > end - p) return (out.toSeq, false)
+      out += ((typ, p + hdr, p + size.toInt))
+      p += size.toInt
+    }
+    (out.toSeq, true)
+  }
+
+  private def mp4Child(boxes: Seq[(String, Int, Int)],
+                       typ: String): Option[(Int, Int)] =
+    boxes.collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+  /** MP4/ISO-BMFF container metadata walk over a binary media column:
+    * major brand (ftyp), movie timescale/duration (mvhd v0 and v1),
+    * track count and per-track codec fourccs (trak→mdia→minf→stbl→stsd
+    * first entry). Unknown sibling boxes are skipped by size, 64-bit
+    * largesize headers are honored, and any structural violation
+    * degrades to parse_ok=false with whatever prefix parsed (a
+    * truncated file still reports its brand). mapPartitions per the
+    * codec-batching discipline; per-row cost is the box-header walk —
+    * bytes are never copied.
+    */
+  def mp4Meta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mp4MetaSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (top, topOk) = mp4Walk(b, 0, b.length)
+          val brand = mp4Child(top, "ftyp")
+            .filter { case (s, e) => e - s >= 4 }
+            .map { case (s, _) => new String(b, s, 4, "US-ASCII") }
+            .orNull
+          val parsed = for {
+            _ <- if (topOk) Some(()) else None
+            (ms, me) <- mp4Child(top, "moov")
+            (children, childOk) = mp4Walk(b, ms, me)
+            _ <- if (childOk) Some(()) else None
+            (hs, he) <- mp4Child(children, "mvhd")
+            _ <- if (he - hs >= 20) Some(()) else None
+            ver = b(hs) & 0xff
+            _ <- if (ver == 0 || (ver == 1 && he - hs >= 32)) Some(()) else None
+            ts = if (ver == 1) mp4U32(b, hs + 20) else mp4U32(b, hs + 12)
+            dur = if (ver == 1) mp4U64(b, hs + 24) else mp4U32(b, hs + 16)
+            traks = children.filter(_._1 == "trak")
+            fourccs <- traverseTrakCodecs(b, traks)
+          } yield (ts, dur, traks.size.toLong, fourccs.mkString(","))
+          parsed match {
+            case Some((ts, dur, nTracks, codecs)) =>
+              Row(id, b.length.toLong, true, brand, ts, dur,
+                math.floor(dur.toDouble / ts * 1e9 + 0.5) / 1e9,
+                nTracks, codecs)
+            case None =>
+              Row(id, b.length.toLong, false, brand,
+                null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** First stsd entry fourcc of every trak, or None if any trak's
+    * mdia→minf→stbl→stsd path is malformed.
+    */
+  private def traverseTrakCodecs(b: Array[Byte],
+      traks: Seq[(String, Int, Int)]): Option[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((_, ts, te) <- traks) {
+      val codec = for {
+        (mdia, mdiaOkEnd) <- walkChildClean(b, ts, te, "mdia")
+        (minf, minfEnd) <- walkChildClean(b, mdia, mdiaOkEnd, "minf")
+        (stbl, stblEnd) <- walkChildClean(b, minf, minfEnd, "stbl")
+        (stsd, stsdEnd) <- walkChildClean(b, stbl, stblEnd, "stsd")
+        // stsd payload: version+flags(4) entry_count(4) then first entry
+        // box header (size(4) + fourcc(4))
+        _ <- if (stsdEnd - stsd >= 16 && mp4U32(b, stsd + 4) >= 1) Some(())
+             else None
+      } yield new String(b, stsd + 12, 4, "US-ASCII")
+      codec match {
+        case Some(c) => out += c
+        case None    => return None
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** Clean walk of [start, end) and locate child `typ`'s payload. */
+  private def walkChildClean(b: Array[Byte], start: Int, end: Int,
+                             typ: String): Option[(Int, Int)] = {
+    val (boxes, ok) = mp4Walk(b, start, end)
+    if (!ok) None else mp4Child(boxes, typ)
   }
 }

@@ -376,4 +376,45 @@ class MultimodalSpec extends SparkSpec {
         .toDF("media_id", "content", "media_type", "n_bytes"), frameSize = 4)
     assert(none.count() == 0L)
   }
+
+  test("mp4Meta walks real box structure; corrupt boxes degrade, not crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fx = Multimodal.mp4Fixture(
+      Seq(1L, 5L, 7L, 13L, 35L).toDF("doc_id")).cache()
+    val out = Multimodal.mp4Meta(fx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // id 1: plain v0 mvhd — timescale 700, duration 1200+330, 2 tracks
+    assert(out(1L).getBoolean(2) && out(1L).getString(3) == "isom")
+    assert(out(1L).getLong(4) == 700L && out(1L).getLong(5) == 1530L)
+    assert(out(1L).getLong(7) == 2L && out(1L).getString(8) == "mp4a,hvc1")
+    // id 5: mvhd VERSION 1 (64-bit times) parses identically
+    assert(out(5L).getBoolean(2) && out(5L).getLong(4) == 600L)
+    assert(out(5L).getLong(5) == 1200L + 5 * 330L)
+    // id 7: 64-bit largesize free box is skipped correctly
+    assert(out(7L).getBoolean(2) && out(7L).getLong(7) == 2L)
+    // id 35: v1 AND largesize together
+    assert(out(35L).getBoolean(2) && out(35L).getLong(4) == 600L)
+    // id 13: TRUNCATED mid-moov — brand survives, movie metadata null
+    assert(!out(13L).getBoolean(2))
+    assert(out(13L).getString(3) == "isom")
+    assert(out(13L).isNullAt(4) && out(13L).isNullAt(5) &&
+      out(13L).isNullAt(7) && out(13L).isNullAt(8))
+    // parsed values equal the generation-time expectations on every row
+    val exp = fx.select(col("media_id"), col("exp_parse_ok"),
+      col("exp_timescale"), col("exp_codecs")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, e) <- exp) {
+      assert(out(id).getBoolean(2) == e.getBoolean(1))
+      assert(out(id).isNullAt(4) == e.isNullAt(2))
+      if (!e.isNullAt(3)) assert(out(id).getString(8) == e.getString(3))
+    }
+    // hand-corrupted header: size field smaller than a box header
+    val bogus = Seq((99L,
+      Array[Byte](0, 0, 0, 4, 'f', 't', 'y', 'p'), "video/mp4", 8L))
+      .toDF("media_id", "content", "media_type", "n_bytes")
+    val br = Multimodal.mp4Meta(bogus).head()
+    assert(!br.getBoolean(2) && br.isNullAt(3))
+    fx.unpersist()
+  }
 }
