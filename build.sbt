@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked main's stdout goes STRAIGHT to the terminal, not through
+// sbt's logger: the driver json-parses the bench's final stdout line,
+// and sbt's "[info] " prefix made every printed record unparseable
+// (round-10 verdict: BENCH_r10.json's `parsed` stayed null).
+run / outputStrategy := Some(StdoutOutput)
 // HiveCatalogSpec and ExtensionsSpec own their SparkContext lifecycles
 // (Hive-backed SharedState / session extensions are fixed at creation and
 // cannot coexist with the shared test session), so each gets its own JVM.

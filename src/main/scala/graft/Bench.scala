@@ -129,6 +129,27 @@ object Bench {
     }
     sweep(spark)
 
+    // Media fixtures are input SYNTHESIS, not the measured op: pre-build
+    // them untimed (Fixtures builds once per JVM — the timed reps then
+    // measure decode/hash/frame work only) and report each build as its
+    // own field (round-10 verdict #5: q129/q145/q230's sf1 "superlinear"
+    // rows were fixture-build artifacts; the committed record now says so
+    // in numbers). q145 shares q129's fixture, q195 shares q194's.
+    for ((key, build) <- Seq[(String, () => String)](
+      "q129_q145_fixture_build_sec" -> (() => graft.queries.Fixtures.audioMedia(spark, sfDir)),
+      "q194_q195_fixture_build_sec" -> (() => graft.queries.Fixtures.imageMedia(spark, sfDir)),
+      "q230_fixture_build_sec" -> (() => graft.queries.Fixtures.audioFramesMedia(spark, sfDir)),
+      "q240_fixture_build_sec" -> (() => graft.queries.Fixtures.mp4Media(spark, sfDir)))) {
+      try {
+        val t0 = System.nanoTime()
+        build()
+        prepared(key) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $key prepare failed (falls back to inline build): ${e.getMessage}")
+      }
+    }
+    sweep(spark)
+
     // optional substring filter (local iteration): `runMain graft.Bench q44`
     // or comma-separated `runMain graft.Bench q60,q61,q97` (any match);
     // `runMain graft.Bench shape` runs only the shape comparison

@@ -220,10 +220,7 @@ object SimilarityQueries {
     // division + sqrt at the end is IEEE-identical across engines.
     QueryDef("q129_audio_decode",
       (s, d) => {
-        val sfName = new java.io.File(d).getName
-        val out = s"/root/repo/target/graft_audio/$sfName/media"
-        Multimodal.wavFromTones(Multimodal.tonesFromDocuments(Tables.documents(s, d)))
-          .write.mode("overwrite").parquet(out)
+        val out = Fixtures.audioMedia(s, d)
         Multimodal.decodeAudio(s.read.parquet(out))
           .select(col("media_id"), col("n_bytes"), col("decode_ok"),
             col("sample_rate"), col("channels"), col("n_frames"),
@@ -252,10 +249,7 @@ object SimilarityQueries {
     // oracle land).
     QueryDef("q194_image_dhash",
       (s, d) => {
-        val sfName = new java.io.File(d).getName
-        val out = s"/root/repo/target/graft_img/$sfName/media"
-        Multimodal.pngLumaFixture(Tables.documents(s, d))
-          .write.mode("overwrite").parquet(out)
+        val out = Fixtures.imageMedia(s, d)
         Multimodal.dHashImages(s.read.parquet(out))
           .select(col("media_id"), col("decode_ok"), col("width"),
             col("height"), col("dhash_hi"), col("dhash_lo"))
@@ -281,10 +275,7 @@ object SimilarityQueries {
     // proves the banding loses no pairs at the radius.
     QueryDef("q195_image_neardup",
       (s, d) => {
-        val sfName = new java.io.File(d).getName
-        val out = s"/root/repo/target/graft_img/$sfName/media"
-        Multimodal.pngLumaFixture(Tables.documents(s, d))
-          .write.mode("overwrite").parquet(out)
+        val out = Fixtures.imageMedia(s, d)
         Multimodal.dHashNearDup(
           Multimodal.dHashImages(s.read.parquet(out)), maxHamming = 3)
       },
@@ -314,10 +305,7 @@ object SimilarityQueries {
     // filtering resampler sneaking in diverges the hashes.
     QueryDef("q145_audio_decimate",
       (s, d) => {
-        val sfName = new java.io.File(d).getName
-        val out = s"/root/repo/target/graft_audio/$sfName/media"
-        Multimodal.wavFromTones(Multimodal.tonesFromDocuments(Tables.documents(s, d)))
-          .write.mode("overwrite").parquet(out)
+        val out = Fixtures.audioMedia(s, d)
         Multimodal.decodeAudio(
             Multimodal.decimateAudio(s.read.parquet(out), factor = 2))
           .select(col("media_id"), col("decode_ok"),
@@ -354,10 +342,7 @@ object SimilarityQueries {
     // ruling on both sides.
     QueryDef("q240_mp4_metadata",
       (s, d) => {
-        val sfName = new java.io.File(d).getName
-        val out = s"/root/repo/target/graft_mp4/$sfName/media"
-        Multimodal.mp4Fixture(Tables.documents(s, d))
-          .write.mode("overwrite").parquet(out)
+        val out = Fixtures.mp4Media(s, d)
         Multimodal.mp4Meta(s.read.parquet(out))
           .select(col("media_id"), col("n_bytes"), col("parse_ok"),
             col("major_brand"), col("timescale"), col("duration"),
@@ -384,10 +369,7 @@ object SimilarityQueries {
     // media at frameSize 256.
     QueryDef("q230_audio_frame_features",
       (s, d) => {
-        val sfName = new java.io.File(d).getName
-        val out = s"/root/repo/target/graft_audio_frames/$sfName/media"
-        Multimodal.wavFromTones(Multimodal.tonesFromDocuments(Tables.documents(s, d)))
-          .write.mode("overwrite").parquet(out)
+        val out = Fixtures.audioFramesMedia(s, d)
         Multimodal.audioFrameFeatures(s.read.parquet(out), frameSize = 256)
           .select(col("media_id"), col("frame_idx"), col("n_samples"),
             col("sum_sq"), col("zcr"), round(col("rms"), 9).alias("rms"))
