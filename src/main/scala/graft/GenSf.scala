@@ -111,19 +111,34 @@ object GenSf {
     // Per-replica rotation degenerates when i >= dim: slice(v, i+1, ...)
     // is empty and slice(v, 1, i) is the whole array, so replica i would
     // be identical to replica 0 and reintroduce the quadratic near-dup
-    // pair blow-up the mutation exists to prevent (round-7 ADVICE) —
-    // fail loud instead of silently generating a degenerate fixture.
+    // pair blow-up the mutation exists to prevent (round-7 ADVICE). For
+    // factor > dim (the sf10 ramp: factor 100 over dim-64 vectors) the
+    // scheme extends with a per-GENERATION negation (generation g =
+    // i / dim, rotation r = i % dim): negation preserves norms and
+    // coordinate distributions, same-rotation cross-generation pairs land
+    // at cosine −1 (never above a positive near-dup threshold), and
+    // different-rotation pairs keep the background level since the sign
+    // cancels within a generation ((−u)·(−w) = u·w). Two generations max
+    // — beyond that (factor > 2·dim) g0/g2 would collide at identity, so
+    // still fail loud.
     val embDim = read("embeddings")
       .select(size(col("embedding"))).head().getInt(0)
-    require(factor <= embDim,
-      s"factor=$factor exceeds embedding dim=$embDim: replica rotations " +
-        "would wrap to identity and the near-dup pair count would grow " +
-        "quadratically; shrink factor or widen the vectors")
-    write(replicate(read("embeddings"), Seq("vec_id" -> vecS), (d, i) =>
-      if (i == 0) d
-      else d.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 1 << 20),
-          slice(col("embedding"), 1, i)))), "embeddings")
+    require(factor <= 2 * embDim,
+      s"factor=$factor exceeds 2x embedding dim=$embDim: replica " +
+        "rotation+negation would wrap to identity and the near-dup pair " +
+        "count would grow quadratically; shrink factor or widen the vectors")
+    write(replicate(read("embeddings"), Seq("vec_id" -> vecS), (d, i) => {
+      val r = i % embDim
+      val rotated =
+        if (i == 0) d
+        else if (r == 0) d
+        else d.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, 1 << 20),
+            slice(col("embedding"), 1, r)))
+      if (i / embDim == 0) rotated
+      else rotated.withColumn("embedding",
+        transform(col("embedding"), x => -x))
+    }), "embeddings")
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { n =>

@@ -256,35 +256,48 @@ object Graphs {
         col(dstCol).cast("long").alias("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each half-step CHECKPOINTS THE RAW AGGREGATE (the heavy edges-join
+    // + groupBy runs exactly once) and leaves normalization LAZY: the
+    // 1-row mean broadcast and the q6 projection are node-sized work over
+    // the checkpointed raw, recomputed cheaply wherever the normalized
+    // frame is consumed. The previous shape checkpointed the NORMALIZED
+    // frame, so the un-cached raw aggregation executed twice per
+    // half-step — once for the mean, once inside the checkpoint (round-10
+    // verdict stretch #7: q196 was the slowest query; same math, same
+    // hash, roughly half the heavy work and jobs).
     def meanNormalize(raw: DataFrame): DataFrame = {
       val m = raw.agg(
         (sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType) /
           count(lit(1))).alias("__mean"))
       raw.crossJoin(broadcast(m))
         .select(col("node"), q6(col("score") / col("__mean")).alias("score"))
-        .localCheckpoint(true)
     }
-    var hub = edges.select(col("src").alias("node")).distinct()
+    val hub0 = edges.select(col("src").alias("node")).distinct()
       .select(col("node"), lit(1.0).alias("score"))
       .localCheckpoint(true)
+    var hub = hub0
+    var hubCp = hub0           // checkpoint backing the current hub frame
     var auth: DataFrame = null
+    var authCp: DataFrame = null
     for (_ <- 1 to iterations) {
       val authRaw = edges
         .join(hub.select(col("node").alias("src"), col("score")), "src")
         .groupBy(col("dst").alias("node"))
         .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
           .alias("score"))
-      val authNext = meanNormalize(authRaw)
-      if (auth != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(auth)
-      auth = authNext
+        .localCheckpoint(true)
+      if (authCp != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(authCp)
+      authCp = authRaw
+      auth = meanNormalize(authRaw)
       val hubRaw = edges
         .join(auth.select(col("node").alias("dst"), col("score")), "dst")
         .groupBy(col("src").alias("node"))
         .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
           .alias("score"))
-      val hubNext = meanNormalize(hubRaw)
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(hub)
-      hub = hubNext
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(hubCp)
+      hubCp = hubRaw
+      hub = meanNormalize(hubRaw)
     }
     val out = hub.select(lit("hub").alias("role"), col("node"), col("score"))
       .unionByName(auth.select(lit("authority").alias("role"), col("node"),
