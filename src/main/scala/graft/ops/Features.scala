@@ -190,4 +190,58 @@ object Features {
         round((x.cast(DoubleType) - col("__mu")) / col("__sigma"), 6))
       .drop("__mu", "__sigma")
   }
+
+  /** Token → bucket under the portable-md5 discipline (the dsir/q224
+    * rule): first 16 md5 bits mod `buckets` — any engine reproduces the
+    * assignment bit-for-bit, unlike JVM hashCode or xxhash.
+    */
+  def hashBucket(term: Column, buckets: Int): Column =
+    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
+
+  /** Hashing-trick sparse featurization (Weinberger et al. 2009 — the
+    * classical-ML counterpart of the embedding tier): per-document
+    * SPARSE hashed term counts (doc_id, bucket, cnt), vocabulary-free by
+    * construction — the feature space is fixed at `buckets` no matter
+    * how many distinct terms 100 TB of text carries, so no dictionary
+    * fit, no OOV handling, no shuffle beyond the one count aggregation.
+    * Collisions are the accepted trade (two terms sharing a bucket add),
+    * exactly as the paper states.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 64): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .alias("__t"))
+      .withColumn("bucket", hashBucket(col("__t"), buckets))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).alias("cnt"))
+
+  /** Sparse linear scoring of hashed features against a BROADCAST B-dim
+    * integer weight vector (a trained linear model's coefficients): dot
+    * product and squared norms accumulate in exact integer arithmetic,
+    * cosine is the single final double divide+sqrt — hash-identical on
+    * any engine. The weight frame is `buckets` rows (model-sized);
+    * the corpus never shuffles beyond [[hashedFeatures]]' aggregation.
+    */
+  def hashedScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: Seq[Long], buckets: Int = 64): DataFrame = {
+    require(weights.length == buckets,
+      s"need $buckets weights, got ${weights.length}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "w")
+    val wNormSq = weights.map(v => v * v).sum
+    hashedFeatures(df, idCol, textCol, buckets)
+      .join(broadcast(w), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).alias("n_tokens"),
+        sum(col("cnt") * col("w")).alias("dot"),
+        sum(col("cnt") * col("cnt")).alias("norm_sq"))
+      .select(col(idCol), col("n_tokens"), col("dot"), col("norm_sq"),
+        when(col("norm_sq") > 0,
+          round(col("dot").cast(DoubleType) /
+            (sqrt(col("norm_sq").cast(DoubleType)) *
+              math.sqrt(wNormSq.toDouble)), 6)).alias("cosine"))
+  }
 }

@@ -817,8 +817,59 @@ object TextQueries {
               |  round(CAST(sum(n_subwords) AS DOUBLE) / count(*), 6)
               |    AS fertility
               |FROM tok JOIN dict USING (word)
-              |GROUP BY lang ORDER BY lang""".stripMargin))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Hashing-trick sparse featurization (Weinberger et al. 2009 —
+    // round-11 verdict stretch #8, the classical-ML counterpart of the
+    // embedding tier): per-doc hashed term counts with a FIXED feature
+    // space (64 buckets) regardless of vocabulary size — no dictionary
+    // fit, no OOV path, one count shuffle; bucket = first 16 md5 bits
+    // mod B (the portable q224 discipline, bit-identical cross-engine).
+    QueryDef("q241_hashed_features",
+      (s, d) => graft.ops.Features.hashedFeatures(
+        Tables.documents(s, d), "doc_id", "text", buckets = 64),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toks) AS tk FROM documents)
+              |SELECT doc_id,
+              |  ('0x' || substr(md5(tk), 1, 4))::BIGINT % 64 AS bucket,
+              |  CAST(count(*) AS BIGINT) AS cnt
+              |FROM t GROUP BY doc_id, bucket""".stripMargin)),
+
+    // Sparse linear scoring against a broadcast integer weight vector (a
+    // trained linear model applied at corpus scale): dot and norms in
+    // exact integer sums, cosine as the single final double divide+sqrt
+    // (sqrt of exact integers is IEEE-identical cross-engine, the q129
+    // rms rule). The weight table is model-sized and broadcast; the
+    // corpus never shuffles beyond the feature aggregation.
+    QueryDef("q242_hashed_score",
+      (s, d) => graft.ops.Features.hashedScore(
+        Tables.documents(s, d), "doc_id", "text", HashWeights, buckets = 64),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+              |f AS (SELECT doc_id,
+              |        ('0x' || substr(md5(tk), 1, 4))::BIGINT % 64 AS bucket,
+              |        CAST(count(*) AS BIGINT) AS cnt
+              |      FROM t GROUP BY doc_id, bucket),
+              |j AS (SELECT doc_id, cnt, (bucket * 37) % 21 - 10 AS w FROM f)
+              |SELECT doc_id,
+              |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              |  CAST(sum(cnt * w) AS BIGINT) AS dot,
+              |  CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq,
+              |  CASE WHEN sum(cnt * cnt) > 0 THEN
+              |    round(CAST(sum(cnt * w) AS DOUBLE) /
+              |      (sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) *
+              |       sqrt(CAST($HashWeightNormSq AS DOUBLE))), 6) END AS cosine
+              |FROM j GROUP BY doc_id""".stripMargin))
   )
+
+  /** q242's deterministic integer weight vector: w_b = (b·37) % 21 − 10,
+    * restated identically as DuckDB integer arithmetic in the oracle.
+    * Lazy: referenced from `all`'s eager oracle strings, which would
+    * otherwise hit the val-initialization-order trap (the BpeMerges
+    * lesson).
+    */
+  private lazy val HashWeights: Seq[Long] =
+    (0 until 64).map(b => ((b * 37) % 21 - 10).toLong)
+  private lazy val HashWeightNormSq: Long =
+    HashWeights.map(w => w * w).sum
 
   /** One unrolled BPE training stage k (DuckDB): count adjacent pairs of
     * the stage-(k-1) vocabulary, pick the argmax under the shared

@@ -64,4 +64,34 @@ class FeaturesSpec extends SparkSpec {
     assert(out("s").isNullAt(3))
     assert(out("t").getLong(1) == 2L && out("t").getLong(2) == 2L)
   }
+
+  test("hashedFeatures/hashedScore: closed-form counts, dot, cosine") {
+    import graft.ops.Features
+    // md5-bucket assignments are engine-portable; derive them here with
+    // the same rule the op uses, then check the closed-form arithmetic
+    val df = Seq((1L, "a a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val (ba, bb) = (bucket("a"), bucket("b"))
+    val feats = Features.hashedFeatures(df, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(feats((1L, ba)) == 2L && feats((1L, bb)) == 1L)
+    assert(feats((2L, ba)) == 1L)
+    // "" tokenizes to [""] — one token in the empty-string bucket
+    assert(feats.keySet.count(_._1 == 3L) == 1)
+    val weights = (0 until 64).map(b => ((b * 37) % 21 - 10).toLong)
+    val wns = weights.map(w => w * w).sum
+    val out = Features.hashedScore(df, "doc_id", "text", weights, 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val dot1 = 2 * weights(ba.toInt) + 1 * weights(bb.toInt)
+    assert(out(1L).getLong(1) == 3L)            // n_tokens
+    assert(out(1L).getLong(2) == dot1)          // dot
+    assert(out(1L).getLong(3) == 5L)            // 2^2 + 1^2
+    val cos1 = math.floor(dot1 / (math.sqrt(5.0) * math.sqrt(wns.toDouble))
+      * 1e6 + 0.5) / 1e6
+    assert(math.abs(out(1L).getDouble(4) - cos1) < 2e-6)
+  }
 }
