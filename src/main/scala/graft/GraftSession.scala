@@ -40,10 +40,20 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
 
-  /** Local session; core count from SPARK_GRAFT_CPUS (driver contract). */
+  /** Local session; core count from SPARK_GRAFT_CPUS (driver contract).
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the shuffle partition count
+    * — the knob a cluster deployment scales with data volume (the sf10
+    * ramp measured the bend of leaving it at the core count: per-
+    * partition shuffle working sets grow with the corpus until they
+    * spill; AQE coalesces a higher count back down when partitions are
+    * small, so over-provisioning is cheap and under-provisioning is not).
+    */
   def local(): SparkSession = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = builder(cores).getOrCreate()
+    val b = builder(cores)
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(p => b.config("spark.sql.shuffle.partitions", p))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -66,6 +66,15 @@ object ScaleRamp {
             col("b.__id").alias("corpus_id"))
           .distinct()
       }),
+      // q97 chain DECOMPOSITION (round 11: 13× at 10× data in the sf10
+      // subset): the fused signal scan and the exact-dedup hash shuffle
+      // are the only corpus-wide stages — time each alone.
+      "x_q97_signals" -> (() => graft.ops.TextAnalysis.curationSignals(
+        graft.sources.Tables.documents(spark, sfDir), "text")),
+      "x_q97_exactdedup" -> (() => graft.ops.Dedup.exactDedup(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text")),
+      "x_q97_curated_chain" -> (() =>
+        graft.queries.TextQueries.curatedDocs(spark, sfDir)),
       "x_q93_probe_full" -> (() => graft.ops.Dedup.minHashNearDupAgainst(
         spark.read.parquet(q93Idx),
         graft.sources.Tables.documents(spark, sfDir)

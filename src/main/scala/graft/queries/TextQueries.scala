@@ -1184,7 +1184,7 @@ object TextQueries {
     * gate → repetition gate → exact-dedup keepers → benchmark
     * decontamination, with the signal columns still attached.
     */
-  private[queries] def curatedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def curatedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
     val keepers = Dedup.exactDedup(docs, "doc_id", "text").select(col("keeper_id"))
     val evalSet = docs.filter(col("doc_id") % 31 === 0)
