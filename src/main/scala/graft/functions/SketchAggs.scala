@@ -1,0 +1,489 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{SetOperation, Sketches, Union}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable DataSketches aggregates beyond the built-in HLL pair
+  * (`hll_sketch_agg`/`hll_union_agg`, the q229 tier): theta sketches
+  * (distinct sets that support UNION **and INTERSECTION** — HLL can only
+  * union), frequent-items sketches (heavy hitters with deterministic
+  * error brackets), and KLL quantile sketches. Together they complete the
+  * pre-aggregation story: a gold table stores one sketch column per
+  * group, and set-overlap / top-k / quantile questions over ANY group
+  * combination are answered by merging kilobyte sketches instead of
+  * rescanning the corpus — the only read pattern that stays viable at
+  * 100 TB.
+  *
+  * All three are `TypedImperativeAggregate`s (the [[TopKPairsAgg]]
+  * discipline): partial sketches are built map-side, only serialized
+  * sketch bytes cross the shuffle, and merge is the sketch monoid. Eval
+  * emits the canonical serialized form so sketches can be PERSISTED as
+  * binary columns and re-merged in later jobs (cost independent of the
+  * original corpus size).
+  *
+  * The companion scalar expressions (estimate / overlap / top-items /
+  * quantile extraction) are deliberately `CodegenFallback`: they run on
+  * the sketched frame — one row per GROUP, not per corpus row — where
+  * interpretation cost is irrelevant and generated code would just
+  * re-state a library call.
+  */
+object SketchAggs {
+  private[functions] def wrapTheta(bytes: Array[Byte]) =
+    Sketches.wrapSketch(Memory.wrap(bytes))
+
+  /** Theta sketch of a LONG key column → compact sketch bytes. */
+  def thetaSketch(value: Column, lgK: Int): Column =
+    GraftBridge.column(
+      ThetaSketchAgg(GraftBridge.expression(value), lgK).toAggregateExpression())
+
+  /** Union of serialized theta sketches → compact sketch bytes. */
+  def thetaUnion(sketch: Column, lgK: Int): Column =
+    GraftBridge.column(
+      ThetaUnionAgg(GraftBridge.expression(sketch), lgK).toAggregateExpression())
+
+  /** Distinct-count estimate of a serialized theta sketch. */
+  def thetaEstimate(sketch: Column): Column =
+    GraftBridge.column(ThetaEstimateExpr(GraftBridge.expression(sketch)))
+
+  /** Pairwise set algebra of two serialized theta sketches:
+    * `struct(union_est, intersect_est)`.
+    */
+  def thetaPair(a: Column, b: Column): Column =
+    GraftBridge.column(
+      ThetaPairExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Frequent-items sketch of a STRING column → sketch bytes. */
+  def freqSketch(item: Column, maxMapSize: Int): Column =
+    GraftBridge.column(
+      FreqItemsAgg(GraftBridge.expression(item), maxMapSize).toAggregateExpression())
+
+  /** Merge serialized frequent-items sketches → sketch bytes. */
+  def freqMerge(sketch: Column, maxMapSize: Int): Column =
+    GraftBridge.column(
+      FreqMergeAgg(GraftBridge.expression(sketch), maxMapSize).toAggregateExpression())
+
+  /** Heavy hitters of a serialized frequent-items sketch under
+    * NO_FALSE_NEGATIVES: every item whose true count exceeds the sketch's
+    * maximum error is guaranteed present; each row carries the
+    * deterministic `[lower, upper]` bracket of its true count.
+    */
+  def freqTopItems(sketch: Column): Column =
+    GraftBridge.column(FreqTopItemsExpr(GraftBridge.expression(sketch)))
+
+  /** KLL quantile sketch of a DOUBLE column → sketch bytes. */
+  def kllSketch(value: Column, k: Int): Column =
+    GraftBridge.column(
+      KllDoublesAgg(GraftBridge.expression(value), k).toAggregateExpression())
+
+  /** Merge serialized KLL sketches → sketch bytes. */
+  def kllMerge(sketch: Column, k: Int): Column =
+    GraftBridge.column(
+      KllMergeAgg(GraftBridge.expression(sketch), k).toAggregateExpression())
+
+  /** Summary of a serialized KLL sketch at the given ranks:
+    * `struct(n, min_value, max_value, quantiles: array<double>)`.
+    * n/min/max are EXACT (KLL tracks them outside the compactors); the
+    * quantiles carry the k-determined normalized rank error.
+    */
+  def kllSummary(sketch: Column, ranks: Seq[Double]): Column =
+    GraftBridge.column(KllSummaryExpr(GraftBridge.expression(sketch), ranks))
+}
+
+/** Per-group theta sketch over a long key. Buffer is a theta `Union` (it
+  * accepts both raw updates and sketch merges); serialize/eval emit the
+  * ORDERED compact form — the canonical representation, so in exact mode
+  * (distinct ≤ 2^lgK) a union of partials is BYTE-IDENTICAL to sketching
+  * the whole corpus at once (SketchSpec pins this).
+  */
+case class ThetaSketchAgg(
+    child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with ImplicitCastInputTypes {
+
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ThetaSketchAgg =
+    copy(child = c(0))
+  override def prettyName: String = "theta_sketch"
+}
+
+/** Union of SERIALIZED theta sketches — the read path: fold a frame of
+  * per-group sketch columns to one merged sketch without touching the
+  * corpus.
+  */
+case class ThetaUnionAgg(
+    child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ThetaUnionAgg =
+    copy(child = c(0))
+  override def prettyName: String = "theta_union"
+}
+
+/** Distinct-count estimate of a serialized theta sketch. In exact mode
+  * the estimate IS the exact distinct count (the sketch still holds every
+  * distinct hash).
+  */
+case class ThetaEstimateExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(bytes: Any): Any =
+    SketchAggs.wrapTheta(bytes.asInstanceOf[Array[Byte]]).getEstimate
+  override protected def withNewChildInternal(c: Expression): ThetaEstimateExpr =
+    copy(child = c)
+  override def prettyName: String = "theta_estimate"
+}
+
+/** Union AND intersection estimates of two serialized theta sketches —
+  * the set-algebra read HLL fundamentally cannot express (its registers
+  * only support max-merge). Output `struct(union_est, intersect_est)`.
+  */
+case class ThetaPairExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("union_est", DoubleType, nullable = false),
+    StructField("intersect_est", DoubleType, nullable = false)))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = SketchAggs.wrapTheta(a.asInstanceOf[Array[Byte]])
+    val sb = SketchAggs.wrapTheta(b.asInstanceOf[Array[Byte]])
+    val u = SetOperation.builder().buildUnion()
+    u.union(sa); u.union(sb)
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(sa); i.intersect(sb)
+    InternalRow(u.getResult.getEstimate, i.getResult.getEstimate)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaPairExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "theta_pair"
+}
+
+/** Per-group frequent-items sketch over a string column (Misra-Gries-
+  * family; `maxMapSize` must be a power of 2). Deterministic guarantees —
+  * no randomness anywhere: every reported count sits in its
+  * `[lower, upper]` bracket, and under NO_FALSE_NEGATIVES every item with
+  * true count > maximum-error is reported.
+  */
+case class FreqItemsAgg(
+    child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] with ImplicitCastInputTypes {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of 2 >= 8: $maxMapSize")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: ItemsSketch[String]): Any =
+    buffer.toByteArray(new ArrayOfStringsSerDe)
+
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(new ArrayOfStringsSerDe)
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqItemsAgg =
+    copy(child = c(0))
+  override def prettyName: String = "freq_items_sketch"
+}
+
+/** Merge of SERIALIZED frequent-items sketches (read path). */
+case class FreqMergeAgg(
+    child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(ItemsSketch.getInstance(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe))
+    buffer
+  }
+
+  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: ItemsSketch[String]): Any =
+    buffer.toByteArray(new ArrayOfStringsSerDe)
+
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(new ArrayOfStringsSerDe)
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqMergeAgg =
+    copy(child = c(0))
+  override def prettyName: String = "freq_items_merge"
+}
+
+/** Heavy hitters of a serialized frequent-items sketch, re-sorted to a
+  * TOTAL deterministic order (estimate desc, item asc — the library sorts
+  * by estimate only, leaving ties in map order).
+  */
+case class FreqTopItemsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("estimate", LongType, nullable = false),
+      StructField("lower", LongType, nullable = false),
+      StructField("upper", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val sk = ItemsSketch.getInstance(
+      Memory.wrap(bytes.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe)
+    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+    new GenericArrayData(rows.map { r =>
+      InternalRow(UTF8String.fromString(r.getItem),
+        r.getEstimate, r.getLowerBound, r.getUpperBound)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): FreqTopItemsExpr =
+    copy(child = c)
+  override def prettyName: String = "freq_top_items"
+}
+
+/** Per-group KLL quantile sketch over a double column. */
+case class KllDoublesAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] with ImplicitCastInputTypes {
+
+  require(k >= 8 && k <= 65535, s"k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllDoublesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllDoublesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllDoublesAgg =
+    copy(child = c(0))
+  override def prettyName: String = "kll_sketch"
+}
+
+/** Merge of SERIALIZED KLL sketches (read path). */
+case class KllMergeAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = c(0))
+  override def prettyName: String = "kll_merge"
+}
+
+/** n / min / max / quantiles of a serialized KLL sketch. n, min and max
+  * are EXACT (kept outside the compactors); quantiles are INCLUSIVE-rank
+  * with normalized rank error eps(k) (k=200 ≈ 1.65%). An empty sketch
+  * yields null.
+  */
+case class KllSummaryExpr(child: Expression, ranks: Seq[Double])
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+
+  require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+    s"ranks must be within [0,1]: $ranks")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("min_value", DoubleType, nullable = false),
+    StructField("max_value", DoubleType, nullable = false),
+    StructField("quantiles", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else InternalRow(sk.getN, sk.getMinItem, sk.getMaxItem,
+      new GenericArrayData(sk.getQuantiles(ranks.toArray)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): KllSummaryExpr =
+    copy(child = c)
+  override def prettyName: String = "kll_summary"
+}

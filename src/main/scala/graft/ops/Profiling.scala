@@ -181,4 +181,125 @@ object Profiling {
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .alias("estimate"),
       sum(col("n_rows")).alias("n_rows"))
+
+  import graft.functions.SketchAggs
+
+  /** Theta sketches complete what [[distinctSketch]]'s HLL cannot: the
+    * sketch supports INTERSECTION, so "how many keys do groups A and B
+    * share" is answered from two kilobyte columns instead of a corpus
+    * self-join. One row per group: sketch bytes + estimate + row count.
+    * In exact mode (distinct ≤ 2^lgK) estimates are EXACT and the compact
+    * serialization is canonical — union of partials is byte-identical to
+    * sketching the whole corpus (SketchSpec pins both).
+    */
+  def thetaSketch(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(SketchAggs.thetaSketch(col(valCol), lgK).alias("sketch"),
+        count(lit(1)).alias("n_rows"))
+      .withColumn("estimate", SketchAggs.thetaEstimate(col("sketch")))
+
+  /** Merge a frame of per-group theta sketches to one global estimate. */
+  def thetaRollup(sketched: DataFrame, lgK: Int = 12): DataFrame =
+    sketched.agg(
+      SketchAggs.thetaUnion(col("sketch"), lgK).alias("sketch"),
+      sum(col("n_rows")).alias("n_rows"))
+      .select(
+        SketchAggs.thetaEstimate(col("sketch")).alias("estimate"),
+        col("n_rows"))
+
+  /** Pairwise overlap matrix over a sketched frame (one row per unordered
+    * group pair, keys ordered `key_a < key_b`): per-side estimates, union
+    * and intersection estimates, and the Jaccard they imply. The input is
+    * GROUP-sized (not corpus-sized), so the self-cross stays a broadcast
+    * of kilobyte sketch rows — the corpus is never rescanned, which is
+    * the entire point at 100 TB.
+    */
+  def thetaOverlapMatrix(sketched: DataFrame, keyCol: String): DataFrame = {
+    val a = sketched.select(col(keyCol).alias("key_a"),
+      col("sketch").alias("__sk_a"), col("estimate").alias("est_a"))
+    val b = sketched.select(col(keyCol).alias("key_b"),
+      col("sketch").alias("__sk_b"), col("estimate").alias("est_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("__pair", SketchAggs.thetaPair(col("__sk_a"), col("__sk_b")))
+      .select(col("key_a"), col("key_b"),
+        col("est_a"), col("est_b"),
+        col("__pair.union_est").alias("union_est"),
+        col("__pair.intersect_est").alias("intersect_est"),
+        round(col("__pair.intersect_est") /
+          greatest(col("__pair.union_est"), lit(1.0)), 6).alias("jaccard_est"))
+  }
+
+  /** EXACT overlap matrix — [[thetaOverlapMatrix]]'s exactness twin and
+    * its cost contrast: distinct (key, value) pairs, self-joined on the
+    * value (the corpus-sized shuffle the sketches exist to avoid), plus
+    * two broadcast joins against the per-key distinct counts. Same output
+    * shape as the theta form so the two are directly comparable.
+    */
+  def overlapMatrixExact(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val s = df.select(col(keyCol).alias("key"), col(valCol).alias("v")).distinct()
+    val cnt = s.groupBy("key").agg(count(lit(1)).alias("n"))
+    s.alias("a")
+      .join(s.alias("b"),
+        col("a.v") === col("b.v") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").alias("key_a"), col("b.key").alias("key_b"))
+      .agg(count(lit(1)).alias("n_shared"))
+      .join(broadcast(cnt.select(col("key").alias("key_a"), col("n").alias("n_a"))), "key_a")
+      .join(broadcast(cnt.select(col("key").alias("key_b"), col("n").alias("n_b"))), "key_b")
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_a") + col("n_b") - col("n_shared")).alias("n_union"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).alias("jaccard"))
+  }
+
+  /** Per-group frequent-items (heavy hitters) sketches over a string
+    * column — deterministic error brackets, no randomness: every reported
+    * count sits in `[lower, upper]`, and any item with true count above
+    * the sketch's maximum error is guaranteed reported
+    * (NO_FALSE_NEGATIVES). `maxMapSize` (power of 2) bounds the state:
+    * error ≤ 3.5·n/maxMapSize.
+    */
+  def freqSketch(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                 maxMapSize: Int = 256): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(SketchAggs.freqSketch(col(itemCol), maxMapSize).alias("sketch"),
+        count(lit(1)).alias("n_rows"))
+
+  /** Merge per-group frequent-items sketches and report the global heavy
+    * hitters with their brackets.
+    */
+  def freqRollup(sketched: DataFrame, maxMapSize: Int = 256): DataFrame =
+    sketched.agg(
+      SketchAggs.freqMerge(col("sketch"), maxMapSize).alias("sketch"),
+      sum(col("n_rows")).alias("n_rows"))
+      .select(SketchAggs.freqTopItems(col("sketch")).alias("top_items"),
+        col("n_rows"))
+
+  /** Per-group KLL quantile sketches over a numeric column — the
+    * mergeable counterpart of the exact percentile tier (q38/q161): a
+    * gold table stores one KLL column per group and ANY later rank
+    * question over any group combination merges them. n/min/max are exact
+    * in the sketch; quantile rank error is eps(k) (k=200 ≈ 1.65%).
+    */
+  def kllSketch(df: DataFrame, groupCols: Seq[String], valCol: String,
+                k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(SketchAggs.kllSketch(col(valCol).cast("double"), k).alias("sketch"),
+        count(lit(1)).alias("n_rows"))
+
+  /** Merge per-group KLL sketches and summarize at the given ranks. */
+  def kllRollup(sketched: DataFrame, ranks: Seq[Double],
+                k: Int = 200): DataFrame =
+    sketched.agg(
+      SketchAggs.kllMerge(col("sketch"), k).alias("sketch"),
+      sum(col("n_rows")).alias("n_rows"))
+      .select(SketchAggs.kllSummary(col("sketch"), ranks).alias("summary"),
+        col("n_rows"))
+      .select(col("summary.n").alias("n"),
+        col("summary.min_value").alias("min_value"),
+        col("summary.max_value").alias("max_value"),
+        col("summary.quantiles").alias("quantiles"),
+        col("n_rows"))
 }

@@ -279,6 +279,60 @@ object AnalyticsQueries {
           Tables.orders(s, d), Seq("o_orderstatus"), "o_custkey")),
       None),
 
+    // Mergeable theta sketch columns (DataSketches) — per-status customer
+    // sketches pairwise-intersected into an overlap matrix: the set
+    // algebra HLL registers cannot express (max-merge unions only). The
+    // corpus is scanned ONCE to build group sketches; every overlap
+    // question after that runs on kilobyte sketch bytes. Estimates are
+    // engine-internal → rows-only; SketchSpec pins exact-mode estimate
+    // equality, union-of-partials byte-equality, and the intersection-vs-
+    // exact agreement; q244 is the exhaustive hash-green twin.
+    QueryDef("q243_theta_mergeable",
+      (s, d) => graft.ops.Profiling.thetaOverlapMatrix(
+        graft.ops.Profiling.thetaSketch(
+          Tables.orders(s, d), Seq("o_orderstatus"), "o_custkey"),
+        "o_orderstatus"),
+      None),
+
+    // q243's exactness twin: the same overlap matrix computed exactly —
+    // distinct (status, custkey) pairs self-joined on custkey (the
+    // corpus-sized shuffle the theta sketches avoid) + broadcast count
+    // joins. Hash-exact vs the identical DuckDB restatement; at sf0.01
+    // the theta sketches are in exact mode, so q243's estimates equal
+    // these counts exactly (SketchSpec pins that equality).
+    QueryDef("q244_status_overlap_exact",
+      (s, d) => graft.ops.Profiling.overlapMatrixExact(
+        Tables.orders(s, d), "o_orderstatus", "o_custkey"),
+      Some("""WITH s AS (SELECT DISTINCT o_orderstatus AS key, o_custkey AS v
+             |          FROM orders),
+             |cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+             |        FROM s GROUP BY key),
+             |ov AS (SELECT a.key AS key_a, b.key AS key_b,
+             |         CAST(count(*) AS BIGINT) AS n_shared
+             |       FROM s a JOIN s b ON a.v = b.v AND a.key < b.key
+             |       GROUP BY a.key, b.key)
+             |SELECT ov.key_a, ov.key_b, ca.n AS n_a, cb.n AS n_b,
+             |  ov.n_shared, ca.n + cb.n - ov.n_shared AS n_union,
+             |  round(CAST(ov.n_shared AS DOUBLE) /
+             |    (ca.n + cb.n - ov.n_shared), 6) AS jaccard
+             |FROM ov
+             |JOIN cnt ca ON ov.key_a = ca.key
+             |JOIN cnt cb ON ov.key_b = cb.key""".stripMargin)),
+
+    // Mergeable KLL quantile sketch columns — the approximate-but-
+    // mergeable counterpart of q38's exact percentiles: per-status KLL
+    // sketches of o_totalprice merged to one corpus summary (n/min/max
+    // exact by construction, quantiles at eps(k=200) ≈ 1.65% rank error).
+    // Sketch internals are randomized (compactor coin flips) →
+    // rows-only; SketchSpec pins n/min/max exactness and the rank-error
+    // bound vs the exact percentiles.
+    QueryDef("q246_kll_mergeable",
+      (s, d) => graft.ops.Profiling.kllRollup(
+        graft.ops.Profiling.kllSketch(
+          Tables.orders(s, d), Seq("o_orderstatus"), "o_totalprice"),
+        ranks = Seq(0.25, 0.5, 0.75, 0.95)),
+      None),
+
     // As-of join: each click paired with the user's most recent signup at
     // or before it. Composed from built-ins (tagged union + running
     // last-value window) — no custom operator needed; the oracle uses

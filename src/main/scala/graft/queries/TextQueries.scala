@@ -857,7 +857,33 @@ object TextQueries {
               |    round(CAST(sum(cnt * w) AS DOUBLE) /
               |      (sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) *
               |       sqrt(CAST($HashWeightNormSq AS DOUBLE))), 6) END AS cosine
-              |FROM j GROUP BY doc_id""".stripMargin))
+              |FROM j GROUP BY doc_id""".stripMargin)),
+
+    // Mergeable frequent-items (heavy hitters) sketch columns — the
+    // sketch counterpart of q89's exact vocabulary top-k: per-language
+    // Misra-Gries-family sketches over the token stream, each reporting
+    // its heavy hitters under NO_FALSE_NEGATIVES with DETERMINISTIC
+    // [lower, upper] count brackets (no randomness anywhere in this
+    // sketch family). One corpus scan builds the sketches; per-language
+    // state is bounded by maxMapSize regardless of vocabulary size, and
+    // the serialized columns re-merge across shards/days at zero corpus
+    // cost. Report arrays are sketch-internal → rows-only (one row per
+    // language, deterministic); SketchSpec pins the bracket property,
+    // the no-false-negatives guarantee, and merge conservation vs q89's
+    // exact counts.
+    QueryDef("q245_freq_mergeable",
+      (s, d) => {
+        val toksDf = Tables.documents(s, d).select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .alias("token"))
+        graft.ops.Profiling.freqSketch(toksDf, Seq("lang"), "token",
+            maxMapSize = 256)
+          .withColumn("top_items",
+            graft.functions.SketchAggs.freqTopItems(col("sketch")))
+          .select(col("lang"), col("n_rows").alias("n_tokens"),
+            size(col("top_items")).alias("n_reported"), col("top_items"))
+      },
+      None)
   )
 
   /** q242's deterministic integer weight vector: w_b = (b·37) % 21 − 10,

@@ -398,7 +398,12 @@ class PlanSpec extends SparkSpec {
       //  - q221: k-means step — the k-row centroid model is the broadcast
       //    side (q178's nearest-centroid posture); the corpus scores
       //    map-side
-      "q221_kmeans_step")
+      "q221_kmeans_step",
+      //  - q243: theta overlap matrix — the pairwise cross runs on the
+      //    SKETCHED frame (one kilobyte row per group, both sides bounded
+      //    by the group count); the corpus was reduced to sketches in the
+      //    one prior scan and is never rescanned
+      "q243_theta_mergeable")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.kll.KllSketch
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchAggs, TextFunctions}
+import graft.ops.Profiling
+import graft.sources.Tables
+
+/** The q243/q245/q246 sketch-tier guarantees, pinned against exact
+  * computations on the same data. Theta and frequent-items are fully
+  * deterministic families, so their pins are equalities and hard
+  * brackets; KLL is randomized internally (compactor coin flips), so its
+  * pins are the exact-by-construction fields (n/min/max) plus a rank
+  * bound far looser than the 99%-confidence eps(k).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders = Tables.orders(spark, sf001)
+
+  test("theta: exact-mode estimates equal exact distinct, per group and rolled up") {
+    val perGroup = Profiling.thetaSketch(orders, Seq("o_orderstatus"), "o_custkey")
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").alias("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.collect().foreach { r =>
+      val est = r.getAs[Double]("estimate")
+      assert(est == exact(r.getString(0)).toDouble,
+        s"exact-mode theta estimate must be exact: ${r.getString(0)}")
+    }
+    val rolled = Profiling.thetaRollup(perGroup).head()
+    val globalExact = orders.select(countDistinct("o_custkey")).head().getLong(0)
+    assert(rolled.getAs[Double]("estimate") == globalExact.toDouble)
+    assert(rolled.getAs[Long]("n_rows") == orders.count())
+  }
+
+  test("theta: union of per-group partials is BYTE-identical to the whole-corpus sketch") {
+    val perGroup = Profiling.thetaSketch(orders, Seq("o_orderstatus"), "o_custkey")
+    val merged = perGroup
+      .agg(SketchAggs.thetaUnion(col("sketch"), 12).alias("sketch"))
+      .head().getAs[Array[Byte]]("sketch")
+    val whole = orders.agg(
+      SketchAggs.thetaSketch(col("o_custkey"), 12).alias("sketch"))
+      .head().getAs[Array[Byte]]("sketch")
+    // the ordered compact form is canonical: same retained hash set →
+    // same bytes, regardless of how the build was partitioned
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
+  test("theta: overlap matrix agrees with the exact overlap in exact mode") {
+    val thetaM = Profiling.thetaOverlapMatrix(
+      Profiling.thetaSketch(orders, Seq("o_orderstatus"), "o_custkey"),
+      "o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val exactM = Profiling.overlapMatrixExact(orders, "o_orderstatus", "o_custkey")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(thetaM.keySet == exactM.keySet)
+    exactM.foreach { case (k, e) =>
+      val t = thetaM(k)
+      assert(t.getAs[Double]("intersect_est") == e.getAs[Long]("n_shared").toDouble, k)
+      assert(t.getAs[Double]("union_est") == e.getAs[Long]("n_union").toDouble, k)
+    }
+  }
+
+  test("freq: every reported count is bracketed and nothing above max-error is missed") {
+    val docs = Tables.documents(spark, sf001)
+    val toksDf = docs.select(col("lang"),
+      explode(TextFunctions.tokens(col("text"))).alias("token"))
+    val exact = toksDf.groupBy("lang", "token").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    val sketched = Profiling.freqSketch(toksDf, Seq("lang"), "token", 256).collect()
+    assert(sketched.nonEmpty)
+    sketched.foreach { r =>
+      val lang = r.getString(0)
+      val sk = ItemsSketch.getInstance(
+        Memory.wrap(r.getAs[Array[Byte]]("sketch")), new ArrayOfStringsSerDe)
+      assert(sk.getStreamLength == exact(lang).values.sum)
+      val reported = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      // hard deterministic bracket on every reported item
+      reported.foreach { row =>
+        val truth = exact(lang).getOrElse(row.getItem, 0L)
+        assert(row.getLowerBound <= truth && truth <= row.getUpperBound,
+          s"$lang/${row.getItem}: [${row.getLowerBound},${row.getUpperBound}] vs $truth")
+      }
+      // NO_FALSE_NEGATIVES: any item with true count above the sketch's
+      // maximum error MUST appear
+      val reportedSet = reported.map(_.getItem).toSet
+      val maxErr = sk.getMaximumError
+      exact(lang).foreach { case (tok, n) =>
+        if (n > maxErr) assert(reportedSet.contains(tok), s"missed $lang/$tok ($n > $maxErr)")
+      }
+    }
+  }
+
+  test("freq: merged per-group sketches still bracket the global exact counts") {
+    val docs = Tables.documents(spark, sf001)
+    val toksDf = docs.select(col("lang"),
+      explode(TextFunctions.tokens(col("text"))).alias("token"))
+    val globalExact = toksDf.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mergedBytes = Profiling.freqSketch(toksDf, Seq("lang"), "token", 256)
+      .agg(SketchAggs.freqMerge(col("sketch"), 256).alias("sketch"))
+      .head().getAs[Array[Byte]]("sketch")
+    val sk = ItemsSketch.getInstance(Memory.wrap(mergedBytes), new ArrayOfStringsSerDe)
+    assert(sk.getStreamLength == globalExact.values.sum)
+    val reported = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    assert(reported.nonEmpty)
+    reported.foreach { row =>
+      val truth = globalExact.getOrElse(row.getItem, 0L)
+      assert(row.getLowerBound <= truth && truth <= row.getUpperBound, row.getItem)
+    }
+  }
+
+  test("kll: rollup n/min/max are exact and quantiles sit within the rank bound") {
+    val ranks = Seq(0.25, 0.5, 0.75, 0.95)
+    val rolled = Profiling.kllRollup(
+      Profiling.kllSketch(orders, Seq("o_orderstatus"), "o_totalprice"),
+      ranks).head()
+    val n = orders.count()
+    assert(rolled.getAs[Long]("n") == n)
+    assert(rolled.getAs[Long]("n_rows") == n)
+    val mm = orders.agg(
+      min(col("o_totalprice").cast("double")),
+      max(col("o_totalprice").cast("double"))).head()
+    assert(rolled.getAs[Double]("min_value") == mm.getDouble(0))
+    assert(rolled.getAs[Double]("max_value") == mm.getDouble(1))
+
+    // each returned quantile's EXACT rank must be within 3x the sketch's
+    // 99%-confidence normalized rank error (k=200 → eps ≈ 1.65%)
+    val eps = KllSketch.getNormalizedRankError(200, false)
+    val qs = rolled.getAs[scala.collection.Seq[Double]]("quantiles")
+    val prices = orders.select(col("o_totalprice").cast("double"))
+      .as[Double].collect().sorted
+    ranks.zip(qs).foreach { case (r, q) =>
+      val exactRank = prices.count(_ <= q).toDouble / n
+      assert(math.abs(exactRank - r) <= 3 * eps,
+        s"rank $r -> $q: exact rank $exactRank off by more than ${3 * eps}")
+    }
+  }
+}
