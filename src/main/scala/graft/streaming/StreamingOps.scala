@@ -224,6 +224,69 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming sketch profiling — the q243/q246 mergeable-sketch tier on
+    * the ingest path. Each micro-batch is reduced to per-group sketch
+    * PARTIAL rows (theta distinct-set sketch of `distinctCol`, KLL
+    * quantile sketch of `valueCol`, row count) landed at
+    * `sketchDir/batch=<id>/` via the per-batch dynamic-overwrite
+    * discipline of [[nearDupIngest]] (a replayed batch rewrites its own
+    * partition — idempotent). No corpus-wide state anywhere: each batch
+    * pays only its own aggregation, and the profile store grows by
+    * |groups| kilobyte rows per batch.
+    *
+    * The read path ([[sketchProfile]]) merges all partials. Because the
+    * serialized sketches ARE the aggregation monoid's partial states, the
+    * merged profile is EXACTLY what a batch job over the whole corpus
+    * would produce — for theta, byte-identically (StreamingSpec pins the
+    * stream≡batch equality) — without ever rescanning ingested data.
+    * This is the streaming answer the exact tier cannot give: a
+    * continuously-maintained distinct/quantile profile whose read cost is
+    * independent of stream history.
+    */
+  def sketchIngest(spark: SparkSession, srcDir: String, sketchDir: String,
+                   checkpointDir: String, schema: StructType,
+                   groupCols: Seq[String], distinctCol: String,
+                   valueCol: String, lgK: Int = 12, kllK: Int = 200): Unit = {
+    import graft.functions.SketchAggs
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.groupBy(groupCols.map(col): _*)
+          .agg(
+            SketchAggs.thetaSketch(col(distinctCol), lgK).alias("theta"),
+            SketchAggs.kllSketch(col(valueCol).cast("double"), kllK).alias("kll"),
+            count(lit(1)).alias("n_rows"))
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch").parquet(sketchDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read path of [[sketchIngest]]: merge every batch's partial sketches
+    * to one profile row per group — distinct estimate, quantiles at
+    * `ranks`, exact n/min/max, total rows. Cost ∝ |groups × batches|
+    * sketch rows; the ingested corpus is never touched.
+    */
+  def sketchProfile(spark: SparkSession, sketchDir: String,
+                    groupCols: Seq[String], ranks: Seq[Double],
+                    lgK: Int = 12, kllK: Int = 200): DataFrame = {
+    import graft.functions.SketchAggs
+    spark.read.parquet(sketchDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        SketchAggs.thetaUnion(col("theta"), lgK).alias("theta"),
+        SketchAggs.kllMerge(col("kll"), kllK).alias("kll"),
+        sum(col("n_rows")).alias("n_rows"))
+      .select(groupCols.map(col) ++ Seq(
+        SketchAggs.thetaEstimate(col("theta")).alias("distinct_est"),
+        col("theta"),
+        SketchAggs.kllSummary(col("kll"), ranks).alias("value_summary"),
+        col("n_rows")): _*)
+  }
+
   /** Hourly tumbling aggregation with a watermark (late data beyond the
     * watermark is dropped; state for closed windows is evicted).
     */

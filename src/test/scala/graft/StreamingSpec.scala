@@ -469,6 +469,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == 150)
   }
 
+  test("sketchIngest: merged stream partials equal the whole-corpus batch sketch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sketch_ingest")
+    val (src, skd, ckpt) = (s"$base/src", s"$base/sketches", s"$base/ckpt")
+    def rows(ids: Range) = ids.map(i =>
+      (s"g${i % 3}", i.toLong % 40, i.toDouble)).toDF("grp", "key", "v")
+    val schema = rows(0 until 1).schema
+    def ingest(): Unit = StreamingOps.sketchIngest(
+      spark, src, skd, ckpt, schema, Seq("grp"), "key", "v")
+
+    rows(0 until 120).write.mode("append").parquet(src)
+    ingest()
+    rows(120 until 200).write.mode("append").parquet(src)
+    ingest()
+
+    val profile = StreamingOps.sketchProfile(spark, skd, Seq("grp"),
+      ranks = Seq(0.5)).collect().map(r => r.getString(0) -> r).toMap
+    val whole = rows(0 until 200)
+    // theta: the merged stream profile must be BYTE-identical to sketching
+    // the whole corpus in one batch job (canonical ordered-compact form)
+    val batchSketches = graft.ops.Profiling.thetaSketch(whole, Seq("grp"), "key")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    val exact = whole.groupBy("grp").agg(
+      countDistinct("key").alias("nd"), count(lit(1)).alias("n"),
+      min("v").alias("mn"), max("v").alias("mx")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(profile.keySet == exact.keySet)
+    profile.foreach { case (g, r) =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("theta"), batchSketches(g)), s"theta bytes $g")
+      assert(r.getAs[Double]("distinct_est") == exact(g).getAs[Long]("nd").toDouble, g)
+      val vs = r.getAs[org.apache.spark.sql.Row]("value_summary")
+      assert(vs.getAs[Long]("n") == exact(g).getAs[Long]("n"), g)
+      assert(vs.getAs[Double]("min_value") == exact(g).getAs[Double]("mn"), g)
+      assert(vs.getAs[Double]("max_value") == exact(g).getAs[Double]("mx"), g)
+      assert(r.getAs[Long]("n_rows") == exact(g).getAs[Long]("n"), g)
+    }
+
+    // no new files → a run is a no-op: same batches, same profile
+    ingest()
+    val again = StreamingOps.sketchProfile(spark, skd, Seq("grp"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(again == exact.map { case (g, r) => g -> r.getAs[Long]("n") })
+  }
+
   test("nearDupIngest drops near-dups within and across batches, replay-safe") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("neardup_ingest")
