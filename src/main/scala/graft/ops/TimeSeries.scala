@@ -130,6 +130,56 @@ object TimeSeries {
         col("__e.s").alias(outCol)): _*)
   }
 
+  /** Holt linear-trend (double exponential) smoothing per group — the
+    * trend-aware step past [[ewma]]'s flat forecaster: level and trend
+    * are co-updated along the ordered series
+    * (`l_i = α·v_i + (1−α)(l+t); t_i = β(l_i−l) + (1−β)t`, initialized
+    * `l = v_2, t = v_2 − v_1`), and the h-step-ahead forecast is
+    * `l + h·t`. One fold per group (not per element — unlike ewma's
+    * prefix emission this keeps only the final state), expressed as an
+    * `aggregate` HOF whose accumulator is the `[level, trend]` array; the
+    * oracle mirrors the identical IEEE chain with `list_reduce` carrying
+    * the same 2-element list (the BPE single-element-list discipline).
+    * α/β must be dyadic rationals (0.5, 0.25, …) so the interpolated
+    * literals are exact in both engines. Groups with fewer than 2 points
+    * yield null level/trend/forecast (a trend needs two observations).
+    * Same bounded-series contract as [[ewma]]; here the fold is LINEAR in
+    * group length.
+    */
+  def holt(df: DataFrame, groupCols: Seq[String], orderCol: String,
+           valCol: String, alpha: Double, beta: Double,
+           horizon: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    require(beta > 0.0 && beta <= 1.0, s"beta in (0,1]: $beta")
+    require(horizon >= 1, s"horizon >= 1: $horizon")
+    val (a, b) = (alpha, beta)
+    val pairs = df.filter(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).alias("o"),
+        col(valCol).alias("v")))).alias("__series"))
+    pairs
+      .withColumn("__vs", expr("transform(__series, e -> CAST(e.v AS DOUBLE))"))
+      .withColumn("__acc", expr(s"""
+        CASE WHEN size(__vs) >= 2 THEN
+          aggregate(slice(__vs, 2, size(__vs) - 1),
+            array(element_at(__vs, 1)),
+            (acc, x) -> CASE WHEN size(acc) = 1
+              THEN array(x, x - element_at(acc, 1))
+              ELSE array(
+                $a * x + ${1 - a} * (element_at(acc, 1) + element_at(acc, 2)),
+                $b * (($a * x + ${1 - a} * (element_at(acc, 1) + element_at(acc, 2)))
+                      - element_at(acc, 1)) + ${1 - b} * element_at(acc, 2))
+              END)
+        END"""))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("__vs")).cast("long").alias("n_points"),
+        round(element_at(col("__acc"), 1), 6).alias("level"),
+        round(element_at(col("__acc"), 2), 6).alias("trend"),
+        expr(s"""transform(sequence(1, $horizon), h ->
+          round(element_at(__acc, 1) + h * element_at(__acc, 2), 6))""")
+          .alias("forecast")): _*)
+  }
+
   /** One-sided CUSUM control chart per group: s_0 = 0,
     * s_t = max(0, s_{t−1} + (x_t − target − slack)) — the drift detector
     * that flags sustained upward excursions a point threshold misses

@@ -332,6 +332,49 @@ object EventQueries {
               |      FROM e)
               |SELECT event_type, window_start, round(ewma, 9) AS ewma FROM x""".stripMargin)),
 
+    // Holt linear-trend forecasting over the same hourly series — the
+    // trend-aware step past q149's flat EWMA forecaster: level+trend
+    // co-updated along the ordered series, 3-step-ahead forecast
+    // l + h·t. ONE linear fold per group (array accumulator [l, t]);
+    // the oracle replays the identical IEEE chain via list_reduce
+    // carrying the same 2-element list (the BPE single-element-list
+    // discipline), with dyadic α=0.5 / β=0.25 so every interpolated
+    // literal is exact in both engines.
+    QueryDef("q247_holt_forecast",
+      (s, d) => TimeSeries.holt(locfFilled(s, d),
+          Seq("event_type"), "window_start", "total_value_filled",
+          alpha = 0.5, beta = 0.25, horizon = 3)
+        .select(col("event_type"), col("n_points"), col("level"), col("trend"),
+          element_at(col("forecast"), 1).alias("f1"),
+          element_at(col("forecast"), 2).alias("f2"),
+          element_at(col("forecast"), 3).alias("f3")),
+      Some(s"""$locfCtes,
+              |hf AS (SELECT event_type, window_start, total_value_filled
+              |      FROM l WHERE total_value_filled IS NOT NULL),
+              |he AS (SELECT event_type,
+              |        list(CAST(total_value_filled AS DOUBLE)
+              |             ORDER BY window_start) AS vs
+              |      FROM hf GROUP BY event_type),
+              |h AS (SELECT event_type, len(vs) AS n_points,
+              |        CASE WHEN len(vs) >= 2 THEN
+              |          list_reduce(
+              |            list_prepend([vs[1]],
+              |              list_transform(vs[2:], x -> [x])),
+              |            (acc, x) -> CASE WHEN len(acc) = 1
+              |              THEN [x[1], x[1] - acc[1]]
+              |              ELSE [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+              |                    0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+              |                            - acc[1]) + 0.75 * acc[2]]
+              |              END)
+              |        END AS acc
+              |      FROM he)
+              |SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+              |  round(acc[1], 6) AS level, round(acc[2], 6) AS trend,
+              |  round(acc[1] + 1 * acc[2], 6) AS f1,
+              |  round(acc[1] + 2 * acc[2], 6) AS f2,
+              |  round(acc[1] + 3 * acc[2], 6) AS f3
+              |FROM h""".stripMargin)),
+
     // Discrete differences over the same series: previous value, delta,
     // percent change (null at each group's first row and at zero bases).
     QueryDef("q150_deltas_hourly",

@@ -92,6 +92,33 @@ class AnalyticsSpec extends SparkSpec {
     assert((1 to 20).forall(i => !out(i.toLong)), "bulk points must not be flagged")
   }
 
+  test("holt tracks a perfect linear trend exactly and damps a level shift") {
+    import spark.implicits._
+    // perfect trend 10,12,14,16: level locks to the last value, trend to
+    // the slope, forecasts extrapolate the line exactly (closed form:
+    // alpha*v + (1-alpha)*(l+t) = v when l+t = v)
+    val lin = Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 14.0), ("a", 4L, 16.0))
+      .toDF("g", "t", "v")
+    val r = graft.ops.TimeSeries.holt(lin, Seq("g"), "t", "v",
+      alpha = 0.5, beta = 0.25, horizon = 3).head()
+    assert(r.getAs[Long]("n_points") == 4L)
+    assert(r.getAs[Double]("level") == 16.0 && r.getAs[Double]("trend") == 2.0)
+    assert(r.getAs[scala.collection.Seq[Double]]("forecast") == Seq(18.0, 20.0, 22.0))
+
+    // level shift 10,10,20: hand-computed l=15, t=1.25, f1=16.25
+    val shift = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 20.0)).toDF("g", "t", "v")
+    val r2 = graft.ops.TimeSeries.holt(shift, Seq("g"), "t", "v",
+      alpha = 0.5, beta = 0.25, horizon = 1).head()
+    assert(r2.getAs[Double]("level") == 15.0 && r2.getAs[Double]("trend") == 1.25)
+    assert(r2.getAs[scala.collection.Seq[Double]]("forecast") == Seq(16.25))
+
+    // a 1-point series has no trend: null level/trend by contract
+    val one = Seq(("a", 1L, 10.0)).toDF("g", "t", "v")
+    val r3 = graft.ops.TimeSeries.holt(one, Seq("g"), "t", "v",
+      alpha = 0.5, beta = 0.25, horizon = 1).head()
+    assert(r3.isNullAt(r3.fieldIndex("level")) && r3.isNullAt(r3.fieldIndex("trend")))
+  }
+
   test("snapshotDiff classifies added/removed/changed and omits unchanged") {
     import spark.implicits._
     val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
