@@ -65,6 +65,13 @@ object SketchAggs {
     GraftBridge.column(
       ThetaPairExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** KMV sketch: the k smallest distinct values of a LONG (hash) column,
+    * ascending. Deterministic under any partitioning/merge order.
+    */
+  def kmvBottomK(value: Column, k: Int): Column =
+    GraftBridge.column(
+      KmvBottomKAgg(GraftBridge.expression(value), k).toAggregateExpression())
+
   /** Frequent-items sketch of a STRING column → sketch bytes. */
   def freqSketch(item: Column, maxMapSize: Int): Column =
     GraftBridge.column(
@@ -100,6 +107,81 @@ object SketchAggs {
     */
   def kllSummary(sketch: Column, ranks: Seq[Double]): Column =
     GraftBridge.column(KllSummaryExpr(GraftBridge.expression(sketch), ranks))
+}
+
+/** Bounded buffer of the k SMALLEST DISTINCT longs — the KMV (k minimum
+  * values) sketch state. Fully deterministic (no library randomness, no
+  * hash seeds): the same input multiset yields the same k minima under
+  * ANY partitioning or merge order, which is what lets the q248 KMV
+  * distinct estimate be ORACLE-GATED hash-exact where every other
+  * approximate-distinct family is rows-only.
+  */
+case class KmvBottomKAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ImplicitCastInputTypes {
+
+  require(k >= 2 && k <= 65536, s"k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.remove(buf.last); () } }
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buffer, v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buffer, it.next())
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.size)
+    bb.putInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { insert(buf, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvBottomKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvBottomKAgg =
+    copy(child = c(0))
+  override def prettyName: String = "kmv_bottom_k"
 }
 
 /** Per-group theta sketch over a long key. Buffer is a theta `Union` (it

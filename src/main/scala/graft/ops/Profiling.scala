@@ -254,6 +254,36 @@ object Profiling {
           (col("n_a") + col("n_b") - col("n_shared")), 6).alias("jaccard"))
   }
 
+  /** PORTABLE KMV distinct sketch — the member of the sketch family that
+    * is fully deterministic end to end (portable md5 hash, exact bottom-k
+    * minima, no seeds, no randomness), so unlike HLL/theta its ESTIMATE
+    * is oracle-gatable hash-exact: DuckDB reproduces the identical
+    * number from the identical hashes. Per group: the k smallest distinct
+    * 48-bit hashes (`mins`), the k-th minimum, and the KMV estimate
+    * (k−1)/R with R = h_k/2^48 — exact when distinct < k (the sketch
+    * still holds every hash), rsd ≈ 1/√(k−2) otherwise. Partial-
+    * aggregable and merge-order-independent: bottom-k is a monoid, so
+    * per-shard sketches union to EXACTLY the whole-corpus sketch
+    * (SketchSpec pins the distributivity).
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valCol: String,
+                k: Int = 32): DataFrame = {
+    val scale = (k - 1).toDouble * 281474976710656.0 // (k-1) * 2^48, exact
+    df.withColumn("__h",
+        conv(substring(md5(col(valCol).cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(SketchAggs.kmvBottomK(col("__h"), k).alias("mins"))
+      .select(groupCols.map(col) ++ Seq(
+        col("mins"),
+        size(col("mins")).cast("long").alias("n_kept"),
+        when(size(col("mins")) >= k, element_at(col("mins"), k))
+          .alias("kth_min"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(round(lit(scale) / element_at(col("mins"), k), 6))
+          .alias("est_distinct")): _*)
+  }
+
   /** Per-group frequent-items (heavy hitters) sketches over a string
     * column — deterministic error brackets, no randomness: every reported
     * count sits in `[lower, upper]`, and any item with true count above

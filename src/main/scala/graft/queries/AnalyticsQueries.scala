@@ -333,6 +333,31 @@ object AnalyticsQueries {
         ranks = Seq(0.25, 0.5, 0.75, 0.95)),
       None),
 
+    // Portable KMV distinct sketch — the approximate-distinct that IS
+    // oracle-gatable hash-exact: portable md5 hashes, exact bottom-k
+    // minima (a deterministic monoid under any partitioning), estimate
+    // (k-1)*2^48/h_k as one double divide. DuckDB reproduces the
+    // identical estimate from the identical hashes — the cross-engine
+    // determinism HLL/theta/KLL internals cannot offer (those stay
+    // rows-only by design). The 2^48 scale constant is CAST to DOUBLE in
+    // the oracle (bare decimal literals are DECIMAL-typed in DuckDB).
+    QueryDef("q248_kmv_portable_distinct",
+      (s, d) => graft.ops.Profiling.kmvSketch(
+          Tables.orders(s, d), Seq("o_orderstatus"), "o_custkey", k = 32)
+        .drop("mins"),
+      Some("""WITH s AS (SELECT DISTINCT o_orderstatus,
+             |     ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+             |   FROM orders),
+             |b AS (SELECT o_orderstatus, list_sort(list(h)) AS hs
+             |      FROM s GROUP BY o_orderstatus)
+             |SELECT o_orderstatus,
+             |  CAST(least(len(hs), 32) AS BIGINT) AS n_kept,
+             |  CASE WHEN len(hs) >= 32 THEN hs[32] END AS kth_min,
+             |  CASE WHEN len(hs) < 32 THEN CAST(len(hs) AS DOUBLE)
+             |       ELSE round(CAST(8725724278030336 AS DOUBLE) / hs[32], 6)
+             |  END AS est_distinct
+             |FROM b""".stripMargin)),
+
     // As-of join: each click paired with the user's most recent signup at
     // or before it. Composed from built-ins (tagged union + running
     // last-value window) — no custom operator needed; the oracle uses

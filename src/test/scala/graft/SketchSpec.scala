@@ -119,6 +119,39 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("kmv: bottom-k is a monoid (per-group minima union to the whole-corpus minima)") {
+    val perGroup = Profiling.kmvSketch(orders, Seq("o_orderstatus"), "o_custkey", k = 32)
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("mins"))
+    val mergedByHand = perGroup.flatten.distinct.sorted.take(32).toSeq
+    val whole = Profiling.kmvSketch(
+      orders.withColumn("__all", lit(1)), Seq("__all"), "o_custkey", k = 32)
+      .head()
+    assert(whole.getAs[scala.collection.Seq[Long]]("mins").toSeq == mergedByHand,
+      "merge order / partitioning must not change the k minima")
+  }
+
+  test("kmv: exact below k, inside the deterministic rsd bound above it") {
+    import spark.implicits._
+    // 20 distinct values with k=32: the sketch holds every hash, the
+    // estimate IS the exact count
+    val small = (1 to 200).map(i => ("g", (i % 20).toLong)).toDF("g", "v")
+    val ex = Profiling.kmvSketch(small, Seq("g"), "v", k = 32).head()
+    assert(ex.getAs[Long]("n_kept") == 20L)
+    assert(ex.getAs[Double]("est_distinct") == 20.0)
+
+    // estimation mode on the fixture: 999 distinct custkeys, k=32 →
+    // rsd ≈ 1/sqrt(30) ≈ 18%; the draw is deterministic but assert the
+    // 3-sigma envelope the estimator guarantees in distribution
+    val whole = Profiling.kmvSketch(
+      orders.withColumn("__all", lit(1)), Seq("__all"), "o_custkey", k = 32)
+      .head()
+    val exact = orders.select(countDistinct("o_custkey")).head().getLong(0)
+    val est = whole.getAs[Double]("est_distinct")
+    val rsd = 1.0 / math.sqrt(30.0)
+    assert(math.abs(est - exact) <= 3 * rsd * exact,
+      s"KMV estimate $est vs exact $exact outside 3*rsd")
+  }
+
   test("kll: rollup n/min/max are exact and quantiles sit within the rank bound") {
     val ranks = Seq(0.25, 0.5, 0.75, 0.95)
     val rolled = Profiling.kllRollup(
