@@ -41,6 +41,38 @@ class ExtensionsSpec extends AnyFunSuite {
         .selectExpr("explode(top) AS e").selectExpr("e.neighbor_id", "e.cosine")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(top == Seq((11L, 0.9), (12L, 0.9)))
+
+      // the sketch tier: aggregate -> bytes -> scalar read-back, all SQL.
+      // 3 distinct keys < 2^12: theta is in exact mode, estimate is exact
+      val thetaEst = spark.sql(
+        """SELECT theta_estimate(theta_union(sk, 12)) AS est FROM (
+          |  SELECT g, theta_sketch(v, 12) AS sk FROM VALUES
+          |    (1, 10L), (1, 11L), (2, 11L), (2, 12L) AS t(g, v)
+          |  GROUP BY g)""".stripMargin).head().getDouble(0)
+      assert(thetaEst == 3.0)
+
+      val freqTop = spark.sql(
+        """SELECT freq_top_items(freq_merge(sk, 64)) AS items FROM (
+          |  SELECT g, freq_sketch(t, 64) AS sk FROM VALUES
+          |    (1, 'a'), (1, 'a'), (1, 'b'), (2, 'a') AS t(g, t)
+          |  GROUP BY g)""".stripMargin)
+        .selectExpr("explode(items) AS e").selectExpr("e.item", "e.estimate")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(freqTop == Seq(("a", 3L), ("b", 1L)))
+
+      val kll = spark.sql(
+        """SELECT kll_summary(kll_merge(sk, 200), 0.5).n AS n,
+          |       kll_summary(kll_merge(sk, 200), 0.5).min_value AS mn FROM (
+          |  SELECT g, kll_sketch(CAST(v AS DOUBLE), 200) AS sk FROM VALUES
+          |    (1, 1.0), (1, 2.0), (2, 3.0) AS t(g, v)
+          |  GROUP BY g)""".stripMargin).head()
+      assert(kll.getLong(0) == 3L && kll.getDouble(1) == 1.0)
+
+      val kmv = spark.sql(
+        """SELECT kmv_bottom_k(v, 2) AS mins FROM VALUES
+          |  (5L), (3L), (9L), (3L) AS t(v)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(kmv == Seq(3L, 5L))
     } finally {
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
