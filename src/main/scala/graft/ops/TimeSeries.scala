@@ -180,6 +180,75 @@ object TimeSeries {
           .alias("forecast")): _*)
   }
 
+  /** Holt-Winters ADDITIVE-SEASONAL smoothing per group — [[holt]] plus a
+    * season-length-`m` additive index (the hourly-series forecaster that
+    * q210's static seasonality profile approximates). Textbook init over
+    * the first two seasons (`l = mean(season 1)`,
+    * `t = (mean(season 2) − mean(season 1))/m`, `s_i = v_i − l`), then one
+    * LINEAR fold from element m+1 carrying `[i, l, t, s_1..s_m]` as the
+    * accumulator array:
+    * `l' = α(v−s_old) + (1−α)(l+t); t' = β(l'−l) + (1−β)t;
+    *  s' = γ(v−l') + (1−γ)s_old`. Forecast h steps out:
+    * `l + h·t + s_{((n+h−1) mod m)+1}`.
+    *
+    * The oracle replays the identical IEEE chain with `list_reduce`
+    * seeded by prepending the init accumulator (the BPE discipline);
+    * α/β/γ must be dyadic so interpolated literals are exact in both
+    * engines. Groups with fewer than 2m+1 points yield null level/trend/
+    * forecasts (two full seasons initialize, at least one step must
+    * fold). Init terms are bound to columns, never inlined (the k^N
+    * HOF-duplication lesson). Bounded-series contract as [[ewma]].
+    */
+  def holtWinters(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  valCol: String, alpha: Double, beta: Double, gamma: Double,
+                  m: Int, horizon: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    require(beta > 0.0 && beta <= 1.0, s"beta in (0,1]: $beta")
+    require(gamma > 0.0 && gamma <= 1.0, s"gamma in (0,1]: $gamma")
+    require(m >= 2, s"season length >= 2: $m")
+    require(horizon >= 1 && horizon <= m, s"horizon in [1,$m]: $horizon")
+    val (a, b, g) = (alpha, beta, gamma)
+    // the slot of the NEXT element given last-processed index i (acc[1])
+    val slot = s"CAST(4 + pmod(element_at(acc, 1), $m) AS INT)"
+    val newL = s"($a * (x - element_at(acc, $slot)) + ${1 - a} * (element_at(acc, 2) + element_at(acc, 3)))"
+    val pairs = df.filter(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).alias("o"),
+        col(valCol).alias("v")))).alias("__series"))
+    val folded = pairs
+      .withColumn("__vs", expr("transform(__series, e -> CAST(e.v AS DOUBLE))"))
+      .withColumn("__n", size(col("__vs")).cast("long"))
+      .withColumn("__l0", expr(
+        s"aggregate(slice(__vs, 1, $m), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / ${m}.0"))
+      .withColumn("__l1", expr(
+        s"aggregate(slice(__vs, ${m + 1}, $m), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / ${m}.0"))
+      .withColumn("__t0", expr(s"(__l1 - __l0) / ${m}.0"))
+      .withColumn("__acc0", expr(
+        s"concat(array(CAST($m AS DOUBLE), __l0, __t0), transform(slice(__vs, 1, $m), x -> x - __l0))"))
+      .withColumn("__acc", expr(s"""
+        CASE WHEN size(__vs) >= ${2 * m + 1} THEN
+          aggregate(slice(__vs, ${m + 1}, size(__vs) - $m), __acc0,
+            (acc, x) -> concat(
+              array(
+                element_at(acc, 1) + CAST(1.0 AS DOUBLE),
+                $newL,
+                $b * ($newL - element_at(acc, 2)) + ${1 - b} * element_at(acc, 3)),
+              transform(slice(acc, 4, $m), (s, j) ->
+                CASE WHEN j = CAST(pmod(element_at(acc, 1), $m) AS INT)
+                  THEN $g * (x - $newL) + ${1 - g} * element_at(acc, $slot)
+                  ELSE s END)))
+        END"""))
+    val fcols = (1 to horizon).map { h =>
+      expr(s"""round(element_at(__acc, 2) + $h * element_at(__acc, 3)
+        + element_at(__acc, CAST(4 + pmod(__n + $h - 1, $m) AS INT)), 6)""")
+        .alias(s"f$h")
+    }
+    folded.select(groupCols.map(col) ++ Seq(
+      col("__n").alias("n_points"),
+      round(expr("element_at(__acc, 2)"), 6).alias("level"),
+      round(expr("element_at(__acc, 3)"), 6).alias("trend")) ++ fcols: _*)
+  }
+
   /** One-sided CUSUM control chart per group: s_0 = 0,
     * s_t = max(0, s_{t−1} + (x_t − target − slack)) — the drift detector
     * that flags sustained upward excursions a point threshold misses

@@ -375,6 +375,61 @@ object EventQueries {
               |  round(acc[1] + 3 * acc[2], 6) AS f3
               |FROM h""".stripMargin)),
 
+    // Holt-Winters additive-seasonal forecasting (m=24: hour-of-day) over
+    // the same hourly series — q247's trend model plus the seasonal index
+    // q210 profiles statically. Textbook two-season init, ONE linear fold
+    // carrying [i, level, trend, s_1..s_24]; the oracle seeds DuckDB's
+    // list_reduce by PREPENDING the init accumulator (the BPE
+    // single-element-list discipline) and replays the identical IEEE
+    // chain with dyadic alpha=0.5, beta=gamma=0.25.
+    QueryDef("q249_holt_winters",
+      (s, d) => TimeSeries.holtWinters(locfFilled(s, d),
+          Seq("event_type"), "window_start", "total_value_filled",
+          alpha = 0.5, beta = 0.25, gamma = 0.25, m = 24, horizon = 3),
+      Some {
+        val slot = "CAST(4 + CAST(acc[1] AS BIGINT) % 24 AS BIGINT)"
+        val newL = s"(0.5 * (x[1] - acc[$slot]) + 0.5 * (acc[2] + acc[3]))"
+        s"""$locfCtes,
+           |hf AS (SELECT event_type, window_start, total_value_filled
+           |      FROM l WHERE total_value_filled IS NOT NULL),
+           |he AS (SELECT event_type,
+           |        list(CAST(total_value_filled AS DOUBLE)
+           |             ORDER BY window_start) AS vs
+           |      FROM hf GROUP BY event_type),
+           |hi AS (SELECT event_type, vs, len(vs) AS n,
+           |        list_reduce(vs[1:24], (a2, x) -> a2 + x) / 24.0 AS l0,
+           |        list_reduce(vs[25:48], (a2, x) -> a2 + x) / 24.0 AS l1
+           |      FROM he),
+           |hj AS (SELECT event_type, vs, n, l0, (l1 - l0) / 24.0 AS t0 FROM hi),
+           |hk AS (SELECT event_type, vs, n,
+           |        list_concat([CAST(24 AS DOUBLE), l0, t0],
+           |          list_transform(vs[1:24], x -> x - l0)) AS acc0
+           |      FROM hj),
+           |hl AS (SELECT event_type, n,
+           |        CASE WHEN n >= 49 THEN
+           |          list_reduce(
+           |            list_prepend(acc0, list_transform(vs[25:], x -> [x])),
+           |            (acc, x) -> list_concat(
+           |              [acc[1] + 1.0,
+           |               $newL,
+           |               0.25 * ($newL - acc[2]) + 0.75 * acc[3]],
+           |              list_transform(acc[4:27], (s2, j) ->
+           |                CASE WHEN j = CAST(acc[1] AS BIGINT) % 24 + 1
+           |                  THEN 0.25 * (x[1] - $newL) + 0.75 * acc[$slot]
+           |                  ELSE s2 END)))
+           |        END AS acc
+           |      FROM hk)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           |  round(acc[2], 6) AS level, round(acc[3], 6) AS trend,
+           |  round(acc[2] + 1 * acc[3]
+           |    + acc[CAST(4 + (n + 1 - 1) % 24 AS BIGINT)], 6) AS f1,
+           |  round(acc[2] + 2 * acc[3]
+           |    + acc[CAST(4 + (n + 2 - 1) % 24 AS BIGINT)], 6) AS f2,
+           |  round(acc[2] + 3 * acc[3]
+           |    + acc[CAST(4 + (n + 3 - 1) % 24 AS BIGINT)], 6) AS f3
+           |FROM hl""".stripMargin
+      }),
+
     // Discrete differences over the same series: previous value, delta,
     // percent change (null at each group's first row and at zero bases).
     QueryDef("q150_deltas_hourly",

@@ -119,6 +119,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("level")) && r3.isNullAt(r3.fieldIndex("trend")))
   }
 
+  test("holtWinters locks exactly onto constant and pure-seasonal series") {
+    import spark.implicits._
+    // constant series: level c, zero trend, zero seasonal -> forecasts = c
+    val const = (1 to 10).map(i => ("a", i.toLong, 7.0)).toDF("g", "t", "v")
+    val r = graft.ops.TimeSeries.holtWinters(const, Seq("g"), "t", "v",
+      alpha = 0.5, beta = 0.25, gamma = 0.25, m = 2, horizon = 2).head()
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Double]("level") == 7.0 && r.getAs[Double]("trend") == 0.0)
+    assert(r.getAs[Double]("f1") == 7.0 && r.getAs[Double]("f2") == 7.0)
+
+    // pure seasonal (period 2, zero trend): v alternates c-d, c+d starting
+    // at odd t -> init l0=c, t0=0, s=[-d,+d]; every update is a fixpoint,
+    // so f1 continues the alternation exactly
+    val (c, d) = (10.0, 3.0)
+    val seas = (1 to 9).map(i =>
+      ("a", i.toLong, if (i % 2 == 1) c - d else c + d)).toDF("g", "t", "v")
+    val r2 = graft.ops.TimeSeries.holtWinters(seas, Seq("g"), "t", "v",
+      alpha = 0.5, beta = 0.25, gamma = 0.25, m = 2, horizon = 2).head()
+    assert(r2.getAs[Double]("level") == c && r2.getAs[Double]("trend") == 0.0)
+    // 9 points end on an odd (c-d) slot; next is even -> c+d, then c-d
+    assert(r2.getAs[Double]("f1") == c + d && r2.getAs[Double]("f2") == c - d)
+
+    // fewer than 2m+1 points: null level/trend/forecasts by contract
+    val short = (1 to 4).map(i => ("a", i.toLong, 1.0)).toDF("g", "t", "v")
+    val r3 = graft.ops.TimeSeries.holtWinters(short, Seq("g"), "t", "v",
+      alpha = 0.5, beta = 0.25, gamma = 0.25, m = 2, horizon = 1).head()
+    assert(r3.isNullAt(r3.fieldIndex("level")) && r3.isNullAt(r3.fieldIndex("f1")))
+  }
+
   test("snapshotDiff classifies added/removed/changed and omits unchanged") {
     import spark.implicits._
     val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")

@@ -362,6 +362,7 @@ class PlanSpec extends SparkSpec {
       //    crossed into the distinct-groups frame to build the time spine
       "q146_gapfill_hourly", "q147_locf_hourly", "q148_interpolate_hourly",
       "q149_ewma_hourly", "q150_deltas_hourly", "q247_holt_forecast",
+      "q249_holt_winters",
       //  - q161: equal-frequency binning — the 1-row (k-1)-boundary array
       //    frame is crossed in; bin assignment probes it map-side
       "q161_equal_freq_binning",
