@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, FreqItemsAgg, FreqMergeAgg, FreqTopItemsExpr, HyperplaneSketchWideExpr, JaccardSortedExpr, KllDoublesAgg, KllMergeAgg, KllSummaryExpr, KmvBottomKAgg, MinHashSignatureExpr, SimHash64, ThetaEstimateExpr, ThetaPairExpr, ThetaSketchAgg, ThetaUnionAgg, TopKPairsAgg}
+import graft.functions.{DotProductExpr, FreqItemsAgg, FreqMergeAgg, FreqTopItemsExpr, HyperplaneSketchWideExpr, JaccardSortedExpr, KllDoublesAgg, KllMergeAgg, KllSummaryExpr, KmvBottomKAgg, MinHashSignatureExpr, SimHash64, ThetaDiffExpr, ThetaEstimateExpr, ThetaPairExpr, ThetaSketchAgg, ThetaUnionAgg, TopKPairsAgg}
 import graft.ops.Hyperplanes
 
 /** Session extension wiring for the engine's native expressions, so a
@@ -133,6 +133,12 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 2, "theta_pair(a, b)")
         ThetaPairExpr(exprs(0), exprs(1))
+      }),
+    ("theta_diff",
+      "theta_diff(a, b) - A-NOT-B distinct estimate of two theta sketches",
+      exprs => {
+        require(exprs.length == 2, "theta_diff(a, b)")
+        ThetaDiffExpr(exprs(0), exprs(1))
       }),
     ("freq_sketch",
       "freq_sketch(item, maxMapSize) - frequent-items sketch of a string column (bytes)",

@@ -65,6 +65,16 @@ object SketchAggs {
     GraftBridge.column(
       ThetaPairExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** A-NOT-B estimate of two serialized theta sketches: how many distinct
+    * keys the left set has that the right lacks — the incremental-ingest
+    * question ("how many NEW users in this batch vs the corpus") answered
+    * from kilobytes, without touching either corpus. Exact in exact mode
+    * like the other theta reads.
+    */
+  def thetaDiff(a: Column, b: Column): Column =
+    GraftBridge.column(
+      ThetaDiffExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** KMV sketch: the k smallest distinct values of a LONG (hash) column,
     * ascending. Deterministic under any partitioning/merge order.
     */
@@ -323,6 +333,23 @@ case class ThetaPairExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaPairExpr =
     copy(left = l, right = r)
   override def prettyName: String = "theta_pair"
+}
+
+/** A-NOT-B distinct estimate of two serialized theta sketches. */
+case class ThetaDiffExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOperation.builder().buildANotB()
+      .aNotB(SketchAggs.wrapTheta(a.asInstanceOf[Array[Byte]]),
+        SketchAggs.wrapTheta(b.asInstanceOf[Array[Byte]]))
+      .getEstimate
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaDiffExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "theta_diff"
 }
 
 /** Per-group frequent-items sketch over a string column (Misra-Gries-

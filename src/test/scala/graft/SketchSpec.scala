@@ -67,6 +67,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta: A-NOT-B agrees with the exact set difference in exact mode") {
+    val perGroup = Profiling.thetaSketch(orders, Seq("o_orderstatus"), "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    val sets = orders.select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val spark2 = spark
+    import spark2.implicits._
+    for (a <- perGroup.keys; b <- perGroup.keys if a != b) {
+      val est = Seq((perGroup(a), perGroup(b))).toDF("a", "b")
+        .select(SketchAggs.thetaDiff(col("a"), col("b")).alias("d"))
+        .head().getDouble(0)
+      assert(est == (sets(a) -- sets(b)).size.toDouble, s"$a \\ $b")
+    }
+  }
+
   test("freq: every reported count is bracketed and nothing above max-error is missed") {
     val docs = Tables.documents(spark, sf001)
     val toksDf = docs.select(col("lang"),
