@@ -254,6 +254,29 @@ object Profiling {
           (col("n_a") + col("n_b") - col("n_shared")), 6).alias("jaccard"))
   }
 
+  /** Incremental new-vs-returning key report from two theta sketch
+    * frames (built by [[thetaSketch]] over two ingest periods): per key,
+    * the estimated count of NEW distinct values (in the new period but
+    * not the old — A-NOT-B), RETURNING values (intersection), and the new
+    * period's total. THE incremental-ingest question, answered from
+    * kilobyte sketch columns without rescanning either period; with
+    * persisted per-period sketches the old corpus is never read again.
+    * Inner join by contract: report keys present in both periods (a key
+    * with no old-period sketch has nothing to diff against).
+    */
+  def thetaNewKeys(oldSk: DataFrame, newSk: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.SketchAggs
+    newSk.select(col(keyCol), col("sketch").alias("__new"),
+        col("estimate").alias("est_new_period"))
+      .join(broadcast(oldSk.select(col(keyCol), col("sketch").alias("__old"))),
+        Seq(keyCol))
+      .withColumn("__pair", SketchAggs.thetaPair(col("__new"), col("__old")))
+      .select(col(keyCol),
+        SketchAggs.thetaDiff(col("__new"), col("__old")).alias("est_new_keys"),
+        col("__pair.intersect_est").alias("est_returning"),
+        col("est_new_period"))
+  }
+
   /** PORTABLE KMV distinct sketch — the member of the sketch family that
     * is fully deterministic end to end (portable md5 hash, exact bottom-k
     * minima, no seeds, no randomness), so unlike HLL/theta its ESTIMATE

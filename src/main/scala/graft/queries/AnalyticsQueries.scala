@@ -333,6 +333,57 @@ object AnalyticsQueries {
         ranks = Seq(0.25, 0.5, 0.75, 0.95)),
       None),
 
+    // Incremental new-vs-returning customers from per-period theta
+    // sketches (A-NOT-B + intersection): the ingest-delta question
+    // answered from kilobyte columns — with persisted per-period
+    // sketches the old corpus is NEVER rescanned. Estimates are
+    // engine-internal → rows-only; exact at sf0.01 (exact mode), which
+    // SketchSpec pins against q251, the exhaustive hash-green twin.
+    QueryDef("q250_theta_newkeys",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val cut = to_date(lit("1998-07-01"))
+        graft.ops.Profiling.thetaNewKeys(
+          graft.ops.Profiling.thetaSketch(
+            o.filter(col("o_orderdate") < cut), Seq("o_orderpriority"), "o_custkey"),
+          graft.ops.Profiling.thetaSketch(
+            o.filter(col("o_orderdate") >= cut), Seq("o_orderpriority"), "o_custkey"),
+          "o_orderpriority")
+      },
+      None),
+
+    // q250's exactness twin: the same report computed exactly — distinct
+    // (priority, custkey) per period, anti/semi joins for new/returning.
+    // The corpus-sized shuffles the sketches avoid, stated honestly.
+    QueryDef("q251_newkeys_exact",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val cut = to_date(lit("1998-07-01"))
+        def dset(p: org.apache.spark.sql.Column) = o.filter(p)
+          .select(col("o_orderpriority"), col("o_custkey")).distinct()
+        val oldD = dset(col("o_orderdate") < cut)
+        val newD = dset(col("o_orderdate") >= cut)
+        val nNew = newD.join(oldD, Seq("o_orderpriority", "o_custkey"), "left_anti")
+          .groupBy("o_orderpriority").agg(count(lit(1)).alias("n_new_keys"))
+        val nRet = newD.join(oldD, Seq("o_orderpriority", "o_custkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).alias("n_returning"))
+        val nTot = newD.groupBy("o_orderpriority")
+          .agg(count(lit(1)).alias("n_new_period"))
+        nNew.join(nRet, Seq("o_orderpriority")).join(nTot, Seq("o_orderpriority"))
+      },
+      Some("""WITH n AS (SELECT DISTINCT o_orderpriority, o_custkey
+             |          FROM orders WHERE o_orderdate >= DATE '1998-07-01'),
+             |o AS (SELECT DISTINCT o_orderpriority, o_custkey
+             |      FROM orders WHERE o_orderdate < DATE '1998-07-01')
+             |SELECT n.o_orderpriority,
+             |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_new_keys,
+             |  CAST(sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_returning,
+             |  CAST(count(*) AS BIGINT) AS n_new_period
+             |FROM n LEFT JOIN o USING (o_orderpriority, o_custkey)
+             |GROUP BY n.o_orderpriority""".stripMargin)),
+
     // Portable KMV distinct sketch — the approximate-distinct that IS
     // oracle-gatable hash-exact: portable md5 hashes, exact bottom-k
     // minima (a deterministic monoid under any partitioning), estimate
@@ -769,7 +820,7 @@ object AnalyticsQueries {
         quarter(col("o_orderdate")).cast(LongType).alias("qtr"),
         month(col("o_orderdate")).cast(LongType).alias("mo"),
         dayofmonth(col("o_orderdate")).cast(LongType).alias("dom"),
-        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        datediff(col("o_orderdate").cast("date"), lit("1998-07-01").cast("date"))
           .cast(LongType).alias("days_since"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).alias("plus_30d")),
       Some("""SELECT o_orderkey,
@@ -778,7 +829,7 @@ object AnalyticsQueries {
              |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
              |  CAST(month(o_orderdate) AS BIGINT) AS mo,
              |  CAST(day(o_orderdate) AS BIGINT) AS dom,
-             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             |  CAST(datediff('day', DATE '1998-07-01', CAST(o_orderdate AS DATE)) AS BIGINT)
              |    AS days_since,
              |  o_orderdate + INTERVAL 30 DAY AS plus_30d
              |FROM orders""".stripMargin)),
@@ -1010,7 +1061,7 @@ object AnalyticsQueries {
           .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.orders(s, d).filter(col("o_orderdate").between(
-              lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+              lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00")),
               lit(java.sql.Timestamp.valueOf("1996-12-31 00:00:00")))),
             col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1033,7 +1084,7 @@ object AnalyticsQueries {
               |FROM lineitem
               |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
               |JOIN orders ON l_orderkey = o_orderkey
-              |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+              |  AND o_orderdate BETWEEN TIMESTAMP '1998-07-01 00:00:00'
               |                      AND TIMESTAMP '1996-12-31 00:00:00'
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation n1 ON c_nationkey = n1.n_nationkey

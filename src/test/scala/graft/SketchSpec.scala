@@ -83,6 +83,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta: new-vs-returning report equals the exact anti/semi counts in exact mode") {
+    val cut = to_date(lit("1998-07-01"))
+    val report = Profiling.thetaNewKeys(
+      Profiling.thetaSketch(orders.filter(col("o_orderdate") < cut),
+        Seq("o_orderpriority"), "o_custkey"),
+      Profiling.thetaSketch(orders.filter(col("o_orderdate") >= cut),
+        Seq("o_orderpriority"), "o_custkey"),
+      "o_orderpriority")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def dset(p: org.apache.spark.sql.Column) = orders.filter(p)
+      .select(col("o_orderpriority"), col("o_custkey")).distinct()
+    val newD = dset(col("o_orderdate") >= cut)
+    val oldD = dset(col("o_orderdate") < cut)
+    val exact = newD.join(oldD, Seq("o_orderpriority", "o_custkey"), "left_anti")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.keySet == exact.keySet && report.nonEmpty)
+    exact.foreach { case (k, n) =>
+      assert(report(k).getAs[Double]("est_new_keys") == n.toDouble, k)
+    }
+  }
+
   test("freq: every reported count is bracketed and nothing above max-error is missed") {
     val docs = Tables.documents(spark, sf001)
     val toksDf = docs.select(col("lang"),
