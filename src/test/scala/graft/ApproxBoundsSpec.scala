@@ -90,4 +90,47 @@ class ApproxBoundsSpec extends SparkSpec {
     assert(r2 > 2.0 / 16, s"2-probe recall $r2 does not beat the probed-mass fraction")
     assert(r8 >= r2, s"recall not monotone in probe count: recall(8)=$r8 < recall(2)=$r2")
   }
+
+  test("sf0.1 theta/KLL/KMV sketches hold their error bounds in ESTIMATION mode") {
+    import graft.ops.Profiling
+    val o = Tables.orders(spark, sf)
+    // theta lgK=12: estimation mode needs > 4096 distinct custkeys (true
+    // from sf0.1 up); rse ~ 1/sqrt(2^lgK) -- assert the 4-sigma envelope
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val thetaEst = Profiling.thetaRollup(
+      Profiling.thetaSketch(o, Seq("o_orderstatus"), "o_custkey"))
+      .head().getAs[Double]("estimate")
+    val rse = 1.0 / math.sqrt(math.pow(2.0, 12))
+    assert(math.abs(thetaEst - exact) <= 4 * rse * exact,
+      s"theta estimate $thetaEst vs exact $exact outside 4*rse")
+
+    // KMV k=32: rsd ~ 1/sqrt(k-2); deterministic draw, 4-sigma envelope
+    val kmvEst = Profiling.kmvSketch(
+      o.withColumn("__all", lit(1)), Seq("__all"), "o_custkey", k = 32)
+      .head().getAs[Double]("est_distinct")
+    val kmvRsd = 1.0 / math.sqrt(30.0)
+    assert(math.abs(kmvEst - exact) <= 4 * kmvRsd * exact,
+      s"KMV estimate $kmvEst vs exact $exact outside 4*rsd")
+
+    // KLL k=200: per-quantile rank error eps ~ 1.65% at 99% confidence;
+    // n/min/max stay EXACT at every scale
+    val ranks = Seq(0.25, 0.5, 0.75, 0.95)
+    val rolled = Profiling.kllRollup(
+      Profiling.kllSketch(o, Seq("o_orderstatus"), "o_totalprice"), ranks).head()
+    val n = o.count()
+    assert(rolled.getAs[Long]("n") == n)
+    val mm = o.agg(min(col("o_totalprice").cast("double")),
+      max(col("o_totalprice").cast("double"))).head()
+    assert(rolled.getAs[Double]("min_value") == mm.getDouble(0))
+    assert(rolled.getAs[Double]("max_value") == mm.getDouble(1))
+    val eps = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
+    val prices = o.select(col("o_totalprice").cast("double"))
+      .sort("o_totalprice").collect().map(_.getDouble(0))
+    val qs = rolled.getAs[scala.collection.Seq[Double]]("quantiles")
+    ranks.zip(qs).foreach { case (r, q) =>
+      val exactRank = prices.count(_ <= q).toDouble / n
+      assert(math.abs(exactRank - r) <= 3 * eps,
+        s"rank $r -> $q: exact rank $exactRank off by more than ${3 * eps}")
+    }
+  }
 }
