@@ -384,6 +384,45 @@ object AnalyticsQueries {
              |FROM n LEFT JOIN o USING (o_orderpriority, o_custkey)
              |GROUP BY n.o_orderpriority""".stripMargin)),
 
+    // The pre-aggregated GOLD SKETCH TABLE read pattern end-to-end — the
+    // composition the sketch tier exists for: per-month theta sketches
+    // written as a month-PARTITIONED parquet table (one kilobyte row per
+    // month), then a quarter answered by a partition-PRUNED readback of
+    // 3 sketch rows merged to one estimate. At 100 TB the read side never
+    // touches the fact table and never lists the out-of-range partitions
+    // (q73's PartitionFilters discipline on a sketch store). Rows-only
+    // (sketch estimate); q253 is the exact hash-green twin computing the
+    // same quarter from the fact table.
+    QueryDef("q252_sketch_gold_readback",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val out = s"/root/repo/target/graft_part/$sfName/cust_sketch_monthly"
+        graft.ops.Profiling.thetaSketch(
+            Tables.orders(s, d)
+              .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+            Seq("month"), "o_custkey")
+          .write.mode("overwrite").partitionBy("month").parquet(out)
+        graft.ops.Profiling.thetaRollup(
+          s.read.parquet(out)
+            .where(col("month") >= "1998-07" && col("month") <= "1998-09"))
+      },
+      None),
+
+    // q252's exactness twin: the same quarter's distinct customers from
+    // the FACT table (the scan the sketch store avoids). At sf0.01 the
+    // quarter's distincts sit in theta exact mode, so q252's estimate
+    // equals this count exactly (SketchSpec pins the equality).
+    QueryDef("q253_quarter_distinct_exact",
+      (s, d) => Tables.orders(s, d)
+        .filter(date_format(col("o_orderdate"), "yyyy-MM").between("1998-07", "1998-09"))
+        .agg(countDistinct(col("o_custkey")).alias("n_distinct"),
+          count(lit(1)).alias("n_rows")),
+      Some("""SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM orders
+             |WHERE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+             |      BETWEEN '1998-07' AND '1998-09'""".stripMargin)),
+
     // Portable KMV distinct sketch — the approximate-distinct that IS
     // oracle-gatable hash-exact: portable md5 hashes, exact bottom-k
     // minima (a deterministic monoid under any partitioning), estimate

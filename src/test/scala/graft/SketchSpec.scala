@@ -105,6 +105,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta: the gold sketch table reads back partition-PRUNED and exact-mode exact") {
+    val dir = s"/root/repo/target/graft_part/spec/cust_sketch_monthly"
+    Profiling.thetaSketch(
+        orders.withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+        Seq("month"), "o_custkey")
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val readback = spark.read.parquet(dir)
+      .where(col("month") >= "1998-07" && col("month") <= "1998-09")
+    // the quarter filter must prune at the LISTING (q73's discipline):
+    // a partition filter on the scan, not a post-scan Filter
+    val plan = readback.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("month"), plan)
+    val est = Profiling.thetaRollup(readback).head().getAs[Double]("estimate")
+    val exact = orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM").between("1998-07", "1998-09"))
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(est == exact.toDouble, s"quarter estimate $est vs exact $exact")
+  }
+
   test("freq: every reported count is bracketed and nothing above max-error is missed") {
     val docs = Tables.documents(spark, sf001)
     val toksDf = docs.select(col("lang"),
