@@ -514,8 +514,19 @@ object Similarity {
                                    vecCol: String,
                                    seedIds: Seq[Long]): DataFrame = {
     require(seedIds.nonEmpty, "need at least one seed centroid")
-    val cents = df.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv"))
+    assignToCentroids(df, idCol, vecCol,
+      df.filter(col(idCol).isin(seedIds: _*))
+        .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv")))
+  }
+
+  /** [[assignToSeeds]] generalized to an ARBITRARY centroid frame
+    * (`cluster`, `__cv`) — what an iterated fit needs once centroids stop
+    * being corpus rows. Same rule: broadcast centroids, argmax raw-double
+    * cosine, lowest-cluster-id ties, null cosines dropped.
+    */
+  private[graft] def assignToCentroids(df: DataFrame, idCol: String,
+                                       vecCol: String,
+                                       cents: DataFrame): DataFrame = {
     val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
       .crossJoin(broadcast(cents))
       .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
@@ -525,5 +536,42 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("__id"), col("cluster"), col("__cos"), col("__v"))
+  }
+
+  /** FIXED-ITERATION Lloyd k-means (q254) — [[kmeansStep]] iterated: each
+    * round reassigns every vector to its nearest current centroid
+    * (cosine, the shared [[assignToCentroids]] rule) and recomputes
+    * per-dimension DECIMAL-exact means, QUANTIZED to 6 dp before they
+    * become the next round's centroids — the PageRank fixpoint
+    * discipline (floor-stable intermediate state) applied to clustering,
+    * which is what makes a float EM loop oracle-gatable: the oracle
+    * unrolls the same `iters` stages as MATERIALIZED CTEs. A cluster
+    * that loses all members drops out (both engines derive that from the
+    * same assignment rule). Output: the FINAL round's long-form
+    * centroids (cluster, dim, n_members, centroid_val).
+    *
+    * Scale: per round, one broadcast of k·dim centroid doubles and one
+    * argmax window over the scored frame — the corpus never joins
+    * itself; cost is iters × (corpus × k) map-side work.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                seedIds: Seq[Long], iters: Int): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    var cents = df.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv"))
+    var means: DataFrame = null
+    for (_ <- 1 to iters) {
+      means = assignToCentroids(df, idCol, vecCol, cents)
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).alias("n_members"),
+          round(Aggregations.exactAvg(col("__x").cast("double")), 6)
+            .alias("centroid_val"))
+      cents = means.groupBy(col("cluster")).agg(
+        expr("transform(sort_array(collect_list(struct(dim, centroid_val))), s -> s.centroid_val)")
+          .alias("__cv"))
+    }
+    means.select(col("cluster"), col("dim").cast("long").alias("dim"),
+      col("n_members"), col("centroid_val"))
   }
 }

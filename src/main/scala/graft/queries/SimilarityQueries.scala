@@ -483,6 +483,53 @@ object SimilarityQueries {
               |  CAST(COUNT(*) AS BIGINT) AS n_members,
               |  round(${graft.ops.Aggregations.exactAvgSql("x")}, 6)
               |    AS centroid_val
-              |FROM e GROUP BY cluster, dim""".stripMargin))
+              |FROM e GROUP BY cluster, dim""".stripMargin)),
+
+    // FIXED-ITERATION Lloyd k-means (3 rounds) — q221's EM step iterated
+    // under the PageRank fixpoint discipline: per-dimension decimal-exact
+    // means QUANTIZED to 6 dp before becoming the next round's centroids,
+    // which is exactly what lets the oracle unroll the same 3 stages as
+    // MATERIALIZED CTEs (the BPE unroll discipline) and hash-match a
+    // float EM loop. Same assignment rule as q221/q222/q234 (shared
+    // assignToCentroids), so the whole cluster family stays pinned to one
+    // definition.
+    QueryDef("q254_kmeans_fit",
+      (s, d) => Similarity.kmeansFit(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq, iters = 3),
+      Some {
+        def stage(k: Int): String = {
+          val cv = s"c.cv"
+          s"""s_$k AS (SELECT v.vec_id, c.cluster,
+             |        ${VectorFunctions.cosineSql("vv", cv)} AS cos_raw
+             |      FROM v CROSS JOIN cents_${k - 1} c),
+             |a_$k AS (SELECT vec_id, cluster FROM s_$k
+             |      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+             |        ORDER BY cos_raw DESC, cluster ASC) = 1),
+             |e_$k AS (SELECT a_$k.cluster, u.i AS dim,
+             |        CAST(vv[u.i + 1] AS DOUBLE) AS x
+             |      FROM a_$k JOIN v USING (vec_id),
+             |           unnest(range(len(vv))) AS u(i)),
+             |m_$k AS MATERIALIZED (SELECT cluster, dim,
+             |        CAST(COUNT(*) AS BIGINT) AS n_members,
+             |        round(${graft.ops.Aggregations.exactAvgSql("x")}, 6)
+             |          AS centroid_val
+             |      FROM e_$k GROUP BY cluster, dim),
+             |cents_$k AS MATERIALIZED (SELECT cluster,
+             |        list(centroid_val ORDER BY dim) AS cv
+             |      FROM m_$k GROUP BY cluster)""".stripMargin
+        }
+        s"""WITH cents_0 AS MATERIALIZED (SELECT vec_id AS cluster,
+           |        embedding AS cv
+           |      FROM embeddings WHERE vec_id < 8),
+           |v AS MATERIALIZED (SELECT vec_id, embedding AS vv
+           |      FROM embeddings),
+           |${stage(1)},
+           |${stage(2)},
+           |${stage(3)}
+           |SELECT cluster, CAST(dim AS BIGINT) AS dim, n_members,
+           |  centroid_val
+           |FROM m_3""".stripMargin
+      })
   )
 }

@@ -295,4 +295,31 @@ class SimilaritySpec extends SparkSpec {
     assert(negatives == Set((1L, 2L), (2L, 1L), (10L, 2L),
       (20L, 3L), (3L, 20L)), s"negatives: $negatives")
   }
+
+  test("kmeansFit: one iteration equals kmeansStep; crafted clusters converge and stay") {
+    import spark.implicits._
+    // iters=1 must be EXACTLY the single EM step (same assignment, same
+    // decimal mean, same quantization)
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val one = graft.ops.Similarity.kmeansFit(emb, "vec_id", "embedding",
+      seedIds = (0L until 4L).toSeq, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val step = graft.ops.Similarity.kmeansStep(emb, "vec_id", "embedding",
+      seedIds = (0L until 4L).toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(one == step)
+
+    // two tight crafted clusters, seeds one per cluster: converged by
+    // round 1, so round 3 centroids are the same cluster means (fixpoint)
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)), (12L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val fit = graft.ops.Similarity.kmeansFit(pts, "vec_id", "embedding",
+      seedIds = Seq(0L, 10L), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // cluster 0 = {0,1,2}: dim-0 mean = (1.0+0.9+0.95)/3 = 0.95
+    assert(fit((0L, 0L))._1 == 3L && math.abs(fit((0L, 0L))._2 - 0.95) < 1e-9)
+    assert(fit((10L, 1L))._1 == 3L && math.abs(fit((10L, 1L))._2 - 0.95) < 1e-9)
+  }
 }
