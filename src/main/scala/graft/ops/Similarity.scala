@@ -557,21 +557,62 @@ object Similarity {
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
                 seedIds: Seq[Long], iters: Int): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
-    var cents = df.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv"))
+    var cents = seedCentroids(df, idCol, vecCol, seedIds)
     var means: DataFrame = null
     for (_ <- 1 to iters) {
-      means = assignToCentroids(df, idCol, vecCol, cents)
-        .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(count(lit(1)).alias("n_members"),
-          round(Aggregations.exactAvg(col("__x").cast("double")), 6)
-            .alias("centroid_val"))
-      cents = means.groupBy(col("cluster")).agg(
-        expr("transform(sort_array(collect_list(struct(dim, centroid_val))), s -> s.centroid_val)")
-          .alias("__cv"))
+      means = meansOf(assignToCentroids(df, idCol, vecCol, cents))
+      cents = centsOf(means)
     }
     means.select(col("cluster"), col("dim").cast("long").alias("dim"),
       col("n_members"), col("centroid_val"))
   }
+
+  /** Per-round clustering objective for the [[kmeansFit]] trajectory —
+    * the model-quality readout that makes "did the fit converge"
+    * measurable: round r reports the cosine inertia
+    * `Σ (1 − cos(v, assigned centroid))` of the assignment against the
+    * round's INCOMING centroids (round 1 = seeds, round r = the means
+    * after r−1 updates), in decimal-exact summation. One row per round;
+    * each round's assignment is localCheckpoint'd because the same
+    * frame feeds both the inertia sum and the next round's means
+    * (the q234 discipline).
+    */
+  def kmeansInertia(df: DataFrame, idCol: String, vecCol: String,
+                    seedIds: Seq[Long], iters: Int): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    var cents = seedCentroids(df, idCol, vecCol, seedIds)
+    val rounds = (1 to iters).map { r =>
+      val assigned =
+        assignToCentroids(df, idCol, vecCol, cents).localCheckpoint(true)
+      cents = centsOf(meansOf(assigned))
+      assigned.agg(
+        count(lit(1)).alias("n_points"),
+        round(Aggregations.exactSum(lit(1.0) - col("__cos")), 6)
+          .alias("inertia"))
+        .select(lit(r.toLong).alias("round"), col("n_points"), col("inertia"))
+    }
+    rounds.reduce(_.unionByName(_))
+  }
+
+  private def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            seedIds: Seq[Long]): DataFrame =
+    df.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).alias("cluster"), col(vecCol).alias("__cv"))
+
+  /** One Lloyd mean update in long form (cluster, dim, n_members,
+    * quantized centroid_val) from an assignment frame.
+    */
+  private def meansOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).alias("n_members"),
+        round(Aggregations.exactAvg(col("__x").cast("double")), 6)
+          .alias("centroid_val"))
+
+  /** Long-form means reassembled to (cluster, __cv) centroid vectors. */
+  private def centsOf(means: DataFrame): DataFrame =
+    means.groupBy(col("cluster")).agg(
+      expr("transform(sort_array(collect_list(struct(dim, centroid_val))), s -> s.centroid_val)")
+        .alias("__cv"))
 }

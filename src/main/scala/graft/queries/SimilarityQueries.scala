@@ -530,6 +530,57 @@ object SimilarityQueries {
            |SELECT cluster, CAST(dim AS BIGINT) AS dim, n_members,
            |  centroid_val
            |FROM m_3""".stripMargin
+      }),
+
+    // Per-round k-means objective (cosine inertia) along q254's fit
+    // trajectory — the convergence readout: round r sums 1 − cos(v,
+    // assigned centroid) against the round's INCOMING centroids in
+    // decimal-exact arithmetic. Shares q254's unrolled-stage oracle with
+    // the assignment rows keeping their cosines.
+    QueryDef("q255_kmeans_inertia",
+      (s, d) => Similarity.kmeansInertia(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        seedIds = (0L until 8L).toSeq, iters = 3),
+      Some {
+        val inertiaSum = graft.ops.Aggregations.exactSumSql(
+          "CAST(1 AS DOUBLE) - cos_raw")
+        def stage(k: Int, withNext: Boolean): String = {
+          val next = if (withNext)
+            s""",
+               |e_$k AS (SELECT a_$k.cluster, u.i AS dim,
+               |        CAST(vv[u.i + 1] AS DOUBLE) AS x
+               |      FROM a_$k JOIN v USING (vec_id),
+               |           unnest(range(len(vv))) AS u(i)),
+               |m_$k AS MATERIALIZED (SELECT cluster, dim,
+               |        round(${graft.ops.Aggregations.exactAvgSql("x")}, 6)
+               |          AS centroid_val
+               |      FROM e_$k GROUP BY cluster, dim),
+               |cents_$k AS MATERIALIZED (SELECT cluster,
+               |        list(centroid_val ORDER BY dim) AS cv
+               |      FROM m_$k GROUP BY cluster)""".stripMargin
+          else ""
+          s"""s_$k AS (SELECT v.vec_id, c.cluster,
+             |        ${VectorFunctions.cosineSql("vv", "c.cv")} AS cos_raw
+             |      FROM v CROSS JOIN cents_${k - 1} c),
+             |a_$k AS MATERIALIZED (SELECT vec_id, cluster, cos_raw FROM s_$k
+             |      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+             |        ORDER BY cos_raw DESC, cluster ASC) = 1),
+             |i_$k AS (SELECT CAST($k AS BIGINT) AS round,
+             |        CAST(count(*) AS BIGINT) AS n_points,
+             |        round($inertiaSum, 6) AS inertia
+             |      FROM a_$k)$next""".stripMargin
+        }
+        s"""WITH cents_0 AS MATERIALIZED (SELECT vec_id AS cluster,
+           |        embedding AS cv
+           |      FROM embeddings WHERE vec_id < 8),
+           |v AS MATERIALIZED (SELECT vec_id, embedding AS vv
+           |      FROM embeddings),
+           |${stage(1, withNext = true)},
+           |${stage(2, withNext = true)},
+           |${stage(3, withNext = false)}
+           |SELECT * FROM i_1
+           |UNION ALL SELECT * FROM i_2
+           |UNION ALL SELECT * FROM i_3""".stripMargin
       })
   )
 }

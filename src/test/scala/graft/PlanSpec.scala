@@ -399,7 +399,7 @@ class PlanSpec extends SparkSpec {
       //  - q221: k-means step — the k-row centroid model is the broadcast
       //    side (q178's nearest-centroid posture); the corpus scores
       //    map-side
-      "q221_kmeans_step", "q254_kmeans_fit",
+      "q221_kmeans_step", "q254_kmeans_fit", "q255_kmeans_inertia",
       //  - q243: theta overlap matrix — the pairwise cross runs on the
       //    SKETCHED frame (one kilobyte row per group, both sides bounded
       //    by the group count); the corpus was reduced to sketches in the

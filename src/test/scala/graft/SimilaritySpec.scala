@@ -322,4 +322,19 @@ class SimilaritySpec extends SparkSpec {
     assert(fit((0L, 0L))._1 == 3L && math.abs(fit((0L, 0L))._2 - 0.95) < 1e-9)
     assert(fit((10L, 1L))._1 == 3L && math.abs(fit((10L, 1L))._2 - 0.95) < 1e-9)
   }
+
+  test("kmeansInertia reports a non-increasing objective along the fit trajectory") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val rounds = graft.ops.Similarity.kmeansInertia(emb, "vec_id", "embedding",
+      seedIds = (0L until 8L).toSeq, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rounds.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rounds.forall(_._2._1 == rounds.head._2._1), "every round assigns every point")
+    // Lloyd updates improve the objective on this fixture (cosine inertia
+    // is not guaranteed monotone in general -- mean, not spherical mean --
+    // so this pins the fixture trajectory, not a theorem)
+    val inert = rounds.map(_._2._2)
+    assert(inert(1) <= inert(0) && inert(2) <= inert(1), inert.mkString(","))
+  }
 }
