@@ -112,8 +112,14 @@ object Bpe {
   def fit(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // eager checkpoint: the corpus-wide token shuffle runs ONCE; merge
-    // rounds iterate on the materialized distinct-word frame only
+    // rounds iterate on the materialized distinct-word frame only.
+    // Superseded checkpoints are released EXPLICITLY (not left to the
+    // async ContextCleaner, whose GC timing made the CacheHygiene sweep
+    // flaky): each new eager checkpoint has fully consumed the previous
+    // one by the time it returns, and the returned merge table is
+    // driver-side, so the final checkpoint releases too.
     var vocab = vocab0(df, textCol).localCheckpoint(true)
+    var resident = vocab
     val merges = ArrayBuffer.empty[Merge]
     var dry = false
     for (k <- 1 to numMerges if !dry) {
@@ -131,9 +137,15 @@ object Bpe {
         vocab = vocab.withColumn("syms", applyMerge(col("syms"), m.lhs, m.rhs))
         // bound the withColumn lineage: each applyMerge references its
         // input 3+ times, so periodically cut the chain
-        if (k % 4 == 0 && k < numMerges) vocab = vocab.localCheckpoint(true)
+        if (k % 4 == 0 && k < numMerges) {
+          val next = vocab.localCheckpoint(true)
+          org.apache.spark.sql.GraftBridge.releaseCheckpoint(resident)
+          vocab = next
+          resident = next
+        }
       }
     }
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(resident)
     merges.toSeq
   }
 

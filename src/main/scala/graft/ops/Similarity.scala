@@ -580,18 +580,31 @@ object Similarity {
   def kmeansInertia(df: DataFrame, idCol: String, vecCol: String,
                     seedIds: Seq[Long], iters: Int): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
     var cents = seedCentroids(df, idCol, vecCol, seedIds)
-    val rounds = (1 to iters).map { r =>
+    var prev: DataFrame = null
+    val rows = Seq.newBuilder[(Long, Long, Double)]
+    for (r <- 1 to iters) {
+      // eager checkpoint: materializing THIS round's assignment consumes
+      // the previous round's checkpointed frame (via cents), so the
+      // previous checkpoint can be released immediately after — no
+      // per-round block survives the loop (CacheHygiene's bound)
       val assigned =
         assignToCentroids(df, idCol, vecCol, cents).localCheckpoint(true)
-      cents = centsOf(meansOf(assigned))
-      assigned.agg(
+      if (prev != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(prev)
+      prev = assigned
+      // the inertia row is driver-sized (one row per round): collect it
+      // NOW so nothing downstream needs the checkpoint after the loop
+      val row = assigned.agg(
         count(lit(1)).alias("n_points"),
         round(Aggregations.exactSum(lit(1.0) - col("__cos")), 6)
-          .alias("inertia"))
-        .select(lit(r.toLong).alias("round"), col("n_points"), col("inertia"))
+          .alias("inertia")).head()
+      rows += ((r.toLong, row.getLong(0), row.getDouble(1)))
+      if (r < iters) cents = centsOf(meansOf(assigned))
     }
-    rounds.reduce(_.unionByName(_))
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(prev)
+    rows.result().toDF("round", "n_points", "inertia")
   }
 
   private def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
