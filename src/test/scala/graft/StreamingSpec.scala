@@ -514,6 +514,34 @@ class StreamingSpec extends SparkSpec {
     assert(again == exact.map { case (g, r) => g -> r.getAs[Long]("n") })
   }
 
+  test("sketchIngest partials answer the batch-over-batch ingest delta via thetaDiff") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sketch_delta")
+    val (src, skd, ckpt) = (s"$base/src", s"$base/sketches", s"$base/ckpt")
+    def rows(ids: Seq[Int]) = ids.map(i => ("g0", i.toLong, i.toDouble)).toDF("grp", "key", "v")
+    val schema = rows(Seq(0)).schema
+    def ingest(): Unit = StreamingOps.sketchIngest(
+      spark, src, skd, ckpt, schema, Seq("grp"), "key", "v")
+
+    // batch 0: keys 0..49; batch 1: keys 30..79 (20 returning, 30 new)
+    rows(0 until 50).write.mode("append").parquet(src)
+    ingest()
+    rows(30 until 80).write.mode("append").parquet(src)
+    ingest()
+
+    // the per-batch partial rows ARE the delta model: diff/intersect the
+    // two batches' theta columns without re-reading any source data
+    val sk = spark.read.parquet(skd)
+      .select(col("batch"), col("theta")).collect()
+      .map(r => r.getAs[Long]("batch") -> r.getAs[Array[Byte]]("theta")).toMap
+    val pair = Seq((sk(1L), sk(0L))).toDF("n", "o").select(
+      graft.functions.SketchAggs.thetaDiff(col("n"), col("o")).alias("new_keys"),
+      graft.functions.SketchAggs.thetaPair(col("n"), col("o"))
+        .getField("intersect_est").alias("returning")).head()
+    assert(pair.getDouble(0) == 30.0, s"new keys: ${pair.getDouble(0)}")
+    assert(pair.getDouble(1) == 20.0, s"returning: ${pair.getDouble(1)}")
+  }
+
   test("nearDupIngest drops near-dups within and across batches, replay-safe") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("neardup_ingest")
