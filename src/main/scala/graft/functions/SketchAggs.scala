@@ -255,6 +255,8 @@ case class ThetaUnionAgg(
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] with ImplicitCastInputTypes {
 
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
+
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullable: Boolean = false
@@ -323,7 +325,16 @@ case class ThetaPairExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val sa = SketchAggs.wrapTheta(a.asInstanceOf[Array[Byte]])
     val sb = SketchAggs.wrapTheta(b.asInstanceOf[Array[Byte]])
-    val u = SetOperation.builder().buildUnion()
+    // Size the union from the inputs' retained entries so unioning
+    // sketches built with lgK > 12 never downsamples below their own
+    // precision (a nominal-entries cap only bites when retained > 2^lgK,
+    // so covering retained(a)+retained(b) is always lossless).
+    val lgU = {
+      val ret = math.max(1L,
+        sa.getRetainedEntries(true).toLong + sb.getRetainedEntries(true).toLong)
+      math.min(26, math.max(12, 64 - java.lang.Long.numberOfLeadingZeros(ret - 1)))
+    }
+    val u = SetOperation.builder().setLogNominalEntries(lgU).buildUnion()
     u.union(sa); u.union(sb)
     val i = SetOperation.builder().buildIntersection()
     i.intersect(sa); i.intersect(sb)
@@ -408,6 +419,9 @@ case class FreqMergeAgg(
     child: Expression, maxMapSize: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] with ImplicitCastInputTypes {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of 2 >= 8: $maxMapSize")
 
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -527,6 +541,8 @@ case class KllMergeAgg(
     child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] with ImplicitCastInputTypes {
+
+  require(k >= 8 && k <= 65535, s"k out of range: $k")
 
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(BinaryType)

@@ -325,12 +325,20 @@ object AnalyticsQueries {
     // exact by construction, quantiles at eps(k=200) ≈ 1.65% rank error).
     // Sketch internals are randomized (compactor coin flips) →
     // rows-only; SketchSpec pins n/min/max exactness and the rank-error
-    // bound vs the exact percentiles.
+    // bound vs the exact percentiles. The quantiles array is flattened
+    // to p25/p50/p75/p95 scalars — rows-only outputs must stay
+    // pandas-sortable for the driver's checker (the q247 lesson).
     QueryDef("q246_kll_mergeable",
       (s, d) => graft.ops.Profiling.kllRollup(
-        graft.ops.Profiling.kllSketch(
-          Tables.orders(s, d), Seq("o_orderstatus"), "o_totalprice"),
-        ranks = Seq(0.25, 0.5, 0.75, 0.95)),
+          graft.ops.Profiling.kllSketch(
+            Tables.orders(s, d), Seq("o_orderstatus"), "o_totalprice"),
+          ranks = Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("n"), col("min_value"), col("max_value"),
+          element_at(col("quantiles"), 1).alias("p25"),
+          element_at(col("quantiles"), 2).alias("p50"),
+          element_at(col("quantiles"), 3).alias("p75"),
+          element_at(col("quantiles"), 4).alias("p95"),
+          col("n_rows")),
       None),
 
     // Incremental new-vs-returning customers from per-period theta
@@ -859,7 +867,7 @@ object AnalyticsQueries {
         quarter(col("o_orderdate")).cast(LongType).alias("qtr"),
         month(col("o_orderdate")).cast(LongType).alias("mo"),
         dayofmonth(col("o_orderdate")).cast(LongType).alias("dom"),
-        datediff(col("o_orderdate").cast("date"), lit("1998-07-01").cast("date"))
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
           .cast(LongType).alias("days_since"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).alias("plus_30d")),
       Some("""SELECT o_orderkey,
@@ -868,7 +876,7 @@ object AnalyticsQueries {
              |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
              |  CAST(month(o_orderdate) AS BIGINT) AS mo,
              |  CAST(day(o_orderdate) AS BIGINT) AS dom,
-             |  CAST(datediff('day', DATE '1998-07-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
              |    AS days_since,
              |  o_orderdate + INTERVAL 30 DAY AS plus_30d
              |FROM orders""".stripMargin)),
@@ -1100,7 +1108,7 @@ object AnalyticsQueries {
           .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.orders(s, d).filter(col("o_orderdate").between(
-              lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00")),
+              lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
               lit(java.sql.Timestamp.valueOf("1996-12-31 00:00:00")))),
             col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1123,7 +1131,7 @@ object AnalyticsQueries {
               |FROM lineitem
               |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
               |JOIN orders ON l_orderkey = o_orderkey
-              |  AND o_orderdate BETWEEN TIMESTAMP '1998-07-01 00:00:00'
+              |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
               |                      AND TIMESTAMP '1996-12-31 00:00:00'
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation n1 ON c_nationkey = n1.n_nationkey

@@ -867,10 +867,12 @@ object TextQueries {
     // sketch family). One corpus scan builds the sketches; per-language
     // state is bounded by maxMapSize regardless of vocabulary size, and
     // the serialized columns re-merge across shards/days at zero corpus
-    // cost. Report arrays are sketch-internal → rows-only (one row per
-    // language, deterministic); SketchSpec pins the bracket property,
-    // the no-false-negatives guarantee, and merge conservation vs q89's
-    // exact counts.
+    // cost. Report counts are sketch-internal → rows-only; the heavy-
+    // hitter array is EXPLODED to one scalar row per (lang, rank, item,
+    // estimate, lower, upper) so the driver's checker can sort it (the
+    // q247 pandas-sortability lesson — raw ARRAY columns crash it).
+    // SketchSpec pins the bracket property, the no-false-negatives
+    // guarantee, and merge conservation vs q89's exact counts.
     QueryDef("q245_freq_mergeable",
       (s, d) => {
         val toksDf = Tables.documents(s, d).select(col("lang"),
@@ -881,7 +883,14 @@ object TextQueries {
           .withColumn("top_items",
             graft.functions.SketchAggs.freqTopItems(col("sketch")))
           .select(col("lang"), col("n_rows").alias("n_tokens"),
-            size(col("top_items")).alias("n_reported"), col("top_items"))
+            size(col("top_items")).alias("n_reported"),
+            posexplode(col("top_items")).as(Seq("rank0", "hit")))
+          .select(col("lang"), col("n_tokens"), col("n_reported"),
+            (col("rank0") + 1).alias("rank"),
+            col("hit.item").alias("item"),
+            col("hit.estimate").alias("estimate"),
+            col("hit.lower").alias("lower_bound"),
+            col("hit.upper").alias("upper_bound"))
       },
       None)
   )
