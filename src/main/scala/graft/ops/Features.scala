@@ -216,6 +216,55 @@ object Features {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).alias("cnt"))
 
+  /** Text → dense embedding vector, derived (not pre-built): L2-normalized
+    * hashed term frequencies — [[hashedFeatures]]' sparse counts densified
+    * to a fixed `dim`-wide double vector, v_b = cnt_b / √(Σ cnt²). This is
+    * the deterministic, oracle-gatable featurizer that lets the similarity
+    * tier (ANN / SemDeDup / k-means) compose from RAW TEXT instead of a
+    * pre-built embeddings table: text → vector → assignment end-to-end.
+    *
+    * Plan shape: ONE corpus scan (explode tokens, map-side bucket hash)
+    * into ONE hash aggregate with `dim` conditional sums — all map-side
+    * combined, so the shuffle carries dim longs per document, never the
+    * token stream. No dictionary fit, no OOV, no second shuffle (the
+    * pivot-free densification is why the conditional-sum form beats
+    * re-grouping [[hashedFeatures]]' output). Exactness: counts and Σcnt²
+    * are exact integers; each component is ONE double divide by a
+    * correctly-rounded sqrt, quantized with the 6-dp floor discipline
+    * (IEEE-identical cross-engine, the PageRank rule) so downstream
+    * cosine argmax decisions cannot drift on a last ulp.
+    *
+    * Output: (idCol, n_tokens, norm_sq, emb ARRAY<DOUBLE>[dim]). Docs with
+    * zero tokens never reach the aggregate (no explode rows) — absent from
+    * the output, matching the sparse form's semantics.
+    */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+                      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 512, s"dim out of range (2..512): $dim")
+    def q6(c: Column) =
+      floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
+    val counts = (0 until dim).map(b =>
+      sum(when(col("__b") === b, 1L).otherwise(0L)).alias(s"__c$b"))
+    val aggd = df.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .alias("__t"))
+      .withColumn("__b", hashBucket(col("__t"), dim))
+      .groupBy(col(idCol))
+      .agg(counts.head, counts.tail: _*)
+    val normSq = (0 until dim).map(b => col(s"__c$b") * col(s"__c$b"))
+      .reduce(_ + _)
+    val nToks = (0 until dim).map(b => col(s"__c$b")).reduce(_ + _)
+    aggd
+      .withColumn("norm_sq", normSq)
+      .withColumn("n_tokens", nToks)
+      .withColumn("emb", array((0 until dim).map(b =>
+        when(col("norm_sq") > 0,
+          q6(col(s"__c$b").cast(DoubleType) /
+            sqrt(col("norm_sq").cast(DoubleType))))
+          .otherwise(lit(0.0))): _*))
+      .select(col(idCol), col("n_tokens"), col("norm_sq"), col("emb"))
+  }
+
   /** Sparse linear scoring of hashed features against a BROADCAST B-dim
     * integer weight vector (a trained linear model's coefficients): dot
     * product and squared norms accumulate in exact integer arithmetic,

@@ -892,7 +892,88 @@ object TextQueries {
             col("hit.lower").alias("lower_bound"),
             col("hit.upper").alias("upper_bound"))
       },
-      None)
+      None),
+
+    // Text → dense embedding, DERIVED (not pre-built): L2-normalized
+    // hashed term frequencies (Features.hashedEmbedding) — one corpus
+    // scan, one conditional-sum aggregate (the shuffle carries 64 longs
+    // per doc, never the token stream), components quantized with the
+    // 6-dp floor discipline. Flattened to f0..f63 scalars for the
+    // oracle (integer counts + one sqrt divide → hash-exact).
+    QueryDef("q256_hashed_embedding",
+      (s, d) => {
+        val e = graft.ops.Features.hashedEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 64)
+        e.select(Seq(col("doc_id"), col("n_tokens"), col("norm_sq")) ++
+          (0 until 64).map(b => element_at(col("emb"), b + 1).alias(s"f$b")): _*)
+      },
+      Some {
+        val fCols = (0 until 64).map(b =>
+          s"""  floor(CAST(coalesce(sum(CASE WHEN bucket = $b THEN cnt END), 0)
+             |      AS DOUBLE) / sqrt(CAST(sum(cnt * cnt) AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS f$b""".stripMargin).mkString(",\n")
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+           |f AS (SELECT doc_id,
+           |        ('0x' || substr(md5(tk), 1, 4))::BIGINT % 64 AS bucket,
+           |        CAST(count(*) AS BIGINT) AS cnt
+           |      FROM t GROUP BY doc_id, bucket)
+           |SELECT doc_id,
+           |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |  CAST(sum(cnt * cnt) AS BIGINT) AS norm_sq,
+           |$fCols
+           |FROM f GROUP BY doc_id""".stripMargin
+      }),
+
+    // The composition the featurizer exists for: RAW TEXT → hashed
+    // embedding → spherical k-means EM step (the q221 assignment rule,
+    // seeds = docs 0..7) with NO pre-built vector table anywhere in the
+    // chain. Hash-exact end-to-end because every stage is pinned: exact
+    // integer counts, 6-dp-floor components, raw-double cosine argmax
+    // with the lowest-cluster tie rule, decimal-exact centroid means.
+    QueryDef("q257_text_kmeans",
+      (s, d) => graft.ops.Similarity.kmeansStep(
+        graft.ops.Features.hashedEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 64),
+        "doc_id", "emb", seedIds = (0L until 8L).toSeq),
+      Some {
+        val cosSql = graft.functions.VectorFunctions.cosineSql("vv", "cv")
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+           |f AS MATERIALIZED (SELECT doc_id,
+           |        ('0x' || substr(md5(tk), 1, 4))::BIGINT % 64 AS bucket,
+           |        CAST(count(*) AS BIGINT) AS cnt
+           |      FROM t GROUP BY doc_id, bucket),
+           |norms AS (SELECT doc_id, sum(cnt * cnt) AS norm_sq
+           |          FROM f GROUP BY doc_id),
+           |comp AS (SELECT f.doc_id, f.bucket,
+           |           floor(CAST(f.cnt AS DOUBLE)
+           |               / sqrt(CAST(n2.norm_sq AS DOUBLE))
+           |             * 1e6 + 0.5) / 1e6 AS comp
+           |         FROM f JOIN norms n2 USING (doc_id)),
+           |grid AS (SELECT d.doc_id, r.i AS bucket
+           |         FROM (SELECT DISTINCT doc_id FROM f) d
+           |         CROSS JOIN range(64) r(i)),
+           |v AS MATERIALIZED (
+           |  SELECT g.doc_id,
+           |    list(coalesce(c2.comp, CAST(0 AS DOUBLE)) ORDER BY g.bucket)
+           |      AS vv
+           |  FROM grid g LEFT JOIN comp c2
+           |    ON g.doc_id = c2.doc_id AND g.bucket = c2.bucket
+           |  GROUP BY g.doc_id),
+           |c AS (SELECT doc_id AS cluster, vv AS cv FROM v WHERE doc_id < 8),
+           |s AS (SELECT v.doc_id, c.cluster, $cosSql AS cos_raw
+           |      FROM v CROSS JOIN c),
+           |a AS (SELECT doc_id, cluster FROM s
+           |      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+           |        ORDER BY cos_raw DESC, cluster ASC) = 1),
+           |e AS (SELECT a.cluster, u.i AS dim,
+           |        CAST(vv[CAST(u.i + 1 AS INT)] AS DOUBLE) AS x
+           |      FROM a JOIN v USING (doc_id),
+           |           unnest(range(len(vv))) AS u(i))
+           |SELECT cluster, CAST(dim AS BIGINT) AS dim,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  round(${exactAvgSql("x")}, 6) AS centroid_val
+           |FROM e GROUP BY cluster, dim""".stripMargin
+      })
   )
 
   /** q242's deterministic integer weight vector: w_b = (b·37) % 21 − 10,

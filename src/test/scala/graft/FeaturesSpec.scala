@@ -94,4 +94,44 @@ class FeaturesSpec extends SparkSpec {
       * 1e6 + 0.5) / 1e6
     assert(math.abs(out(1L).getDouble(4) - cos1) < 2e-6)
   }
+
+  test("hashedEmbedding: closed-form components, unit norm, composition") {
+    import graft.ops.{Features, Similarity}
+    val df = Seq((1L, "a a b"), (2L, "a"), (3L, "b b b b")).toDF("doc_id", "text")
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val (ba, bb) = (bucket("a"), bucket("b"))
+    val out = Features.hashedEmbedding(df, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc 1: counts a=2, b=1 → norm² = 5; components 2/√5, 1/√5 (6 dp)
+    assert(out(1L).getLong(1) == 3L && out(1L).getLong(2) == 5L)
+    val v1 = out(1L).getSeq[Double](3)
+    assert(v1.length == 64)
+    assert(v1(ba.toInt) == q6(2.0 / math.sqrt(5.0)))
+    assert(v1(bb.toInt) == q6(1.0 / math.sqrt(5.0)))
+    assert(v1.zipWithIndex.forall { case (x, i) =>
+      i == ba.toInt || i == bb.toInt || x == 0.0 })
+    // single-token docs are exactly unit vectors
+    val v2 = out(2L).getSeq[Double](3)
+    assert(v2(ba.toInt) == 1.0 && v2.sum == 1.0)
+    // L2 norm ≈ 1 up to quantization for every doc
+    out.values.foreach { r =>
+      val n = math.sqrt(r.getSeq[Double](3).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"norm $n")
+    }
+    // composition: embeddings feed the shared k-means assignment rule —
+    // doc 3 (pure "b") must join the seed whose vector it equals when
+    // that seed is itself; with seeds {1,2}, doc 3 sides with doc 1
+    // (shares bucket b) over doc 2 (orthogonal)
+    val step = Similarity.kmeansStep(
+      Features.hashedEmbedding(df, "doc_id", "text", 64),
+      "doc_id", "emb", seedIds = Seq(1L, 2L))
+    val members = step.select("cluster", "n_members").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members(1L) == 2L && members(2L) == 1L)
+  }
 }

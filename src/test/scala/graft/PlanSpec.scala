@@ -399,7 +399,10 @@ class PlanSpec extends SparkSpec {
       //  - q221: k-means step — the k-row centroid model is the broadcast
       //    side (q178's nearest-centroid posture); the corpus scores
       //    map-side
+      //    q257 is the same shape with the 8-seed centroid model built
+      //    from hashed text embeddings instead of a vector table
       "q221_kmeans_step", "q254_kmeans_fit", "q255_kmeans_inertia",
+      "q257_text_kmeans",
       //  - q243: theta overlap matrix — the pairwise cross runs on the
       //    SKETCHED frame (one kilobyte row per group, both sides bounded
       //    by the group count); the corpus was reduced to sketches in the
