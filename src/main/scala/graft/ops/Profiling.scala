@@ -277,6 +277,38 @@ object Profiling {
         col("est_new_period"))
   }
 
+  /** Bootstrap a partition-keyed gold theta-sketch store (the q252 write
+    * made an API): one sketch row per `partCol` value, landed as a
+    * partitioned parquet table with STATIC overwrite — the full-rebuild
+    * path, which also wipes any stale partitions from a prior layout.
+    */
+  def thetaStoreBuild(df: DataFrame, partCol: String, valCol: String,
+                      path: String, lgK: Int = 12): Unit =
+    thetaSketch(df, Seq(partCol), valCol, lgK)
+      .write.mode("overwrite")
+      // full-rebuild semantics must not depend on the session default
+      // (GraftSession sets dynamic session-wide): static wipes the table
+      // root first, clearing stale partitions from prior layouts
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(partCol).parquet(path)
+
+  /** INCREMENTAL maintenance of the store — the missing half of the
+    * 100 TB lifecycle: sketch ONLY the incoming batch's partitions and
+    * land them with DYNAMIC partition overwrite, so a new month appends
+    * ONE kilobyte row while every existing partition's files stay
+    * byte-untouched (SketchSpec pins both). Re-running the same batch is
+    * idempotent (it overwrites its own partitions with identical bytes —
+    * theta's ordered-compact form is canonical). This is the q162
+    * aggState discipline applied to sketch columns: the store holds the
+    * aggregation monoid's partial states, so append-then-merge EQUALS
+    * rebuild-from-scratch, and the read side (partition-pruned
+    * [[thetaRollup]]) never knows which path produced the rows.
+    */
+  def thetaStoreAppend(batch: DataFrame, partCol: String, valCol: String,
+                      path: String, lgK: Int = 12): Unit =
+    graft.sources.Sinks.parquetOverwriteDynamic(
+      thetaSketch(batch, Seq(partCol), valCol, lgK), path, Seq(partCol))
+
   /** PORTABLE KMV distinct sketch — the member of the sketch family that
     * is fully deterministic end to end (portable md5 hash, exact bottom-k
     * minima, no seeds, no randomness), so unlike HLL/theta its ESTIMATE

@@ -431,6 +431,33 @@ object AnalyticsQueries {
              |WHERE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
              |      BETWEEN '1998-07' AND '1998-09'""".stripMargin)),
 
+    // q252's missing half — the INCREMENTAL maintenance lifecycle of the
+    // gold sketch store: bootstrap the history (static overwrite, months
+    // < 1998-09), then September's batch APPENDS one kilobyte row via
+    // DYNAMIC partition overwrite — every prior partition's files stay
+    // byte-untouched (SketchSpec pins untouched-files + append≡rebuild
+    // byte-equality) — then the quarter reads back partition-PRUNED and
+    // merges 3 sketch rows. At 100 TB this is the whole point: a new
+    // month costs one batch-sized sketch job + one kilobyte write, never
+    // a store rebuild, and reads never touch the fact table. Rows-only
+    // (sketch estimate); exact twin q253 computes the same quarter from
+    // the fact table (exact-mode equality pinned in SketchSpec).
+    QueryDef("q258_sketch_store_append",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val store = s"/root/repo/target/graft_part/$sfName/cust_sketch_incr"
+        val o = Tables.orders(s, d)
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        graft.ops.Profiling.thetaStoreBuild(
+          o.filter(col("month") < "1998-09"), "month", "o_custkey", store)
+        graft.ops.Profiling.thetaStoreAppend(
+          o.filter(col("month") === "1998-09"), "month", "o_custkey", store)
+        graft.ops.Profiling.thetaRollup(
+          s.read.parquet(store)
+            .where(col("month").between("1998-07", "1998-09")))
+      },
+      None),
+
     // Portable KMV distinct sketch — the approximate-distinct that IS
     // oracle-gatable hash-exact: portable md5 hashes, exact bottom-k
     // minima (a deterministic monoid under any partitioning), estimate

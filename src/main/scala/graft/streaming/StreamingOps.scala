@@ -287,6 +287,29 @@ object StreamingOps {
         col("n_rows")): _*)
   }
 
+  /** Compaction of [[sketchIngest]]'s per-batch partials — the
+    * maintenance step that keeps the profile read O(groups) as history
+    * accumulates: merge the groups×batches partial rows into ONE
+    * consolidated row per group and rewrite the store. Correct by the
+    * monoid property ([[sketchProfile]] merges either form to the same
+    * answer — theta byte-identically, StreamingSpec pins it); after
+    * compaction the read cost no longer grows with batch count. Writes
+    * to a separate `compactDir` (a store cannot be overwritten while
+    * being read); the caller swaps directories once the write commits.
+    */
+  def sketchCompact(spark: SparkSession, sketchDir: String,
+                    compactDir: String, groupCols: Seq[String],
+                    lgK: Int = 12, kllK: Int = 200): Unit = {
+    import graft.functions.SketchAggs
+    spark.read.parquet(sketchDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        SketchAggs.thetaUnion(col("theta"), lgK).alias("theta"),
+        SketchAggs.kllMerge(col("kll"), kllK).alias("kll"),
+        sum(col("n_rows")).alias("n_rows"))
+      .write.mode("overwrite").parquet(compactDir)
+  }
+
   /** Hourly tumbling aggregation with a watermark (late data beyond the
     * watermark is dropped; state for closed windows is evicted).
     */

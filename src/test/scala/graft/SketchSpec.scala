@@ -126,6 +126,79 @@ class SketchSpec extends SparkSpec {
     assert(est == exact.toDouble, s"quarter estimate $est vs exact $exact")
   }
 
+  test("theta store lifecycle: append = rebuild byte-exact, old partitions untouched, read exact") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      val it = fs.listFiles(new Path(dir), true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+      }
+      out.toMap
+    }
+    val o = orders.withColumn("month",
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val incr = "/root/repo/target/graft_part/spec/cust_sketch_incr"
+    val full = "/root/repo/target/graft_part/spec/cust_sketch_full"
+
+    // bootstrap history, snapshot its files, then append September
+    Profiling.thetaStoreBuild(o.filter(col("month") < "1998-09"),
+      "month", "o_custkey", incr)
+    val before = dataFiles(incr)
+    Profiling.thetaStoreAppend(o.filter(col("month") === "1998-09"),
+      "month", "o_custkey", incr)
+    val after = dataFiles(incr)
+
+    // the append wrote ONLY the new month: every pre-existing file is
+    // still there with identical length and mtime, and the only new
+    // files sit under month=1998-09
+    val missing = before.keySet -- after.keySet
+    val changed = before.collect {
+      case (p, meta) if after.contains(p) && after(p) != meta =>
+        s"$p: $meta -> ${after(p)}"
+    }
+    assert(missing.isEmpty && changed.isEmpty,
+      s"append touched pre-existing files; missing=$missing changed=$changed")
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("month=1998-09")),
+      s"unexpected new files: $newFiles")
+
+    // append-then-merge EQUALS rebuild-from-scratch over the same
+    // ingested history, byte-for-byte per month (theta's
+    // ordered-compact form is canonical)
+    Profiling.thetaStoreBuild(o.filter(col("month") <= "1998-09"),
+      "month", "o_custkey", full)
+    def bytesByMonth(dir: String): Map[String, Array[Byte]] =
+      spark.read.parquet(dir).select(col("month"), col("sketch"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val a = bytesByMonth(incr); val b = bytesByMonth(full)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (m, bs) =>
+      assert(java.util.Arrays.equals(bs, b(m)), s"month $m bytes differ") }
+
+    // idempotent replay: re-appending the same batch leaves the same bytes
+    Profiling.thetaStoreAppend(o.filter(col("month") === "1998-09"),
+      "month", "o_custkey", incr)
+    assert(java.util.Arrays.equals(
+      bytesByMonth(incr)("1998-09"), b("1998-09")))
+
+    // the quarter readback off the incrementally-built store is
+    // exact-mode exact vs the fact table (the q253 twin equality)
+    val est = Profiling.thetaRollup(
+      spark.read.parquet(incr)
+        .where(col("month").between("1998-07", "1998-09")))
+      .head().getAs[Double]("estimate")
+    val exact = orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM")
+        .between("1998-07", "1998-09"))
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(est == exact.toDouble, s"quarter estimate $est vs exact $exact")
+  }
+
   test("freq: every reported count is bracketed and nothing above max-error is missed") {
     val docs = Tables.documents(spark, sf001)
     val toksDf = docs.select(col("lang"),

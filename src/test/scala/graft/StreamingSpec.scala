@@ -514,6 +514,51 @@ class StreamingSpec extends SparkSpec {
     assert(again == exact.map { case (g, r) => g -> r.getAs[Long]("n") })
   }
 
+  test("sketchCompact: compacted store profiles identically (theta byte-equal), O(groups) rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sketch_compact")
+    val (src, skd, ckpt, cpd) =
+      (s"$base/src", s"$base/sketches", s"$base/ckpt", s"$base/compacted")
+    def rows(ids: Range) = ids.map(i =>
+      (s"g${i % 3}", i.toLong % 40, i.toDouble)).toDF("grp", "key", "v")
+    val schema = rows(0 until 1).schema
+    def ingest(): Unit = StreamingOps.sketchIngest(
+      spark, src, skd, ckpt, schema, Seq("grp"), "key", "v")
+
+    // three batches → 3 groups × 3 batches = 9 partial rows
+    rows(0 until 80).write.mode("append").parquet(src); ingest()
+    rows(80 until 150).write.mode("append").parquet(src); ingest()
+    rows(150 until 200).write.mode("append").parquet(src); ingest()
+    assert(spark.read.parquet(skd).count() == 9L)
+
+    StreamingOps.sketchCompact(spark, skd, cpd, Seq("grp"))
+    // compaction collapses history to ONE row per group — the profile
+    // read is O(groups) no matter how many batches accumulated
+    assert(spark.read.parquet(cpd).count() == 3L)
+
+    def profile(dir: String) = StreamingOps.sketchProfile(
+      spark, dir, Seq("grp"), ranks = Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val raw = profile(skd); val compacted = profile(cpd)
+    assert(raw.keySet == compacted.keySet && raw.keySet.size == 3)
+    raw.foreach { case (g, r) =>
+      val c = compacted(g)
+      // theta is canonical → byte-identical through the compaction
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("theta"), c.getAs[Array[Byte]]("theta")), g)
+      assert(r.getAs[Double]("distinct_est") ==
+        c.getAs[Double]("distinct_est"), g)
+      assert(r.getAs[Long]("n_rows") == c.getAs[Long]("n_rows"), g)
+      // KLL merge order may differ internally, but the exact-by-
+      // construction fields must survive compaction unchanged
+      val (vr, vc) = (r.getAs[org.apache.spark.sql.Row]("value_summary"),
+        c.getAs[org.apache.spark.sql.Row]("value_summary"))
+      assert(vr.getAs[Long]("n") == vc.getAs[Long]("n"), g)
+      assert(vr.getAs[Double]("min_value") == vc.getAs[Double]("min_value"), g)
+      assert(vr.getAs[Double]("max_value") == vc.getAs[Double]("max_value"), g)
+    }
+  }
+
   test("sketchIngest partials answer the batch-over-batch ingest delta via thetaDiff") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sketch_delta")
