@@ -44,6 +44,48 @@ object SketchAggs {
   private[functions] def wrapTheta(bytes: Array[Byte]) =
     Sketches.wrapSketch(Memory.wrap(bytes))
 
+  /** Misra-Gries aggregation state that carries what the library's
+    * serialized form DROPS when every item has been purged (numActive =
+    * 0): such a sketch serializes as EMPTY, silently resetting its
+    * stream weight and maximum error — found by SketchFuzzSpec on a
+    * tiny-map/wide-domain stratum, where a post-shuffle merge then
+    * claimed "nothing above error 0 was missed" over a stream it never
+    * accounted. `lostWeight`/`lostError` accumulate the dropped fields
+    * across partials so [[freqEncode]] can restore the invariants.
+    */
+  private[graft] final class FreqState(
+      val sk: ItemsSketch[String],
+      var lostWeight: Long,
+      var lostError: Long) {
+    def totalWeight: Long = sk.getStreamLength + lostWeight
+    def maxError: Long = sk.getMaximumError + lostError
+  }
+
+  /** Envelope format of graft freq columns:
+    * `[8B totalWeight][8B totalMaxError][library bytes]` (big-endian).
+    * Produced and consumed only by graft's own functions; the header
+    * makes weight and error conservation EXACT under any partitioning,
+    * including partials whose raw library form would serialize empty.
+    */
+  private[graft] def freqEncode(st: FreqState): Array[Byte] = {
+    val body = st.sk.toByteArray(new ArrayOfStringsSerDe)
+    val buf = java.nio.ByteBuffer.allocate(16 + body.length)
+    buf.putLong(st.totalWeight)
+    buf.putLong(st.maxError)
+    buf.put(body)
+    buf.array()
+  }
+
+  private[graft] def freqDecode(bytes: Array[Byte]): FreqState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val totalWeight = buf.getLong()
+    val totalError = buf.getLong()
+    val body = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+    val sk = ItemsSketch.getInstance(Memory.wrap(body), new ArrayOfStringsSerDe)
+    new FreqState(sk,
+      totalWeight - sk.getStreamLength, totalError - sk.getMaximumError)
+  }
+
   /** Theta sketch of a LONG key column → compact sketch bytes. */
   def thetaSketch(value: Column, lgK: Int): Column =
     GraftBridge.column(
@@ -367,12 +409,15 @@ case class ThetaDiffExpr(left: Expression, right: Expression)
   * family; `maxMapSize` must be a power of 2). Deterministic guarantees —
   * no randomness anywhere: every reported count sits in its
   * `[lower, upper]` bracket, and under NO_FALSE_NEGATIVES every item with
-  * true count > maximum-error is reported.
+  * true count > maximum-error is reported. Buffer and column carry the
+  * [[SketchAggs.freqEncode]] envelope so weight/error survive the
+  * fully-purged serialization seam (see [[SketchAggs.FreqState]]).
   */
 case class FreqItemsAgg(
     child: Expression, maxMapSize: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ItemsSketch[String]] with ImplicitCastInputTypes {
+    extends TypedImperativeAggregate[SketchAggs.FreqState]
+    with ImplicitCastInputTypes {
 
   require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
     s"maxMapSize must be a power of 2 >= 8: $maxMapSize")
@@ -382,28 +427,30 @@ case class FreqItemsAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override def createAggregationBuffer(): SketchAggs.FreqState =
+    new SketchAggs.FreqState(new ItemsSketch[String](maxMapSize), 0L, 0L)
 
-  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+  override def update(buffer: SketchAggs.FreqState, input: InternalRow): SketchAggs.FreqState = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buffer.sk.update(v.asInstanceOf[UTF8String].toString)
     buffer
   }
 
-  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
-    buffer.merge(other)
+  override def merge(buffer: SketchAggs.FreqState, other: SketchAggs.FreqState): SketchAggs.FreqState = {
+    buffer.sk.merge(other.sk)
+    buffer.lostWeight += other.lostWeight
+    buffer.lostError += other.lostError
     buffer
   }
 
-  override def eval(buffer: ItemsSketch[String]): Any =
-    buffer.toByteArray(new ArrayOfStringsSerDe)
+  override def eval(buffer: SketchAggs.FreqState): Any =
+    SketchAggs.freqEncode(buffer)
 
-  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
-    buffer.toByteArray(new ArrayOfStringsSerDe)
+  override def serialize(buffer: SketchAggs.FreqState): Array[Byte] =
+    SketchAggs.freqEncode(buffer)
 
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
-    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+  override def deserialize(bytes: Array[Byte]): SketchAggs.FreqState =
+    SketchAggs.freqDecode(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -414,11 +461,14 @@ case class FreqItemsAgg(
   override def prettyName: String = "freq_items_sketch"
 }
 
-/** Merge of SERIALIZED frequent-items sketches (read path). */
+/** Merge of SERIALIZED frequent-items sketches (read path; envelope
+  * format — see [[SketchAggs.FreqState]]).
+  */
 case class FreqMergeAgg(
     child: Expression, maxMapSize: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ItemsSketch[String]] with ImplicitCastInputTypes {
+    extends TypedImperativeAggregate[SketchAggs.FreqState]
+    with ImplicitCastInputTypes {
 
   require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
     s"maxMapSize must be a power of 2 >= 8: $maxMapSize")
@@ -428,30 +478,35 @@ case class FreqMergeAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override def createAggregationBuffer(): SketchAggs.FreqState =
+    new SketchAggs.FreqState(new ItemsSketch[String](maxMapSize), 0L, 0L)
 
-  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+  override def update(buffer: SketchAggs.FreqState, input: InternalRow): SketchAggs.FreqState = {
     val v = child.eval(input)
-    if (v != null)
-      buffer.merge(ItemsSketch.getInstance(
-        Memory.wrap(v.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe))
+    if (v != null) {
+      val in = SketchAggs.freqDecode(v.asInstanceOf[Array[Byte]])
+      buffer.sk.merge(in.sk)
+      buffer.lostWeight += in.lostWeight
+      buffer.lostError += in.lostError
+    }
     buffer
   }
 
-  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
-    buffer.merge(other)
+  override def merge(buffer: SketchAggs.FreqState, other: SketchAggs.FreqState): SketchAggs.FreqState = {
+    buffer.sk.merge(other.sk)
+    buffer.lostWeight += other.lostWeight
+    buffer.lostError += other.lostError
     buffer
   }
 
-  override def eval(buffer: ItemsSketch[String]): Any =
-    buffer.toByteArray(new ArrayOfStringsSerDe)
+  override def eval(buffer: SketchAggs.FreqState): Any =
+    SketchAggs.freqEncode(buffer)
 
-  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
-    buffer.toByteArray(new ArrayOfStringsSerDe)
+  override def serialize(buffer: SketchAggs.FreqState): Array[Byte] =
+    SketchAggs.freqEncode(buffer)
 
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
-    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+  override def deserialize(bytes: Array[Byte]): SketchAggs.FreqState =
+    SketchAggs.freqDecode(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -478,13 +533,16 @@ case class FreqTopItemsExpr(child: Expression)
     containsNull = false)
 
   override protected def nullSafeEval(bytes: Any): Any = {
-    val sk = ItemsSketch.getInstance(
-      Memory.wrap(bytes.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe)
-    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    val st = SketchAggs.freqDecode(bytes.asInstanceOf[Array[Byte]])
+    val rows = st.sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
       .sortBy(r => (-r.getEstimate, r.getItem))
+    // widen brackets by the error the envelope restored: weight a partial
+    // purged away before serialization may belong to ANY item
     new GenericArrayData(rows.map { r =>
       InternalRow(UTF8String.fromString(r.getItem),
-        r.getEstimate, r.getLowerBound, r.getUpperBound)
+        r.getEstimate,
+        math.max(0L, r.getLowerBound - st.lostError),
+        r.getUpperBound + st.lostError)
     }.asInstanceOf[Array[Any]])
   }
 

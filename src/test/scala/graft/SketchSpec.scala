@@ -212,9 +212,9 @@ class SketchSpec extends SparkSpec {
     assert(sketched.nonEmpty)
     sketched.foreach { r =>
       val lang = r.getString(0)
-      val sk = ItemsSketch.getInstance(
-        Memory.wrap(r.getAs[Array[Byte]]("sketch")), new ArrayOfStringsSerDe)
-      assert(sk.getStreamLength == exact(lang).values.sum)
+      val st = SketchAggs.freqDecode(r.getAs[Array[Byte]]("sketch"))
+      val sk = st.sk
+      assert(st.totalWeight == exact(lang).values.sum)
       val reported = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
       // hard deterministic bracket on every reported item
       reported.foreach { row =>
@@ -225,7 +225,7 @@ class SketchSpec extends SparkSpec {
       // NO_FALSE_NEGATIVES: any item with true count above the sketch's
       // maximum error MUST appear
       val reportedSet = reported.map(_.getItem).toSet
-      val maxErr = sk.getMaximumError
+      val maxErr = st.maxError
       exact(lang).foreach { case (tok, n) =>
         if (n > maxErr) assert(reportedSet.contains(tok), s"missed $lang/$tok ($n > $maxErr)")
       }
@@ -241,8 +241,9 @@ class SketchSpec extends SparkSpec {
     val mergedBytes = Profiling.freqSketch(toksDf, Seq("lang"), "token", 256)
       .agg(SketchAggs.freqMerge(col("sketch"), 256).alias("sketch"))
       .head().getAs[Array[Byte]]("sketch")
-    val sk = ItemsSketch.getInstance(Memory.wrap(mergedBytes), new ArrayOfStringsSerDe)
-    assert(sk.getStreamLength == globalExact.values.sum)
+    val st = SketchAggs.freqDecode(mergedBytes)
+    val sk = st.sk
+    assert(st.totalWeight == globalExact.values.sum)
     val reported = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
     assert(reported.nonEmpty)
     reported.foreach { row =>
