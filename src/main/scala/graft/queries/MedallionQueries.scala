@@ -115,7 +115,47 @@ object MedallionQueries {
         Tables.registerAll(s, d)
         s.sql(metricsSql)
       },
-      Some(metricsSql))
+      Some(metricsSql)),
+
+    // The sketch tier composing INTO the medallion, not beside it: q61's
+    // portfolio rollup extended with a per-segment DISTINCT-previous-
+    // applications column carried as a portable KMV sketch — the
+    // approximate-distinct a 100 TB portfolio table would store instead
+    // of re-shuffling the fact table per question. The KMV bottom-k is a
+    // monoid (map-side combined, ≤k minima cross the exchange — no
+    // corpus-wide distinct shuffle), and because its draws are portable
+    // md5 the ESTIMATE itself is oracle-gatable hash-exact (the q248
+    // discipline), so this needs no rows-only concession: the sketch
+    // column IS the gate.
+    QueryDef("q259_portfolio_sketch_distinct",
+      (s, d) => {
+        val seg = profiles(s, d).select(col("SK_ID_CURR"), col("risk_segment"))
+        val prev = previousApps(s, d).select(col("SK_ID_CURR"), col("SK_ID_PREV"))
+        graft.ops.Profiling.kmvSketch(
+            seg.join(prev, "SK_ID_CURR"), Seq("risk_segment"), "SK_ID_PREV",
+            k = 32)
+          .drop("mins")
+          .join(seg.groupBy("risk_segment")
+            .agg(count(lit(1)).alias("client_count")), Seq("risk_segment"))
+      },
+      Some(s"""$withChain,
+              |prev259 AS (SELECT o_orderkey AS SK_ID_PREV,
+              |           o_custkey AS SK_ID_CURR FROM orders),
+              |jd AS (SELECT DISTINCT p.risk_segment,
+              |         ('0x' || substr(md5(CAST(prev259.SK_ID_PREV AS VARCHAR)), 1, 12))::BIGINT AS h
+              |       FROM profile p JOIN prev259 ON p.SK_ID_CURR = prev259.SK_ID_CURR),
+              |bk AS (SELECT risk_segment, list_sort(list(h)) AS hs
+              |       FROM jd GROUP BY risk_segment),
+              |cnt AS (SELECT risk_segment, COUNT(*) AS client_count
+              |        FROM profile GROUP BY risk_segment)
+              |SELECT bk.risk_segment,
+              |  CAST(least(len(hs), 32) AS BIGINT) AS n_kept,
+              |  CASE WHEN len(hs) >= 32 THEN hs[32] END AS kth_min,
+              |  CASE WHEN len(hs) < 32 THEN CAST(len(hs) AS DOUBLE)
+              |       ELSE round(CAST(8725724278030336 AS DOUBLE) / hs[32], 6)
+              |  END AS est_distinct,
+              |  cnt.client_count
+              |FROM bk JOIN cnt ON bk.risk_segment = cnt.risk_segment""".stripMargin))
   )
 
   // ---- DuckDB mirror ----------------------------------------------------
