@@ -931,10 +931,22 @@ object TextQueries {
     // integer counts, 6-dp-floor components, raw-double cosine argmax
     // with the lowest-cluster tie rule, decimal-exact centroid means.
     QueryDef("q257_text_kmeans",
-      (s, d) => graft.ops.Similarity.kmeansStep(
-        graft.ops.Features.hashedEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 64),
-        "doc_id", "emb", seedIds = (0L until 8L).toSeq),
+      (s, d) => {
+        // materialize the derived embedding ONCE (at 100 TB it IS a gold
+        // table): kmeansStep reads its input twice (seed filter + corpus
+        // scoring), and without the checkpoint each read re-runs the
+        // tokenize→explode→64-sum aggregate over the corpus (measured 2×
+        // the embed cost at sf1). Checkpoint released after the k·dim
+        // result materializes (the q234 discipline).
+        val emb = graft.ops.Features.hashedEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 64)
+          .localCheckpoint(true)
+        val res = graft.ops.Similarity.kmeansStep(
+          emb, "doc_id", "emb", seedIds = (0L until 8L).toSeq)
+          .localCheckpoint(true)
+        emb.unpersist()
+        res
+      },
       Some {
         val cosSql = graft.functions.VectorFunctions.cosineSql("vv", "cv")
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
