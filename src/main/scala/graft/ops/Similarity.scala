@@ -390,6 +390,80 @@ object Similarity {
     * any partition count; one posexplode (dim× rows, map-side combined)
     * + one per-label re-pack of the dim-sized mean list.
     */
+  /** MMR re-ranking (Carbonell & Goldstein 1998): diversity-aware top-k —
+    * the selection a RAG serving path runs AFTER ANN retrieval, so near-
+    * duplicate passages don't crowd the context window. Greedy: pick the
+    * most relevant candidate, then k−1 times the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` (the first pick's score
+    * is λ·rel — the empty-set diversity term is 0).
+    *
+    * Scale shape: ONE [[bruteForceTopK]] pass bounds the working set to
+    * `topN` candidates per query (swap in lshTopK/ivfTopK upstream for
+    * approximate retrieval — the re-rank only needs (id, rel, vec)
+    * rows); candidates gather to one array row per query, and the whole
+    * greedy loop is k rounds of codegen'd higher-order expressions over
+    * that bounded array — no further join or shuffle, O(k·topN·|sel|)
+    * cosines per query. Exactness: rel is the 6-dp cosine, λ dyadic,
+    * pairwise cosines raw doubles, and each round's score is quantized
+    * with the 6-dp floor discipline BEFORE the argmax (ties → lowest
+    * id), so a DuckDB mirror unrolling the same k rounds hash-matches.
+    *
+    * Output: (query_id, mmr_rank 1..k, selected_id, mmr_score).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, topN: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1 && topN >= k, s"need 1 <= k <= topN: k=$k topN=$topN")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    def q6(c: Column) =
+      floor(c * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6)
+    val cand = bruteForceTopK(queries, corpus, idCol, vecCol, topN)
+    val withVec = corpus
+      .select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val gathered = withVec.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        col("rank"), col("neighbor_id").alias("nid"),
+        col("cosine").alias("rel"), col("__nv").alias("vec")))).alias("cands"))
+
+    val first = element_at(col("cands"), 1)
+    var df = gathered
+      .withColumn("__pick_1", struct(
+        q6(lit(lambda) * first.getField("rel")).alias("s"),
+        first.getField("nid").alias("nid"),
+        first.getField("vec").alias("vec")))
+      .withColumn("__sel_1", array(col("__pick_1")))
+    for (r <- 2 to k) {
+      val sel = col(s"__sel_${r - 1}")
+      val remaining = filter(col("cands"),
+        c => !exists(sel, s => s.getField("nid") === c.getField("nid")))
+      val scored = transform(remaining, c => struct(
+        q6(lit(lambda) * c.getField("rel") - lit(1.0 - lambda) *
+          aggregate(sel, lit(-1.0), (m, s) => greatest(m,
+            VectorFunctions.cosine(c.getField("vec"), s.getField("vec")))))
+          .alias("s"),
+        c.getField("nid").alias("nid"),
+        c.getField("vec").alias("vec")))
+      df = df.withColumn(s"__scored_$r", scored)
+      val sc = col(s"__scored_$r")
+      df = df
+        .withColumn(s"__pick_$r", aggregate(sc, element_at(sc, 1), (b, x) =>
+          when(x.getField("s") > b.getField("s") ||
+            (x.getField("s") === b.getField("s") &&
+              x.getField("nid") < b.getField("nid")), x).otherwise(b)))
+        .withColumn(s"__sel_$r",
+          concat(col(s"__sel_${r - 1}"), array(col(s"__pick_$r"))))
+    }
+    val picks = array((1 to k).map(r => struct(
+      col(s"__pick_$r").getField("nid").alias("selected_id"),
+      col(s"__pick_$r").getField("s").alias("mmr_score"))): _*)
+    df.select(col("query_id"), posexplode(picks).as(Seq("__r0", "__p")))
+      .select(col("query_id"),
+        (col("__r0") + 1).cast("long").alias("mmr_rank"),
+        col("__p.selected_id").alias("selected_id"),
+        col("__p.mmr_score").alias("mmr_score"))
+  }
+
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val acc = org.apache.spark.sql.types.DecimalType(30, 8)
     val e = df.select(col(labelCol),

@@ -581,6 +581,71 @@ object SimilarityQueries {
            |SELECT * FROM i_1
            |UNION ALL SELECT * FROM i_2
            |UNION ALL SELECT * FROM i_3""".stripMargin
+      }),
+
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
+    // selection a RAG serving path runs AFTER retrieval so near-duplicate
+    // passages don't crowd the context window: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over the bounded top-N candidate
+    // set (one brute-force pass, then k rounds of codegen'd HOF
+    // expressions over one array row per query — no further shuffle).
+    // Hash-exact: rel is the 6-dp cosine, λ=1/2 dyadic, each round's
+    // score floor-quantized at 6 dp BEFORE the argmax (ties → lowest
+    // id); the oracle unrolls the same 4 greedy rounds as MATERIALIZED
+    // CTEs (the q254 discipline).
+    QueryDef("q260_mmr_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mmrRerank(
+          emb.filter(col("vec_id") < NQ), emb.filter(col("vec_id") >= NQ),
+          "vec_id", "embedding", k = 4, topN = 10, lambda = 0.5)
+      },
+      Some {
+        val lam = "CAST(0.5 AS DOUBLE)"
+        def round(r: Int): String =
+          s"""ms_$r AS (
+             |  SELECT cd.query_id, cd.nid, max(cd.rel) AS rel,
+             |    max(${VectorFunctions.cosineSql("cd.vec", "sl.vec")}) AS maxsim
+             |  FROM cand cd JOIN sel_${r - 1} sl USING (query_id)
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel_${r - 1} x
+             |    WHERE x.query_id = cd.query_id AND x.nid = cd.nid)
+             |  GROUP BY cd.query_id, cd.nid),
+             |pick_$r AS MATERIALIZED (
+             |  SELECT m.query_id, m.nid, cd2.vec,
+             |    floor(($lam * m.rel - $lam * m.maxsim) * 1e6 + 0.5) / 1e6 AS s
+             |  FROM ms_$r m JOIN cand cd2
+             |    ON cd2.query_id = m.query_id AND cd2.nid = m.nid
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.query_id
+             |    ORDER BY s DESC, m.nid ASC) = 1),
+             |sel_$r AS MATERIALIZED (
+             |  SELECT query_id, nid, vec FROM sel_${r - 1}
+             |  UNION ALL SELECT query_id, nid, vec FROM pick_$r)""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < $NQ),
+           |c AS (SELECT vec_id AS nid, embedding AS cv
+           |      FROM embeddings WHERE vec_id >= $NQ),
+           |sc0 AS (SELECT q.query_id, c.nid, c.cv AS vec,
+           |          ${VectorFunctions.cosineSql("qv", "cv")} AS cos_raw
+           |        FROM c CROSS JOIN q),
+           |cand AS MATERIALIZED (
+           |  SELECT query_id, nid, vec, round(cos_raw, 6) AS rel,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cos_raw DESC, nid ASC) AS rnk
+           |  FROM sc0 WHERE cos_raw IS NOT NULL
+           |  QUALIFY rnk <= 10),
+           |pick_1 AS MATERIALIZED (
+           |  SELECT query_id, nid, vec,
+           |    floor($lam * rel * 1e6 + 0.5) / 1e6 AS s
+           |  FROM cand WHERE rnk = 1),
+           |sel_1 AS MATERIALIZED (SELECT query_id, nid, vec FROM pick_1),
+           |${round(2)},
+           |${round(3)},
+           |${round(4)}
+           |SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank,
+           |  nid AS selected_id, s AS mmr_score FROM pick_1
+           |UNION ALL SELECT query_id, CAST(2 AS BIGINT), nid, s FROM pick_2
+           |UNION ALL SELECT query_id, CAST(3 AS BIGINT), nid, s FROM pick_3
+           |UNION ALL SELECT query_id, CAST(4 AS BIGINT), nid, s FROM pick_4""".stripMargin
       })
   )
 }

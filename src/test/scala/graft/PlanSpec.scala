@@ -347,6 +347,9 @@ class PlanSpec extends SparkSpec {
     //  - q41/q59/q74/q76: degenerate exhaustive oracle twins of the
     //    banded/bucketed primary paths, documented as not-for-scale
     val degenerateByDesign = Set(
+      //  - q260: MMR re-rank — retrieval is q50's broadcast-query shape;
+      //    the greedy itself is HOFs over one bounded array row per query
+      "q260_mmr_rerank",
       "q50_ann_bruteforce", "q55_ann_topk_agg", "q64_ann_quantized",
       "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
       "q109_tfidf_topterms", "q116_histogram", "q117_temperature_mixture",

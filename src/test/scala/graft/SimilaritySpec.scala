@@ -337,4 +337,63 @@ class SimilaritySpec extends SparkSpec {
     val inert = rounds.map(_._2._2)
     assert(inert(1) <= inert(0) && inert(2) <= inert(1), inert.mkString(","))
   }
+  test("mmrRerank diversifies: an exact duplicate of the first pick loses to a distinct doc") {
+    // query along x; a and its exact-direction duplicate b lead on
+    // relevance, c is less relevant but orthogonal-ish. Plain top-2 is
+    // [a, b]; MMR at lambda = 0.25 must pick [a, c] (b's duplicate
+    // penalty of cos(b,a) = 1 kills it), while the first pick always
+    // equals the relevance top-1.
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.2f)),  // a: rel ~0.9806
+      (1L, Array(2.0f, 0.4f)),  // b = 2a: identical direction, same rel
+      (2L, Array(0.2f, 1.0f)))  // c: rel ~0.1961, cos(a,c) ~0.3846
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(queries, corpus, "vec_id", "embedding",
+      k = 2, topN = 3, lambda = 0.25)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getAs[Long]("selected_id")).toSeq == Seq(0L, 2L))
+    val topk = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(topk == Seq(0L, 1L), "plain top-k keeps the duplicate")
+  }
+
+  test("mmrRerank matches an independent Scala greedy referee on random vectors") {
+    val rng = new scala.util.Random(42)
+    val corpus = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2 - 1))).toSeq
+    val queries = Seq((100L, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    val (k, topN, lam) = (5, 12, 0.5)
+    val out = Similarity.mmrRerank(
+      queries.toDF("vec_id", "embedding"), corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k, topN, lam)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getAs[Long]("selected_id"), r.getAs[Double]("mmr_score")))
+
+    // referee: plain Scala greedy with the same fold orders + quantization
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val qv = queries.head._2
+    val cand = corpus.map { case (id, v) => (id, v, cos(qv, v)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(topN)
+      .map { case (id, v, c) => (id, v, math.floor(c * 1e6 + 0.5) / 1e6) }
+    // NOTE: rel uses round-half-up at 6 dp like the operator's round(,6);
+    // for positive cosines floor(x*1e6+0.5)/1e6 is identical
+    var sel = List((cand.head._1, cand.head._2))
+    var expect = List((cand.head._1, q6(lam * cand.head._3)))
+    for (_ <- 2 to k) {
+      val scored = cand.filterNot(c => sel.exists(_._1 == c._1)).map { c =>
+        val maxSim = sel.foldLeft(-1.0)((m, s) => math.max(m, cos(c._2, s._2)))
+        (c._1, c._2, q6(lam * c._3 - (1 - lam) * maxSim))
+      }
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      sel = sel :+ ((best._1, best._2))
+      expect = expect :+ ((best._1, best._3))
+    }
+    assert(out.toSeq == expect, s"spark ${out.toSeq} vs referee $expect")
+  }
+
 }
