@@ -464,6 +464,30 @@ object Similarity {
         col("__p.mmr_score").alias("mmr_score"))
   }
 
+  /** Retrieval-quality metrics of an approximate retriever against exact
+    * ground truth — the eval a retrieval tier runs after every index /
+    * quantization change. Both inputs are (query_id, neighbor_id, rank)
+    * frames (any of bruteForceTopK / lshTopK / ivfTopK / quantizedTopK /
+    * mmrRerank output shapes). Per query: hits (approx ∩ truth),
+    * recall@k, and the reciprocal rank of the exact top-1 inside the
+    * approx list (0 when it was lost). One tiny join+aggregate over
+    * |Q|·k rows — the corpora never re-enter. Exact: counts are
+    * integers, the two ratios are single double divides (6 dp).
+    */
+  def retrievalEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    approx.select(col("query_id"), col("neighbor_id"),
+        col("rank").alias("__a_rank"))
+      .join(truth.select(col("query_id"), col("neighbor_id"),
+        col("rank").alias("__t_rank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("__t_rank").isNotNull, 1L).otherwise(0L)).alias("n_hits"),
+        round(sum(when(col("__t_rank").isNotNull, 1L).otherwise(0L))
+          .cast("double") / lit(k.toDouble), 6).alias("recall_at_k"),
+        round(coalesce(max(when(col("__t_rank") === 1L,
+          lit(1.0) / col("__a_rank"))), lit(0.0)), 6).alias("rr_top1"))
+
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val acc = org.apache.spark.sql.types.DecimalType(30, 8)
     val e = df.select(col(labelCol),

@@ -646,6 +646,90 @@ object SimilarityQueries {
            |UNION ALL SELECT query_id, CAST(2 AS BIGINT), nid, s FROM pick_2
            |UNION ALL SELECT query_id, CAST(3 AS BIGINT), nid, s FROM pick_3
            |UNION ALL SELECT query_id, CAST(4 AS BIGINT), nid, s FROM pick_4""".stripMargin
+      }),
+
+    // Retrieval-quality evaluation as a QUERY (recall@k + reciprocal rank
+    // of the exact top-1): the approximate retriever under test is the
+    // int8-quantized coarse scorer with NO rerank cushion (rerankK = k,
+    // so quantization error genuinely costs candidates — unlike q64's
+    // 5k-cushion form, which provably equals brute force here), judged
+    // against the exact float ground truth. The eval your retrieval tier
+    // runs after every index/quantization change; both retrievers are
+    // deterministic arithmetic, so the metrics themselves are hash-exact
+    // (recall and rr are double divides of exact integer counts/ranks).
+    QueryDef("q261_retrieval_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < NQ)
+        val c = emb.filter(col("vec_id") >= NQ)
+        val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", K)
+        val approx = Similarity.quantizedTopK(q, c, "vec_id", "embedding", K,
+          rerankK = K)
+        Similarity.retrievalEval(truth, approx, K)
+      },
+      Some {
+        val dotQ = VectorFunctions.dotSql("a.q8", "b.q8")
+        s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+           |            FROM embeddings WHERE vec_id < $NQ),
+           |cs AS (SELECT vec_id AS nid, embedding AS cv
+           |       FROM embeddings WHERE vec_id >= $NQ),
+           |truth AS MATERIALIZED (
+           |  SELECT query_id, nid,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           |      ${VectorFunctions.cosineSql("qv", "cv")} DESC, nid ASC) AS t_rank
+           |  FROM cs CROSS JOIN qs
+           |  WHERE ${VectorFunctions.cosineSql("qv", "cv")} IS NOT NULL
+           |  QUALIFY t_rank <= $K),
+           |q8 AS (SELECT query_id, qv,
+           |    list_transform(qv, x -> greatest(-127.0, least(127.0,
+           |      floor(CAST(x AS DOUBLE) /
+           |        (list_max(list_transform(qv, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+           |        + 0.5)))) AS q8
+           |  FROM qs
+           |  WHERE list_max(list_transform(qv, y -> abs(CAST(y AS DOUBLE)))) > 0),
+           |c8 AS (SELECT nid, cv,
+           |    list_transform(cv, x -> greatest(-127.0, least(127.0,
+           |      floor(CAST(x AS DOUBLE) /
+           |        (list_max(list_transform(cv, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+           |        + 0.5)))) AS q8
+           |  FROM cs
+           |  WHERE list_max(list_transform(cv, y -> abs(CAST(y AS DOUBLE)))) > 0),
+           |coarse AS MATERIALIZED (
+           |  SELECT a.query_id, b.nid,
+           |    ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+           |      ($dotQ /
+           |       (sqrt(CAST(list_sum(list_transform(a.q8,
+           |          x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) *
+           |        sqrt(CAST(list_sum(list_transform(b.q8,
+           |          x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE))))
+           |      DESC, b.nid ASC) AS c_rank
+           |  FROM q8 a CROSS JOIN c8 b
+           |  WHERE sqrt(CAST(list_sum(list_transform(a.q8,
+           |          x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) > 0
+           |    AND sqrt(CAST(list_sum(list_transform(b.q8,
+           |          x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) > 0
+           |  QUALIFY c_rank <= $K),
+           |approx AS MATERIALIZED (
+           |  SELECT s.query_id, s.nid,
+           |    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+           |      ${VectorFunctions.cosineSql("q2.qv", "c2.cv")} DESC, s.nid ASC)
+           |      AS a_rank
+           |  FROM coarse s
+           |  JOIN qs q2 ON q2.query_id = s.query_id
+           |  JOIN cs c2 ON c2.nid = s.nid
+           |  WHERE ${VectorFunctions.cosineSql("q2.qv", "c2.cv")} IS NOT NULL
+           |  QUALIFY a_rank <= $K)
+           |SELECT a.query_id,
+           |  CAST(sum(CASE WHEN t.t_rank IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hits,
+           |  round(CAST(sum(CASE WHEN t.t_rank IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / CAST($K AS DOUBLE), 6) AS recall_at_k,
+           |  round(coalesce(max(CASE WHEN t.t_rank = 1
+           |    THEN CAST(1 AS DOUBLE) / a.a_rank END), CAST(0 AS DOUBLE)), 6)
+           |    AS rr_top1
+           |FROM approx a LEFT JOIN truth t
+           |  ON a.query_id = t.query_id AND a.nid = t.nid
+           |GROUP BY a.query_id""".stripMargin
       })
   )
 }

@@ -349,7 +349,9 @@ class PlanSpec extends SparkSpec {
     val degenerateByDesign = Set(
       //  - q260: MMR re-rank — retrieval is q50's broadcast-query shape;
       //    the greedy itself is HOFs over one bounded array row per query
-      "q260_mmr_rerank",
+      //  - q261: retrieval eval — runs BOTH q50's and q64's retrieval
+      //    shapes to produce the |Q|·k frames the metric joins
+      "q260_mmr_rerank", "q261_retrieval_eval",
       "q50_ann_bruteforce", "q55_ann_topk_agg", "q64_ann_quantized",
       "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
       "q109_tfidf_topterms", "q116_histogram", "q117_temperature_mixture",

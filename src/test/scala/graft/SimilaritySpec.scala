@@ -396,4 +396,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == expect, s"spark ${out.toSeq} vs referee $expect")
   }
 
+  test("retrievalEval: perfect retriever scores 1.0; a lost top-1 zeroes rr but not recall") {
+    val truth = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    // query 1: approx == truth; query 2: top-1 lost, one stranger ranked first
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 99L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.retrievalEval(truth, approx, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_hits") == 2L)
+    assert(out(1L).getAs[Double]("recall_at_k") == 1.0)
+    assert(out(1L).getAs[Double]("rr_top1") == 1.0)
+    assert(out(2L).getAs[Long]("n_hits") == 1L)
+    assert(out(2L).getAs[Double]("recall_at_k") == 0.5)
+    assert(out(2L).getAs[Double]("rr_top1") == 0.0)
+    // the q64 cushion form is provably exact on this fixture -> all 1.0
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val (q, c) = (emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5))
+    val cushioned = Similarity.retrievalEval(
+      Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5),
+      Similarity.quantizedTopK(q, c, "vec_id", "embedding", 5, rerankK = 25), 5)
+      .collect()
+    assert(cushioned.length == 5 &&
+      cushioned.forall(r => r.getAs[Double]("recall_at_k") == 1.0 &&
+        r.getAs[Double]("rr_top1") == 1.0))
+  }
 }
