@@ -170,4 +170,44 @@ object Sampling {
     import scala.jdk.CollectionConverters.IteratorHasAsScala
     (df.columns.toSeq, df.limit(maxRows).toLocalIterator().asScala)
   }
+  /** Stratified quota split with EXACT per-stratum proportions — the
+    * dataset-carving step a training pipeline runs when class/language
+    * balance must survive the split (a global random split drifts small
+    * strata). Rows rank inside their stratum by the portable md5 draw
+    * (bit-identical cross-engine, the q90/q224 discipline; ties by id),
+    * and split boundaries are ALL-INTEGER quota comparisons
+    * `rank·Σw ≤ n·cum_i` — no float in the decision, so the assignment is
+    * deterministic and oracle-gatable hash-exact, and quota_i is exactly
+    * ⌊n·cum_i/Σw⌋ − ⌊n·cum_{i−1}/Σw⌋ per stratum.
+    *
+    * Scale: one rank window per stratum — a hot stratum funnels its sort,
+    * which is inherent to exact quotas; when approximate proportions
+    * suffice at 100 TB, draw-threshold assignment (q90's mixture rule) is
+    * the shuffle-free alternative, and leakage-safe grouping belongs to
+    * [[Dedup.leakageSafeSplit]].
+    */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+                      weights: Seq[(String, Long)],
+                      outCol: String = "split"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val cums = weights.map(_._2).scanLeft(0L)(_ + _).tail
+    val pairs = weights.map(_._1).zip(cums)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(strataCol))))
+    val split = pairs.init.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (name, cum)) =>
+        val cond = col("__rk") * total <= col("__n") * cum
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(pairs.last._1))(_.otherwise(pairs.last._1))
+    ranked.withColumn(outCol, split).drop("__rk", "__n")
+  }
+
 }

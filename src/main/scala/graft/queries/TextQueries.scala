@@ -985,7 +985,30 @@ object TextQueries {
            |  CAST(COUNT(*) AS BIGINT) AS n_members,
            |  round(${exactAvgSql("x")}, 6) AS centroid_val
            |FROM e GROUP BY cluster, dim""".stripMargin
-      })
+      }),
+
+    // Stratified quota split (80/10/10 per LANGUAGE): exact per-stratum
+    // proportions via all-integer quota comparisons over the portable md5
+    // rank — the dataset carve a training pipeline uses when language
+    // balance must survive the split. Hash-exact because nothing in the
+    // assignment is floating point; report is per-(lang, split) counts.
+    QueryDef("q262_stratified_split",
+      (s, d) => graft.ops.Sampling.stratifiedSplit(
+          Tables.documents(s, d), "lang", "doc_id",
+          Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).alias("n_docs")),
+      Some("""WITH r AS (SELECT lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+             |    COUNT(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents)
+             |SELECT lang,
+             |  CASE WHEN rk * 10 <= n * 8 THEN 'train'
+             |       WHEN rk * 10 <= n * 9 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM r GROUP BY lang, split""".stripMargin))
   )
 
   /** q242's deterministic integer weight vector: w_b = (b·37) % 21 − 10,

@@ -219,4 +219,32 @@ class ActionsSpec extends SparkSpec {
     // disjoint-complete: union of the split equals the parse
     assert(good.count() + bad.count() == parsed.count())
   }
+  test("stratifiedSplit: exact integer quotas per stratum, deterministic, no float") {
+    import spark.implicits._
+    // strata of awkward sizes: 7, 10, 1 — quotas must be exactly
+    // floor(n*cum/10) differences: 7 -> (5,1,1); 10 -> (8,1,1); 1 -> (0,0,1)
+    val df = ((1 to 7).map(i => ("a", i.toLong)) ++
+      (1 to 10).map(i => ("b", 100L + i)) ++ Seq(("c", 999L)))
+      .toDF("lang", "doc_id")
+    val out = Sampling.stratifiedSplit(df, "lang", "doc_id",
+      Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+    val counts = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts.getOrElse(("a", "train"), 0L) == 5L)  // floor(7*8/10)=5
+    assert(counts.getOrElse(("a", "val"), 0L) == 1L)    // floor(7*9/10)-5=1
+    assert(counts.getOrElse(("a", "test"), 0L) == 1L)
+    assert(counts.getOrElse(("b", "train"), 0L) == 8L)
+    assert(counts.getOrElse(("b", "val"), 0L) == 1L)
+    assert(counts.getOrElse(("b", "test"), 0L) == 1L)
+    // a 1-row stratum lands in the LAST split (rank*10 > 9*1)
+    assert(counts.getOrElse(("c", "test"), 0L) == 1L)
+    assert(!counts.contains(("c", "train")) && !counts.contains(("c", "val")))
+    // deterministic: same assignment on a re-run
+    val again = Sampling.stratifiedSplit(df, "lang", "doc_id",
+      Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    val first = out.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(again == first)
+  }
+
 }
