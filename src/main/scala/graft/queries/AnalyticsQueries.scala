@@ -405,11 +405,13 @@ object AnalyticsQueries {
       (s, d) => {
         val sfName = new java.io.File(d).getName
         val out = s"/root/repo/target/graft_part/$sfName/cust_sketch_monthly"
-        graft.ops.Profiling.thetaSketch(
-            Tables.orders(s, d)
-              .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
-            Seq("month"), "o_custkey")
-          .write.mode("overwrite").partitionBy("month").parquet(out)
+        // thetaStoreBuild pins STATIC overwrite per-write: the session
+        // default is dynamic, under which this full rebuild would leave
+        // stale partitions from a prior layout (the q258 spec's finding)
+        graft.ops.Profiling.thetaStoreBuild(
+          Tables.orders(s, d)
+            .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+          "month", "o_custkey", out)
         graft.ops.Profiling.thetaRollup(
           s.read.parquet(out)
             .where(col("month") >= "1998-07" && col("month") <= "1998-09"))
