@@ -26,6 +26,21 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // GROWTH path, not just shrink: every AQE-planned shuffle STARTS at
+      // this many partitions and is coalesced back down from runtime map
+      // statistics (parallelismFirst keeps at least the core count, the
+      // advisory size bounds partition bytes above it). This is what lets
+      // a shuffle whose working set grows with the corpus (q93's band-join
+      // candidate distinct: 456M rows at sf10) spread across enough
+      // partitions to stay in memory WITHOUT a per-scale-factor knob —
+      // the sf10 ramp measured the old fixed-32 layout spilling at 14M
+      // rows/partition (13.1× wall at 10× data) where the same query at
+      // 256+ partitions runs at/below linear. Over-provisioning the
+      // initial count is cheap (sort-based shuffle writes one file per map
+      // task regardless; AQE merges small reducers), under-provisioning
+      // is a spill.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(32 * cores, 1024).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,18 +56,21 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Local session; core count from SPARK_GRAFT_CPUS (driver contract).
-    * SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the shuffle partition count
-    * — the knob a cluster deployment scales with data volume (the sf10
-    * ramp measured the bend of leaving it at the core count: per-
-    * partition shuffle working sets grow with the corpus until they
-    * spill; AQE coalesces a higher count back down when partitions are
-    * small, so over-provisioning is cheap and under-provisioning is not).
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS still overrides the non-AQE shuffle
+    * default AND the AQE initial partition count for deployments that
+    * want an explicit ceiling, but since round 13 it is a tuning
+    * override, not a correctness-of-scale requirement: the AQE
+    * initialPartitionNum growth path (see [[builder]]) sizes every
+    * adaptive shuffle from runtime statistics.
     */
   def local(): SparkSession = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val b = builder(cores)
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-      .foreach(p => b.config("spark.sql.shuffle.partitions", p))
+      .foreach { p =>
+        b.config("spark.sql.shuffle.partitions", p)
+        b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", p)
+      }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

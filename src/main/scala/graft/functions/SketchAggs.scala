@@ -62,14 +62,25 @@ object SketchAggs {
   }
 
   /** Envelope format of graft freq columns:
-    * `[8B totalWeight][8B totalMaxError][library bytes]` (big-endian).
-    * Produced and consumed only by graft's own functions; the header
-    * makes weight and error conservation EXACT under any partitioning,
-    * including partials whose raw library form would serialize empty.
+    * `[1B magic 'G'][1B version 1][8B totalWeight][8B totalMaxError]
+    * [library bytes]` (big-endian). Produced and consumed only by graft's
+    * own functions; the header makes weight and error conservation EXACT
+    * under any partitioning, including partials whose raw library form
+    * would serialize empty. The magic/version prefix (r12 ADVICE) makes
+    * the format self-identifying: raw DataSketches `ItemsSketch` bytes
+    * (whose first byte is a small preamble-longs count, never 'G') decode
+    * through the legacy fallback with `lost = 0` instead of being misread
+    * as a garbage weight header, and anything else fails with a clear
+    * message instead of a BufferUnderflowException.
     */
+  private val FreqMagic: Byte = 'G'.toByte
+  private val FreqVersion: Byte = 1
+
   private[graft] def freqEncode(st: FreqState): Array[Byte] = {
     val body = st.sk.toByteArray(new ArrayOfStringsSerDe)
-    val buf = java.nio.ByteBuffer.allocate(16 + body.length)
+    val buf = java.nio.ByteBuffer.allocate(18 + body.length)
+    buf.put(FreqMagic)
+    buf.put(FreqVersion)
     buf.putLong(st.totalWeight)
     buf.putLong(st.maxError)
     buf.put(body)
@@ -77,13 +88,35 @@ object SketchAggs {
   }
 
   private[graft] def freqDecode(bytes: Array[Byte]): FreqState = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-    val totalWeight = buf.getLong()
-    val totalError = buf.getLong()
-    val body = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
-    val sk = ItemsSketch.getInstance(Memory.wrap(body), new ArrayOfStringsSerDe)
-    new FreqState(sk,
-      totalWeight - sk.getStreamLength, totalError - sk.getMaximumError)
+    require(bytes != null && bytes.length >= 8,
+      s"not a graft freq envelope: ${if (bytes == null) "null" else s"${bytes.length} bytes"} " +
+        "(expected [magic G][version][8B weight][8B maxError][sketch bytes])")
+    if (bytes(0) == FreqMagic) {
+      require(bytes(1) == FreqVersion,
+        s"graft freq envelope version ${bytes(1)} not supported (this build reads version $FreqVersion)")
+      require(bytes.length >= 18,
+        s"truncated graft freq envelope: ${bytes.length} bytes < 18-byte header")
+      val buf = java.nio.ByteBuffer.wrap(bytes, 2, 16)
+      val totalWeight = buf.getLong()
+      val totalError = buf.getLong()
+      val body = java.util.Arrays.copyOfRange(bytes, 18, bytes.length)
+      val sk = ItemsSketch.getInstance(Memory.wrap(body), new ArrayOfStringsSerDe)
+      new FreqState(sk,
+        totalWeight - sk.getStreamLength, totalError - sk.getMaximumError)
+    } else {
+      // legacy/raw library bytes (a store persisted with DataSketches
+      // directly): nothing was ever purged-and-lost OUTSIDE the sketch's
+      // own accounting, so lost = 0 is the faithful reading
+      try {
+        val sk = ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+        new FreqState(sk, 0L, 0L)
+      } catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"not a graft freq envelope and not raw DataSketches ItemsSketch bytes " +
+              s"(${bytes.length} bytes, first byte ${bytes(0)}): ${e.getMessage}", e)
+      }
+    }
   }
 
   /** Theta sketch of a LONG key column → compact sketch bytes. */

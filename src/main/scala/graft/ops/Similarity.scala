@@ -408,19 +408,40 @@ object Similarity {
     * with the 6-dp floor discipline BEFORE the argmax (ties → lowest
     * id), so a DuckDB mirror unrolling the same k rounds hash-matches.
     *
-    * Output: (query_id, mmr_rank 1..k, selected_id, mmr_score).
+    * Output: (query_id, mmr_rank 1..k, selected_id, mmr_score). A query
+    * whose candidate set is SMALLER than k (tiny corpus, zero-norm
+    * vectors dropped by retrieval) emits exactly its candidate count of
+    * rows — ranks stay contiguous from 1, no null picks (the exhausted
+    * rounds are skipped per query, round-13 contract hardening).
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, topN: Int,
                 lambda: Double): DataFrame = {
-    require(k >= 1 && topN >= k, s"need 1 <= k <= topN: k=$k topN=$topN")
+    require(topN >= k, s"need topN >= k: k=$k topN=$topN")
+    mmrRerankCandidates(
+      bruteForceTopK(queries, corpus, idCol, vecCol, topN),
+      corpus, idCol, vecCol, k, lambda)
+  }
+
+  /** [[mmrRerank]] over a PRE-RETRIEVED candidate frame — the composition
+    * point of the serving chain: any retriever emitting the standard
+    * (query_id, neighbor_id, cosine, rank) shape (bruteForceTopK, lshTopK,
+    * ivfTopK, quantizedTopK) feeds this directly, so the 100 TB path
+    * index → approximate top-N → MMR re-rank never runs a second exact
+    * pass (q263 gates the composed chain hash-exact). `corpus` supplies
+    * the candidate vectors by id; ids must be non-null.
+    */
+  def mmrRerankCandidates(cand: DataFrame, corpus: DataFrame, idCol: String,
+                          vecCol: String, k: Int,
+                          lambda: Double): DataFrame = {
+    require(k >= 1, s"need k >= 1: k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     def q6(c: Column) =
       floor(c * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6)
-    val cand = bruteForceTopK(queries, corpus, idCol, vecCol, topN)
     val withVec = corpus
       .select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__nv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rank"))), Seq("neighbor_id"))
     val gathered = withVec.groupBy("query_id")
       .agg(sort_array(collect_list(struct(
         col("rank"), col("neighbor_id").alias("nid"),
@@ -446,17 +467,32 @@ object Similarity {
         c.getField("vec").alias("vec")))
       df = df.withColumn(s"__scored_$r", scored)
       val sc = col(s"__scored_$r")
+      // Round r only exists when the query RETRIEVED at least r
+      // candidates — on an exhausted candidate set `remaining` is empty
+      // and aggregate's zero element would be a null struct that poisons
+      // the exists() filter of every later round (r12 ADVICE). The guard
+      // caps the greedy rounds at size(cands) per query; exhausted rounds
+      // carry a null pick that is excluded from the selected set and
+      // dropped from the output below.
       df = df
-        .withColumn(s"__pick_$r", aggregate(sc, element_at(sc, 1), (b, x) =>
-          when(x.getField("s") > b.getField("s") ||
-            (x.getField("s") === b.getField("s") &&
-              x.getField("nid") < b.getField("nid")), x).otherwise(b)))
+        .withColumn(s"__pick_$r", when(size(col("cands")) >= r,
+          aggregate(sc, element_at(sc, 1), (b, x) =>
+            when(x.getField("s") > b.getField("s") ||
+              (x.getField("s") === b.getField("s") &&
+                x.getField("nid") < b.getField("nid")), x).otherwise(b))))
         .withColumn(s"__sel_$r",
-          concat(col(s"__sel_${r - 1}"), array(col(s"__pick_$r"))))
+          when(col(s"__pick_$r").isNotNull,
+            concat(col(s"__sel_${r - 1}"), array(col(s"__pick_$r"))))
+            .otherwise(col(s"__sel_${r - 1}")))
     }
-    val picks = array((1 to k).map(r => struct(
-      col(s"__pick_$r").getField("nid").alias("selected_id"),
-      col(s"__pick_$r").getField("s").alias("mmr_score"))): _*)
+    // exhausted rounds sit at the TAIL of the picks array (a query that
+    // has r candidates fills rounds 1..r), so dropping nulls keeps
+    // mmr_rank contiguous from 1
+    val picks = filter(
+      array((1 to k).map(r => struct(
+        col(s"__pick_$r").getField("nid").alias("selected_id"),
+        col(s"__pick_$r").getField("s").alias("mmr_score"))): _*),
+      p => p.getField("selected_id").isNotNull)
     df.select(col("query_id"), posexplode(picks).as(Seq("__r0", "__p")))
       .select(col("query_id"),
         (col("__r0") + 1).cast("long").alias("mmr_rank"),
@@ -473,20 +509,36 @@ object Similarity {
     * approx list (0 when it was lost). One tiny join+aggregate over
     * |Q|·k rows — the corpora never re-enter. Exact: counts are
     * integers, the two ratios are single double divides (6 dp).
+    *
+    * Contract hardening (r12 ADVICE): the join is FULL OUTER, so a query
+    * present in truth but entirely absent from approx — a TOTAL retrieval
+    * failure, the case the metric exists to expose — scores
+    * n_hits=0 / recall 0 / rr 0 instead of silently disappearing; and the
+    * recall denominator is `least(k, truth rows for the query)`, so a
+    * query whose ground truth holds fewer than k rows (tiny corpus) can
+    * reach recall 1.0 instead of being capped below it. With complete
+    * k-row truth (the usual case) both refinements are identities.
     */
-  def retrievalEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+  def retrievalEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: k=$k")
     approx.select(col("query_id"), col("neighbor_id"),
         col("rank").alias("__a_rank"))
       .join(truth.select(col("query_id"), col("neighbor_id"),
         col("rank").alias("__t_rank")),
-        Seq("query_id", "neighbor_id"), "left")
+        Seq("query_id", "neighbor_id"), "full_outer")
       .groupBy("query_id")
       .agg(
-        sum(when(col("__t_rank").isNotNull, 1L).otherwise(0L)).alias("n_hits"),
-        round(sum(when(col("__t_rank").isNotNull, 1L).otherwise(0L))
-          .cast("double") / lit(k.toDouble), 6).alias("recall_at_k"),
+        sum(when(col("__t_rank").isNotNull && col("__a_rank").isNotNull, 1L)
+          .otherwise(0L)).alias("n_hits"),
+        round(
+          sum(when(col("__t_rank").isNotNull && col("__a_rank").isNotNull, 1L)
+            .otherwise(0L)).cast("double") /
+            greatest(least(lit(k.toLong),
+              sum(when(col("__t_rank").isNotNull, 1L).otherwise(0L))), lit(1L))
+              .cast("double"), 6).alias("recall_at_k"),
         round(coalesce(max(when(col("__t_rank") === 1L,
           lit(1.0) / col("__a_rank"))), lit(0.0)), 6).alias("rr_top1"))
+  }
 
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val acc = org.apache.spark.sql.types.DecimalType(30, 8)

@@ -460,6 +460,62 @@ object AnalyticsQueries {
       },
       None),
 
+    // The STREAMING sketch-store lifecycle as a driver-gated query
+    // (round-12 verdict #4 — q258's batch lifecycle has had this
+    // streaming twin spec-only since r11): two file-arrival waves ingest
+    // through Trigger.AvailableNow into per-batch sketch partials
+    // (StreamingOps.sketchIngest), compaction collapses the partials to
+    // one self-describing row per group (sketchCompact — parameters
+    // recovered from the store, r12 ADVICE), and the profile reads back
+    // from the COMPACTED store only. The output joins that readback
+    // against the whole-corpus exact aggregate, so the row values carry
+    // the twin discipline in-band: n_rows must equal the fact count
+    // exactly (monoid counts), and distinct_est's relative error is
+    // printed next to the exact distinct (zero in theta exact mode —
+    // StreamingSpec pins the stream≡batch THETA BYTE equality and
+    // compaction-preserves-profile; this query gates that the composed
+    // ingest→compact→read lifecycle keeps running under the driver).
+    // Rows-only: theta estimation internals are engine-specific.
+    // 100 TB posture: each wave costs one batch-sized aggregation, the
+    // compacted readback is O(groups) kilobyte rows — stream history is
+    // never rescanned.
+    QueryDef("q264_streaming_sketch_lifecycle",
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val sfName = new java.io.File(d).getName
+        val base = s"/root/repo/target/graft_part/$sfName/stream_sketch"
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val (src, store, ckpt, compacted) =
+          (s"$base/src", s"$base/store", s"$base/ckpt", s"$base/compacted")
+        val o = Tables.orders(s, d).select(col("o_orderstatus"),
+          col("o_custkey"), col("o_totalprice").cast("double").alias("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").alias("month"))
+        val schema = org.apache.spark.sql.types.StructType(o.schema.fields.dropRight(1))
+        def arrive(pred: org.apache.spark.sql.Column): Unit = {
+          o.filter(pred).drop("month").write.mode("append").parquet(src)
+          StreamingOps.sketchIngest(s, src, store, ckpt, schema,
+            Seq("o_orderstatus"), "o_custkey", "o_totalprice")
+        }
+        arrive(col("month") < "1998-01") // history wave
+        arrive(col("month") >= "1998-01") // incremental wave
+        StreamingOps.sketchCompact(s, store, compacted, Seq("o_orderstatus"))
+        val profile = StreamingOps.sketchProfile(s, compacted,
+            Seq("o_orderstatus"), ranks = Seq(0.5))
+          .select(col("o_orderstatus"), col("distinct_est"), col("n_rows"))
+        val exact = o.groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).alias("n_distinct_exact"),
+            count(lit(1)).alias("n_rows_exact"))
+        profile.join(exact, "o_orderstatus")
+          .select(col("o_orderstatus"), col("n_rows"), col("n_rows_exact"),
+            (col("n_rows") === col("n_rows_exact")).alias("rows_match"),
+            round(col("distinct_est"), 6).alias("distinct_est"),
+            col("n_distinct_exact"),
+            round(abs(col("distinct_est") - col("n_distinct_exact")) /
+              col("n_distinct_exact"), 6).alias("est_rel_err"))
+      },
+      None),
+
     // Portable KMV distinct sketch — the approximate-distinct that IS
     // oracle-gatable hash-exact: portable md5 hashes, exact bottom-k
     // minima (a deterministic monoid under any partitioning), estimate

@@ -730,6 +730,153 @@ object SimilarityQueries {
            |FROM approx a LEFT JOIN truth t
            |  ON a.query_id = t.query_id AND a.nid = t.nid
            |GROUP BY a.query_id""".stripMargin
+      }),
+
+    // The APPROXIMATE retrieval path composed END-TO-END (round-12
+    // verdict #3, the q138-style interface pin for the similarity tier):
+    // IVF index (explicit fixture-stated centroids: corpus vectors
+    // vec_id 5..12, unit-normalized) → nProbe=2 probe → top-8 candidates
+    // → MMR re-rank (k=4, λ=1/2) → retrievalEval against exact top-4
+    // ground truth. This is the 100 TB serving chain: the corpus is
+    // scored only inside probed cells, the re-rank touches ≤8 candidate
+    // rows per query, and the eval join touches |Q|·k rows. Hash-exact
+    // because every stage is deterministic arithmetic already mirrored
+    // piecewise (q71's dot-argmax assignment, q260's unrolled greedy
+    // rounds, q261's metric divides) — composing the MIRRORS pins the
+    // interfaces: candidate rank order feeding the gather, selection
+    // feeding the eval, and the truth-driven full-outer metric. IVF at
+    // nProbe 2/8 is genuinely approximate here (recall < 1 on some
+    // queries), so the metrics measure a real approximation, not a
+    // disguised identity; ApproxBoundsSpec holds the recall floor.
+    QueryDef("q263_rag_serving_chain",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < NQ)
+        val c = emb.filter(col("vec_id") >= NQ)
+        val cand = Similarity.ivfTopK(q, c, "vec_id", "embedding", k = 8,
+          nCentroids = 8, nProbe = 2,
+          centroids = Some(ivfFixtureCentroids(s, d)))
+        val reranked = Similarity.mmrRerankCandidates(
+          cand, c, "vec_id", "embedding", k = 4, lambda = 0.5)
+        val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 4)
+        Similarity.retrievalEval(truth,
+          reranked.select(col("query_id"),
+            col("selected_id").alias("neighbor_id"),
+            col("mmr_rank").alias("rank")), k = 4)
+      },
+      Some {
+        val lam = "CAST(0.5 AS DOUBLE)"
+        def round(r: Int): String =
+          s"""ms_$r AS (
+             |  SELECT cd.query_id, cd.nid, max(cd.rel) AS rel,
+             |    max(${VectorFunctions.cosineSql("cd.vec", "sl.vec")}) AS maxsim
+             |  FROM cand cd JOIN sel_${r - 1} sl USING (query_id)
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel_${r - 1} x
+             |    WHERE x.query_id = cd.query_id AND x.nid = cd.nid)
+             |  GROUP BY cd.query_id, cd.nid),
+             |pick_$r AS MATERIALIZED (
+             |  SELECT m.query_id, m.nid, cd2.vec,
+             |    floor(($lam * m.rel - $lam * m.maxsim) * 1e6 + 0.5) / 1e6 AS s
+             |  FROM ms_$r m JOIN cand cd2
+             |    ON cd2.query_id = m.query_id AND cd2.nid = m.nid
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.query_id
+             |    ORDER BY s DESC, m.nid ASC) = 1),
+             |sel_$r AS MATERIALIZED (
+             |  SELECT query_id, nid, vec FROM sel_${r - 1}
+             |  UNION ALL SELECT query_id, nid, vec FROM pick_$r)""".stripMargin
+        s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+           |            FROM embeddings WHERE vec_id < $NQ),
+           |cs AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           |       FROM embeddings WHERE vec_id >= $NQ),
+           |cents AS MATERIALIZED (
+           |  SELECT vec_id - $NQ + 1 AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           |      sqrt(${VectorFunctions.dotSql("embedding", "embedding")})) AS cw
+           |  FROM embeddings WHERE vec_id >= $NQ AND vec_id < ${NQ + 8}),
+           |ca AS MATERIALIZED (
+           |  SELECT neighbor_id, cv, cell FROM (
+           |    SELECT c.neighbor_id, c.cv, ce.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+           |        ORDER BY ${VectorFunctions.dotSql("c.cv", "ce.cw")} DESC,
+           |          ce.cell ASC) AS rn
+           |    FROM cs c CROSS JOIN cents ce)
+           |  WHERE rn = 1),
+           |pq AS MATERIALIZED (
+           |  SELECT query_id, qv, cell FROM (
+           |    SELECT q.query_id, q.qv, ce.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${VectorFunctions.dotSql("q.qv", "ce.cw")} DESC,
+           |          ce.cell ASC) AS rn
+           |    FROM qs q CROSS JOIN cents ce)
+           |  WHERE rn <= 2),
+           |sc0 AS (SELECT p.query_id, a.neighbor_id AS nid, a.cv AS vec,
+           |    ${VectorFunctions.cosineSql("p.qv", "a.cv")} AS cos_raw
+           |  FROM ca a JOIN pq p ON a.cell = p.cell),
+           |cand AS MATERIALIZED (
+           |  SELECT query_id, nid, vec, round(cos_raw, 6) AS rel,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cos_raw DESC, nid ASC) AS rnk
+           |  FROM sc0 WHERE cos_raw IS NOT NULL
+           |  QUALIFY rnk <= 8),
+           |pick_1 AS MATERIALIZED (
+           |  SELECT query_id, nid, vec,
+           |    floor($lam * rel * 1e6 + 0.5) / 1e6 AS s
+           |  FROM cand WHERE rnk = 1),
+           |sel_1 AS MATERIALIZED (SELECT query_id, nid, vec FROM pick_1),
+           |${round(2)},
+           |${round(3)},
+           |${round(4)},
+           |truth AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id AS nid,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           |      ${VectorFunctions.cosineSql("qv", "cv")} DESC, neighbor_id ASC)
+           |      AS t_rank
+           |  FROM cs CROSS JOIN qs
+           |  WHERE ${VectorFunctions.cosineSql("qv", "cv")} IS NOT NULL
+           |  QUALIFY t_rank <= 4),
+           |approx AS (
+           |  SELECT query_id, nid, CAST(1 AS BIGINT) AS a_rank FROM pick_1
+           |  UNION ALL SELECT query_id, nid, CAST(2 AS BIGINT) FROM pick_2
+           |  UNION ALL SELECT query_id, nid, CAST(3 AS BIGINT) FROM pick_3
+           |  UNION ALL SELECT query_id, nid, CAST(4 AS BIGINT) FROM pick_4)
+           |SELECT coalesce(a.query_id, t.query_id) AS query_id,
+           |  CAST(sum(CASE WHEN t.t_rank IS NOT NULL AND a.a_rank IS NOT NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  round(CAST(sum(CASE WHEN t.t_rank IS NOT NULL AND a.a_rank IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    CAST(greatest(least(4, sum(CASE WHEN t.t_rank IS NOT NULL
+           |      THEN 1 ELSE 0 END)), 1) AS DOUBLE), 6) AS recall_at_k,
+           |  round(coalesce(max(CASE WHEN t.t_rank = 1
+           |    THEN CAST(1 AS DOUBLE) / a.a_rank END), CAST(0 AS DOUBLE)), 6)
+           |    AS rr_top1
+           |FROM approx a FULL JOIN truth t
+           |  ON a.query_id = t.query_id AND a.nid = t.nid
+           |GROUP BY coalesce(a.query_id, t.query_id)""".stripMargin
       })
   )
+
+  /** The q263 IVF index's coarse centroids, stated FROM the fixture so the
+    * DuckDB mirror can restate them: corpus vectors `vec_id ∈ [NQ, NQ+8)`,
+    * unit-normalized with the engine's exact fold order (in-order
+    * sum-of-squares from 0.0, one sqrt, one divide per element — the
+    * oracle's `list_transform(e, x -> CAST(x AS DOUBLE) / sqrt(dot(e,e)))`
+    * computes bit-identical doubles). An 8-row collect: the index model is
+    * driver-sized by design ([[Similarity.fitCentroids]] is the production
+    * fit; this pins the ivfTopK machinery with a mirrorable model).
+    */
+  private def ivfFixtureCentroids(s: org.apache.spark.sql.SparkSession,
+                                  d: String): Array[Array[Double]] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") >= NQ && col("vec_id") < NQ + 8)
+      .orderBy("vec_id").select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case dd: java.lang.Double => dd.doubleValue
+          case null => 0.0
+        }.toArray
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        require(n > 0, "zero-norm centroid vector in the fixture window")
+        v.map(_ / n)
+      }
 }

@@ -255,6 +255,13 @@ object StreamingOps {
             SketchAggs.thetaSketch(col(distinctCol), lgK).alias("theta"),
             SketchAggs.kllSketch(col(valueCol).cast("double"), kllK).alias("kll"),
             count(lit(1)).alias("n_rows"))
+          // the store is SELF-DESCRIBING: the sketch parameters ride along
+          // as columns so the read/compact paths can recover them instead
+          // of trusting the caller to repeat them (r12 ADVICE: compacting
+          // a lgK=14 store with the default 12 silently downsampled the
+          // union and changed distinct estimates)
+          .withColumn("lgk", lit(lgK))
+          .withColumn("kll_k", lit(kllK))
           .withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(sketchDir)
         ()
@@ -270,15 +277,32 @@ object StreamingOps {
     * `ranks`, exact n/min/max, total rows. Cost ∝ |groups × batches|
     * sketch rows; the ingested corpus is never touched.
     */
+  /** Recover the (lgK, kllK) a sketch store was built with from its
+    * self-describing columns ([[sketchIngest]] since round 13); a legacy
+    * store without them falls back to the caller's arguments. A store
+    * holding MIXED parameters (two ingests with different lgK) fails loud
+    * — merging across lgK silently downsamples to the smallest.
+    */
+  private def storeParams(store: DataFrame, lgK: Int, kllK: Int): (Int, Int) =
+    if (store.columns.contains("lgk") && store.columns.contains("kll_k")) {
+      val ps = store.select(col("lgk"), col("kll_k")).distinct().collect()
+      require(ps.length == 1,
+        s"sketch store holds mixed parameters ${ps.map(r => (r.getInt(0), r.getInt(1))).mkString(", ")}; " +
+          "compact each parameter generation separately")
+      (ps.head.getInt(0), ps.head.getInt(1))
+    } else (lgK, kllK)
+
   def sketchProfile(spark: SparkSession, sketchDir: String,
                     groupCols: Seq[String], ranks: Seq[Double],
                     lgK: Int = 12, kllK: Int = 200): DataFrame = {
     import graft.functions.SketchAggs
-    spark.read.parquet(sketchDir)
+    val store = spark.read.parquet(sketchDir)
+    val (lgKUse, kllKUse) = storeParams(store, lgK, kllK)
+    store
       .groupBy(groupCols.map(col): _*)
       .agg(
-        SketchAggs.thetaUnion(col("theta"), lgK).alias("theta"),
-        SketchAggs.kllMerge(col("kll"), kllK).alias("kll"),
+        SketchAggs.thetaUnion(col("theta"), lgKUse).alias("theta"),
+        SketchAggs.kllMerge(col("kll"), kllKUse).alias("kll"),
         sum(col("n_rows")).alias("n_rows"))
       .select(groupCols.map(col) ++ Seq(
         SketchAggs.thetaEstimate(col("theta")).alias("distinct_est"),
@@ -301,12 +325,19 @@ object StreamingOps {
                     compactDir: String, groupCols: Seq[String],
                     lgK: Int = 12, kllK: Int = 200): Unit = {
     import graft.functions.SketchAggs
-    spark.read.parquet(sketchDir)
+    val store = spark.read.parquet(sketchDir)
+    // parameters come from the store itself, so a compaction can never
+    // silently downsample a higher-lgK store through the defaults (r12
+    // ADVICE); the compacted store stays self-describing
+    val (lgKUse, kllKUse) = storeParams(store, lgK, kllK)
+    store
       .groupBy(groupCols.map(col): _*)
       .agg(
-        SketchAggs.thetaUnion(col("theta"), lgK).alias("theta"),
-        SketchAggs.kllMerge(col("kll"), kllK).alias("kll"),
+        SketchAggs.thetaUnion(col("theta"), lgKUse).alias("theta"),
+        SketchAggs.kllMerge(col("kll"), kllKUse).alias("kll"),
         sum(col("n_rows")).alias("n_rows"))
+      .withColumn("lgk", lit(lgKUse))
+      .withColumn("kll_k", lit(kllKUse))
       .write.mode("overwrite").parquet(compactDir)
   }
 

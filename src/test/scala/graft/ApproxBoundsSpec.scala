@@ -91,6 +91,34 @@ class ApproxBoundsSpec extends SparkSpec {
     assert(r8 >= r2, s"recall not monotone in probe count: recall(8)=$r8 < recall(2)=$r2")
   }
 
+  test("sf0.1 composed RAG chain (IVF -> MMR -> eval) holds a recall floor and stays approximate-honest") {
+    // the q263 shape at sf0.1: IVF probe -> top-8 candidates -> MMR k=4
+    // re-rank, evaluated against exact top-4 truth by retrievalEval
+    // itself (the metric under test IS the gate)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 25)
+    val c = emb.filter(col("vec_id") >= 25)
+    val cand = Similarity.ivfTopK(q, c, "vec_id", "embedding", 8,
+      nCentroids = 16, nProbe = 8)
+    val reranked = Similarity.mmrRerankCandidates(
+      cand, c, "vec_id", "embedding", k = 4, lambda = 0.5)
+    val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 4)
+    val metrics = Similarity.retrievalEval(truth,
+      reranked.select(col("query_id"),
+        col("selected_id").alias("neighbor_id"),
+        col("mmr_rank").alias("rank")), k = 4).collect()
+    assert(metrics.length == 25, "every query must be scored (truth-driven eval)")
+    val meanRecall = metrics.map(_.getAs[Double]("recall_at_k")).sum / metrics.length
+    // MMR trades relevance for diversity ON PURPOSE, so per-query recall
+    // vs the plain top-4 can dip; the floor asserts the chain still
+    // returns mostly-true context on this near-uniform (IVF-worst-case)
+    // fixture. Measured ~0.7 at sf0.1; 0.5 = probed-mass fraction.
+    assert(meanRecall >= 0.5, s"composed-chain mean recall $meanRecall < 0.5")
+    // the chain must emit exactly k picks per query with truth present
+    val perQuery = reranked.groupBy("query_id").count().collect()
+    assert(perQuery.length == 25 && perQuery.forall(_.getLong(1) == 4L))
+  }
+
   test("sf0.1 theta/KLL/KMV sketches hold their error bounds in ESTIMATION mode") {
     import graft.ops.Profiling
     val o = Tables.orders(spark, sf)

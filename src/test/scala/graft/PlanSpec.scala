@@ -351,7 +351,11 @@ class PlanSpec extends SparkSpec {
       //    the greedy itself is HOFs over one bounded array row per query
       //  - q261: retrieval eval — runs BOTH q50's and q64's retrieval
       //    shapes to produce the |Q|·k frames the metric joins
-      "q260_mmr_rerank", "q261_retrieval_eval",
+      //  - q263: composed RAG chain — the APPROXIMATE path (IVF) is a
+      //    bounded cell equi-join; the one BroadcastNestedLoopJoin is the
+      //    exact-truth side the metric judges against (q50's shape) plus
+      //    the 8-row centroid cross for probing
+      "q260_mmr_rerank", "q261_retrieval_eval", "q263_rag_serving_chain",
       "q50_ann_bruteforce", "q55_ann_topk_agg", "q64_ann_quantized",
       "q77_decontaminate_near", "q67_dormant_customers", "q89_vocabulary_topk",
       "q109_tfidf_topterms", "q116_histogram", "q117_temperature_mixture",

@@ -421,4 +421,53 @@ class SimilaritySpec extends SparkSpec {
       cushioned.forall(r => r.getAs[Double]("recall_at_k") == 1.0 &&
         r.getAs[Double]("rr_top1") == 1.0))
   }
+
+  test("mmrRerank: a query with fewer than k candidates emits its candidate count, no null picks") {
+    // corpus of 2 (one of them zero-norm, so only ONE retrievable
+    // candidate) with k = 3: the r12 ADVICE scenario where exhausted
+    // greedy rounds produced null picks that poisoned later rounds
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f)),
+      (1L, Array(0.0f, 0.0f))) // zero-norm: dropped by retrieval
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(queries, corpus, "vec_id", "embedding",
+      k = 3, topN = 3, lambda = 0.5).orderBy("mmr_rank").collect()
+    assert(out.length == 1, s"expected 1 row, got ${out.toSeq}")
+    assert(out(0).getAs[Long]("mmr_rank") == 1L)
+    assert(out(0).getAs[Long]("selected_id") == 0L)
+    assert(!out(0).isNullAt(out(0).fieldIndex("mmr_score")))
+    // two retrievable candidates, k = 3: ranks stay contiguous 1..2
+    val corpus2 = Seq((0L, Array(1.0f, 0.1f)), (2L, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out2 = Similarity.mmrRerank(queries, corpus2, "vec_id", "embedding",
+      k = 3, topN = 3, lambda = 0.5).orderBy("mmr_rank").collect()
+    assert(out2.map(_.getAs[Long]("mmr_rank")).toSeq == Seq(1L, 2L))
+    assert(out2.forall(r => !r.isNullAt(r.fieldIndex("selected_id"))))
+  }
+
+  test("retrievalEval: a total-miss query appears with zero scores; short truth caps the denominator") {
+    val truth = Seq((1L, 10L, 1L), (1L, 11L, 2L), (3L, 30L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    // query 3 is entirely absent from approx (total retrieval failure);
+    // query 1's truth is complete; approx also has a truth-less query 9
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (9L, 90L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.retrievalEval(truth, approx, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 3L, 9L), s"got ${out.keySet}")
+    assert(out(3L).getAs[Long]("n_hits") == 0L)
+    assert(out(3L).getAs[Double]("recall_at_k") == 0.0)
+    assert(out(3L).getAs[Double]("rr_top1") == 0.0)
+    // query 3's truth holds ONE row with k = 2: a retriever that finds it
+    // scores recall 1.0 (denominator least(k, truth rows)), not 0.5
+    val approx2 = Seq((3L, 30L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val out2 = Similarity.retrievalEval(truth.filter(col("query_id") === 3L),
+      approx2, k = 2).collect()
+    assert(out2.length == 1 && out2(0).getAs[Double]("recall_at_k") == 1.0)
+    assert(out2(0).getAs[Double]("rr_top1") == 1.0)
+    // a truth-less approx query scores 0 hits / 0 recall, not a crash
+    assert(out(9L).getAs[Long]("n_hits") == 0L)
+    assert(out(9L).getAs[Double]("recall_at_k") == 0.0)
+  }
 }

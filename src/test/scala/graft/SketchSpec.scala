@@ -252,6 +252,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("freq envelope: self-identifying magic, raw-library fallback, clear failure on garbage") {
+    // round-trip: the envelope is magic-prefixed and restores weight/error
+    val sk = new org.apache.datasketches.frequencies.ItemsSketch[String](64)
+    (1 to 100).foreach(i => sk.update(s"tok${i % 7}"))
+    val st = new SketchAggs.FreqState(sk, 5L, 3L)
+    val bytes = SketchAggs.freqEncode(st)
+    assert(bytes(0) == 'G'.toByte && bytes(1) == 1.toByte)
+    val back = SketchAggs.freqDecode(bytes)
+    assert(back.totalWeight == st.totalWeight && back.maxError == st.maxError)
+    // raw DataSketches bytes (a store persisted with the library directly,
+    // the pre-envelope on-disk format): decoded via the fallback with
+    // lost = 0, not misread as a garbage weight header
+    val raw = sk.toByteArray(new org.apache.datasketches.common.ArrayOfStringsSerDe)
+    val legacy = SketchAggs.freqDecode(raw)
+    assert(legacy.totalWeight == sk.getStreamLength && legacy.lostWeight == 0L)
+    // garbage fails with the clear message, not a BufferUnderflowException
+    val e = intercept[IllegalArgumentException] {
+      SketchAggs.freqDecode(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9))
+    }
+    assert(e.getMessage.contains("not a graft freq envelope"), e.getMessage)
+    val short = intercept[IllegalArgumentException] {
+      SketchAggs.freqDecode(Array[Byte](1, 2, 3))
+    }
+    assert(short.getMessage.contains("not a graft freq envelope"), short.getMessage)
+  }
+
   test("kmv: bottom-k is a monoid (per-group minima union to the whole-corpus minima)") {
     val perGroup = Profiling.kmvSketch(orders, Seq("o_orderstatus"), "o_custkey", k = 32)
       .collect().map(_.getAs[scala.collection.Seq[Long]]("mins"))

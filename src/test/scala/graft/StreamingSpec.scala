@@ -559,6 +559,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sketchCompact recovers the store's own lgK: a non-default ingest survives default-arg compaction") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sketch_params")
+    val (src, skd, ckpt, cpd) =
+      (s"$base/src", s"$base/sketches", s"$base/ckpt", s"$base/compacted")
+    // > 2^12 distinct keys so an lgK=14 sketch is past lgK=12's exact
+    // mode: compacting through the DEFAULT would downsample the union and
+    // CHANGE the estimate (the r12 ADVICE failure this pins)
+    def rows(ids: Range) = ids.map(i => ("g0", i.toLong, i.toDouble)).toDF("grp", "key", "v")
+    val schema = rows(0 until 1).schema
+    rows(0 until 30000).write.mode("append").parquet(src)
+    StreamingOps.sketchIngest(spark, src, skd, ckpt, schema,
+      Seq("grp"), "key", "v", lgK = 14, kllK = 128)
+    // store is self-describing
+    val p = spark.read.parquet(skd).select("lgk", "kll_k").distinct().collect()
+    assert(p.length == 1 && p(0).getInt(0) == 14 && p(0).getInt(1) == 128)
+    // compact with DEFAULT args (12/200): parameters come from the store
+    StreamingOps.sketchCompact(spark, skd, cpd, Seq("grp"))
+    val pc = spark.read.parquet(cpd).select("lgk", "kll_k").distinct().collect()
+    assert(pc.length == 1 && pc(0).getInt(0) == 14 && pc(0).getInt(1) == 128)
+    def est(dir: String): Double = StreamingOps.sketchProfile(spark, dir,
+      Seq("grp"), Seq(0.5)).collect()(0).getAs[Double]("distinct_est")
+    assert(est(cpd) == est(skd),
+      "default-arg compaction must not downsample a lgK=14 store")
+  }
+
   test("sketchIngest partials answer the batch-over-batch ingest delta via thetaDiff") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sketch_delta")
