@@ -134,6 +134,20 @@ object Bench {
     }
     sweep(spark)
 
+    // q265's KMV store is persisted state the same way (build untimed,
+    // report the cost, let the timed reps measure the READBACK rollup
+    // only — the split the gold theta store has had since q252/q253)
+    try {
+      val storePath = new java.io.File("target/bench_idx/q265_kmv_store").getAbsolutePath
+      val t0 = System.nanoTime()
+      graft.queries.MedallionQueries.buildKmvStore(spark, sfDir, storePath)
+      prepared("q265_store_build_sec") = (System.nanoTime() - t0) / 1e9
+      sys.props("graft.bench.q265.store") = storePath
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] q265 store prepare failed (falls back to inline build): ${e.getMessage}")
+    }
+    sweep(spark)
+
     // Media fixtures are input SYNTHESIS, not the measured op: pre-build
     // them untimed (Fixtures builds once per JVM — the timed reps then
     // measure decode/hash/frame work only) and report each build as its

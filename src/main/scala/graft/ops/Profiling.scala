@@ -339,6 +339,38 @@ object Profiling {
           .alias("est_distinct")): _*)
   }
 
+  /** Merge persisted KMV rows ([[kmvSketch]] output, `mins` kept) to a
+    * COARSER grouping — the READBACK op of a KMV store: any rollup of the
+    * stored per-group minima answers its distinct question without
+    * touching the fact table, because bottom-k is a monoid (every global
+    * bottom-k hash is inside its own group's bottom-k; ProfilingSpec pins
+    * the merge-equals-whole equality). Pass `groupCols = Seq.empty` for
+    * the grand total. Pure deterministic array algebra (flatten →
+    * distinct → sort → take k), so the rolled-up estimate stays
+    * oracle-gatable hash-exact like the build side (q248 discipline).
+    * `n_groups_merged` reports how many stored rows fed the rollup.
+    */
+  def kmvRollup(store: DataFrame, groupCols: Seq[String],
+                k: Int = 32): DataFrame = {
+    val scale = (k - 1).toDouble * 281474976710656.0 // (k-1) * 2^48, exact
+    val grouped =
+      if (groupCols.isEmpty) store.groupBy()
+      else store.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(
+        slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+          1, k).alias("mins"),
+        count(lit(1)).alias("n_groups_merged"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_groups_merged"),
+        size(col("mins")).cast("long").alias("n_kept"),
+        when(size(col("mins")) >= k, element_at(col("mins"), k))
+          .alias("kth_min"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(round(lit(scale) / element_at(col("mins"), k), 6))
+          .alias("est_distinct")): _*)
+  }
+
   /** Per-group frequent-items (heavy hitters) sketches over a string
     * column — deterministic error brackets, no randomness: every reported
     * count sits in `[lower, upper]`, and any item with true count above

@@ -155,8 +155,65 @@ object MedallionQueries {
               |       ELSE round(CAST(8725724278030336 AS DOUBLE) / hs[32], 6)
               |  END AS est_distinct,
               |  cnt.client_count
-              |FROM bk JOIN cnt ON bk.risk_segment = cnt.risk_segment""".stripMargin))
+              |FROM bk JOIN cnt ON bk.risk_segment = cnt.risk_segment""".stripMargin)),
+
+    // q259's READBACK half (round-12 verdict stretch #9, the q252/q253
+    // build/read split applied to the medallion KMV story): the
+    // per-segment KMV minima are PERSISTED as a store, and the portfolio-
+    // GLOBAL distinct is answered from the store alone — bottom-k is a
+    // monoid, so merging the per-segment minima (flatten → distinct →
+    // sort → take k) IS the global bottom-k, and the fact tables are
+    // never touched on the read path. Bench builds the store untimed
+    // (q265_store_build_sec, the q93 index discipline) so the timed
+    // number is the true readback cost; Verify always builds inline
+    // (deterministic md5 draws → identical result either way). The
+    // estimate stays hash-exact: the oracle states the same per-segment
+    // bottom-32 → merged bottom-32 chain.
+    QueryDef("q265_kmv_store_rollup",
+      (s, d) => {
+        val storePath = sys.props.get("graft.bench.q265.store").getOrElse {
+          val sfName = new java.io.File(d).getName
+          val p = s"/root/repo/target/graft_part/$sfName/kmv_store"
+          buildKmvStore(s, d, p)
+          p
+        }
+        graft.ops.Profiling.kmvRollup(s.read.parquet(storePath), Seq.empty, k = 32)
+      },
+      Some(s"""$withChain,
+              |prev265 AS (SELECT o_orderkey AS SK_ID_PREV,
+              |           o_custkey AS SK_ID_CURR FROM orders),
+              |jd AS (SELECT DISTINCT p.risk_segment,
+              |         ('0x' || substr(md5(CAST(prev265.SK_ID_PREV AS VARCHAR)), 1, 12))::BIGINT AS h
+              |       FROM profile p JOIN prev265 ON p.SK_ID_CURR = prev265.SK_ID_CURR),
+              |bk AS (SELECT risk_segment, list_sort(list(h))[1:32] AS mins
+              |       FROM jd GROUP BY risk_segment),
+              |merged AS (SELECT
+              |    list_sort(list_distinct(flatten(list(mins))))[1:32] AS hs,
+              |    CAST(count(*) AS BIGINT) AS n_groups_merged
+              |  FROM bk)
+              |SELECT n_groups_merged,
+              |  CAST(least(len(hs), 32) AS BIGINT) AS n_kept,
+              |  CASE WHEN len(hs) >= 32 THEN hs[32] END AS kth_min,
+              |  CASE WHEN len(hs) < 32 THEN CAST(len(hs) AS DOUBLE)
+              |       ELSE round(CAST(8725724278030336 AS DOUBLE) / hs[32], 6)
+              |  END AS est_distinct
+              |FROM merged""".stripMargin))
   )
+
+  /** Build q265's persisted KMV store at `path`: per-risk-segment
+    * bottom-32 portable-md5 minima of the client→previous-application
+    * join (what the readback rollup answers from). Shared by the q265
+    * registry entry (inline build under Verify) and Bench's untimed
+    * prepare step.
+    */
+  private[graft] def buildKmvStore(s: org.apache.spark.sql.SparkSession,
+                                   d: String, path: String): Unit = {
+    val seg = profiles(s, d).select(col("SK_ID_CURR"), col("risk_segment"))
+    val prev = previousApps(s, d).select(col("SK_ID_CURR"), col("SK_ID_PREV"))
+    graft.ops.Profiling.kmvSketch(
+        seg.join(prev, "SK_ID_CURR"), Seq("risk_segment"), "SK_ID_PREV", k = 32)
+      .write.mode("overwrite").parquet(path)
+  }
 
   // ---- DuckDB mirror ----------------------------------------------------
 

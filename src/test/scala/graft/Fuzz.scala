@@ -174,6 +174,25 @@ object Fuzz {
     * key.
     */
   final case class SortLimitR(in: Rel, n: Int) extends Rel
+  /** row_number() over (partition by part order by <nullable ord> ASC
+    * NULLS FIRST|LAST, tiebreak) — EXPLICIT null ordering inside a window
+    * spec, one of the two SQL seams hand-rolled engines most often get
+    * wrong (round-12 verdict stretch). The fixture key columns are
+    * non-null, so the nullable ordering key is MANUFACTURED: every `ord`
+    * value divisible by 3 becomes NULL (on both sides identically). The
+    * tiebreak keeps the order total WITHIN the null peer group, so row
+    * numbers stay deterministic under either null placement.
+    */
+  final case class WinNullsR(in: Rel, part: String, ord: String,
+                             tiebreak: String, nullsLast: Boolean) extends Rel
+  /** Positional UNION ALL of two same-arity projections whose column
+    * types DIFFER at ≥1 position (long vs double) — the type-COERCION
+    * seam plain [[UnionR]] never touches: Spark's WidenSetOperationTypes
+    * widens the union schema to double, and the interpreter re-derives
+    * the same positional widening (long values render as doubles).
+    * Output column names are the LEFT side's (Spark's rule).
+    */
+  final case class UnionCoerceR(a: Rel, b: Rel) extends Rel
 
   // ---- schemas of the three fuzz tables ---------------------------------
 
@@ -238,6 +257,12 @@ object Fuzz {
     case WinFrameR(in, _, _, _, _, _, _, _) => schemaOf(in) :+ ("fsum" -> TLong)
     case WinRangeR(in, _, _, _, _, _) => schemaOf(in) :+ ("rsum" -> TLong)
     case SortLimitR(in, _) => schemaOf(in)
+    case WinNullsR(in, _, _, _, _) => schemaOf(in) :+ ("rn" -> TLong)
+    case UnionCoerceR(a, b) =>
+      // positional widening: double wins over long; names from the left
+      schemaOf(a).zip(schemaOf(b)).map { case ((n, ta), (_, tb)) =>
+        n -> (if (ta == TDouble || tb == TDouble) TDouble else ta)
+      }
   }
 
   // ---- Spark evaluation --------------------------------------------------
@@ -364,6 +389,18 @@ object Fuzz {
     case SortLimitR(in, n) =>
       val cols = schemaOf(in).map { case (c, _) => col(c).asc_nulls_first }
       toDF(spark, sfDir, in).orderBy(cols: _*).limit(n)
+    case WinNullsR(in, part, ord, tb, nl) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = when(col(ord).cast("long") % 3 === 0, lit(null))
+        .otherwise(col(ord).cast("long"))
+      val o = if (nl) key.asc_nulls_last else key.asc_nulls_first
+      toDF(spark, sfDir, in).withColumn("rn",
+        row_number().over(Window.partitionBy(col(part)).orderBy(o, col(tb)))
+          .cast("long"))
+    case UnionCoerceR(a, b) =>
+      // no explicit casts: the coercion under test is Spark's own
+      // WidenSetOperationTypes on the union node
+      toDF(spark, sfDir, a).union(toDF(spark, sfDir, b))
   }
 
   private def aggCol(name: String, fn: AggFn): Column = fn match {
@@ -689,6 +726,43 @@ object Fuzz {
                             else (vs.map(toL).sum: Any)))
         }
       }.toSeq
+    case WinNullsR(in, part, ord, tb, nl) =>
+      // identical null manufacture as the Spark side: multiples of 3 → NULL
+      def nkey(r: NRow): Any = r(ord) match {
+        case null => null
+        case v    => val l = toL(v); if (l % 3 == 0) null else (l: Any)
+      }
+      // explicit placement: NULLS LAST puts null after every value,
+      // NULLS FIRST before (Spark's ASC default)
+      def cmpN(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _)    => if (nl) 1 else -1
+        case (_, null)    => if (nl) -1 else 1
+        case _            => cmpNullsFirst(a, b)
+      }
+      evalRel(tables, in).groupBy(_(part)).values.flatMap { grp =>
+        grp.sortWith { (x, y) =>
+          val c = cmpN(nkey(x), nkey(y))
+          if (c != 0) c < 0 else cmpNullsFirst(x(tb), y(tb)) < 0
+        }.zipWithIndex.map { case (row, i) => row + ("rn" -> ((i + 1).toLong: Any)) }
+      }.toSeq
+    case UnionCoerceR(a, b) =>
+      // re-derive Spark's positional widening: a long value at a position
+      // whose union type is double is widened (exact below 2^53 — the
+      // fixture keys are tiny); names come from the left side
+      val (sa, sb) = (schemaOf(a), schemaOf(b))
+      val out = sa.zip(sb).map { case ((n, ta), (_, tb2)) =>
+        (n, if (ta == TDouble || tb2 == TDouble) TDouble else ta)
+      }
+      def conv(row: NRow, s: Seq[(String, Typ)]): NRow =
+        out.indices.map { i =>
+          val (on, ot) = out(i)
+          val v = row(s(i)._1)
+          on -> (if (v == null) null
+                 else if (ot == TDouble && s(i)._2 == TLong) (toD(v): Any)
+                 else v)
+        }.toMap
+      evalRel(tables, a).map(conv(_, sa)) ++ evalRel(tables, b).map(conv(_, sb))
   }
 
   private def minMax(vs: Seq[Any], isMin: Boolean): Any =
@@ -931,7 +1005,7 @@ object Fuzz {
     def gen(): Rel = {
       // bottom: a base, a natural-key join (all four types — outer-join
       // padding is fuzz-worthy territory), a set op, or a window
-      val bottom: Rel = rnd.nextInt(12) match {
+      val bottom: Rel = rnd.nextInt(14) match {
         case 0 => Base(pick(Seq("customer", "orders", "nation")))
         case 1 => JoinR(Base("orders"), Base("customer"),
           "o_custkey", "c_custkey", joinType())
@@ -990,6 +1064,29 @@ object Fuzz {
           else
             WinRangeR(Base("orders"), "o_orderstatus", "o_custkey",
               "o_orderkey", rnd.nextInt(8).toLong, rnd.nextInt(8).toLong)
+        case 12 =>
+          // explicit NULLS FIRST/LAST inside a window spec over a
+          // manufactured nullable ordering key (see WinNullsR)
+          if (rnd.nextBoolean())
+            WinNullsR(Base("orders"), "o_orderstatus", "o_custkey",
+              "o_orderkey", nullsLast = rnd.nextBoolean())
+          else
+            WinNullsR(Base("customer"), "c_mktsegment", "c_nationkey",
+              "c_custkey", nullsLast = rnd.nextBoolean())
+        case 13 =>
+          // positional union with a long/double coercion seam at the
+          // second position; direction flips so both "left widens" and
+          // "right widens" are exercised (see UnionCoerceR)
+          val longSide = ProjectR(
+            FilterR(Base("orders"), genPred(schemas("orders"), 1)),
+            Seq("k" -> (ColRef("o_custkey"): Expr),
+              "v" -> (ColRef("o_orderkey"): Expr)))
+          val dblSide = ProjectR(
+            FilterR(Base("customer"), genPred(schemas("customer"), 1)),
+            Seq("k" -> (ColRef("c_custkey"): Expr),
+              "v" -> (ColRef("c_acctbal"): Expr)))
+          if (rnd.nextBoolean()) UnionCoerceR(longSide, dblSide)
+          else UnionCoerceR(dblSide, longSide)
       }
       val mid = stack(bottom, rnd.nextInt(3))
       // optionally aggregate (and optionally filter the aggregate = HAVING)

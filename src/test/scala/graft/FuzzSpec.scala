@@ -4,7 +4,9 @@ package graft
   * plans (filter / project incl. guarded modulo / inner+left+right+full
   * join / semi+anti join / union / intersect+except in BOTH distinct and
   * ALL forms / agg / rollup+cube with grouping_id / having / distinct /
-  * window functions with bounded ROWS and value RANGE frames /
+  * window functions with bounded ROWS and value RANGE frames, incl.
+  * explicit NULLS FIRST|LAST ordering over a manufactured nullable key /
+  * type-coercing positional union (long widened to double) /
   * order-by-limit over customer⋈orders⋈nation) evaluated through Spark
   * AND through [[Fuzz]]'s naive SQL-semantics interpreter, compared as
   * canonical multisets.
@@ -90,6 +92,9 @@ class FuzzSpec extends SparkSpec {
         ops(in) + "windowframe" + s"frame_$fn"
       case WinRangeR(in, _, _, _, _, _) => ops(in) + "rangeframe"
       case SortLimitR(in, _)    => ops(in) + "sortlimit"
+      case WinNullsR(in, _, _, _, nl) =>
+        ops(in) + (if (nl) "winnullslast" else "winnullsfirst")
+      case UnionCoerceR(a, b)   => ops(a) ++ ops(b) + "unioncoerce"
     }
     val seen = (1 to 200).foldLeft(Set.empty[String]) { (acc, seed) =>
       acc ++ ops(new Gen(seed.toLong).gen())
@@ -101,7 +106,10 @@ class FuzzSpec extends SparkSpec {
       "frame_sum", "frame_min", "frame_max", "frame_cnt",
       "rangeframe", "sortlimit", "rollup", "cube",
       "colcolcmp", "caseexpr", "inlist", "coalesce", "nullif",
-      "upperfn", "substrfn", "like", "modarith", "concatfn")
+      "upperfn", "substrfn", "like", "modarith", "concatfn",
+      // round-13 seams: explicit null ordering inside window specs (both
+      // placements) and positional-union type coercion
+      "winnullsfirst", "winnullslast", "unioncoerce")
     assert(expected.subsetOf(seen), s"missing operators: ${expected -- seen}")
   }
 }
