@@ -43,5 +43,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 2 GiB per local[32] executor thread (the sandbox has 128 GiB; any
+  // production executor shape provisions 2-8 GiB/core). The historical
+  // 8g default — 250 MB/core — was an sbt-era artifact: round 13
+  // measured it OOM-ing 256-partition media aggregations outright and
+  // spilling every corpus-scale shuffle long before the machine was
+  // busy. Cross-round wall comparisons across this change are not
+  // meaningful (jobs/scan-bytes remain comparable); see DECISIONS.md.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -27,20 +27,24 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // GROWTH path, not just shrink: every AQE-planned shuffle STARTS at
-      // this many partitions and is coalesced back down from runtime map
+      // 8× the core count and is coalesced back down from runtime map
       // statistics (parallelismFirst keeps at least the core count, the
       // advisory size bounds partition bytes above it). This is what lets
       // a shuffle whose working set grows with the corpus (q93's band-join
       // candidate distinct: 456M rows at sf10) spread across enough
       // partitions to stay in memory WITHOUT a per-scale-factor knob —
       // the sf10 ramp measured the old fixed-32 layout spilling at 14M
-      // rows/partition (13.1× wall at 10× data) where the same query at
-      // 256+ partitions runs at/below linear. Over-provisioning the
-      // initial count is cheap (sort-based shuffle writes one file per map
-      // task regardless; AQE merges small reducers), under-provisioning
-      // is a spill.
+      // rows/partition where the same exchange at 256 partitions runs
+      // at/below linear. The ceiling is deliberately CORES-PROPORTIONAL,
+      // not a large constant: a round-13 A/B at sf10 measured a 1024
+      // ceiling 1.2-1.35× SLOWER than 256 on local[32] (1024 reducers ×
+      // 1024 map segments = 1M shuffle fetches and 32 waves of sub-second
+      // tasks — pure overhead once partitions already fit in memory). On
+      // a real cluster cores grow with data, so the ceiling grows with
+      // exactly the resource that absorbs it; 8× leaves AQE three
+      // doublings of skew/size headroom per core.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(32 * cores, 1024).toString)
+        math.max(8 * cores, 256).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
