@@ -26,25 +26,21 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // GROWTH path, not just shrink: every AQE-planned shuffle STARTS at
-      // 8× the core count and is coalesced back down from runtime map
-      // statistics (parallelismFirst keeps at least the core count, the
-      // advisory size bounds partition bytes above it). This is what lets
-      // a shuffle whose working set grows with the corpus (q93's band-join
-      // candidate distinct: 456M rows at sf10) spread across enough
-      // partitions to stay in memory WITHOUT a per-scale-factor knob —
-      // the sf10 ramp measured the old fixed-32 layout spilling at 14M
-      // rows/partition where the same exchange at 256 partitions runs
-      // at/below linear. The ceiling is deliberately CORES-PROPORTIONAL,
-      // not a large constant: a round-13 A/B at sf10 measured a 1024
-      // ceiling 1.2-1.35× SLOWER than 256 on local[32] (1024 reducers ×
-      // 1024 map segments = 1M shuffle fetches and 32 waves of sub-second
-      // tasks — pure overhead once partitions already fit in memory). On
-      // a real cluster cores grow with data, so the ceiling grows with
-      // exactly the resource that absorbs it; 8× leaves AQE three
-      // doublings of skew/size headroom per core.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(8 * cores, 256).toString)
+      // Shuffle-partition GROWTH is deliberately NOT a blanket session
+      // ceiling. Round-13 measurements (DECISIONS.md): a session-wide
+      // initialPartitionNum of 8×cores fixes q93's sf10 candidate-spill
+      // (38.9 s vs 97.8 s heap-only) but taxes EVERY toy-scale exchange
+      // ~60% on the reference-shape bench (wide-ceiling map segments +
+      // AQE stage materialization per tiny shuffle), and 32×cores is
+      // 1.2-1.35× worse again (1M fetch segments). So the ceiling is
+      // scoped WHERE the fast-growing exchanges live: the banded dedup
+      // operators raise it around their own eager materialization
+      // (DedupMinHash.withWideShuffle — max(8×parallelism, 256), AQE
+      // coalescing down from runtime statistics), and cluster
+      // deployments size the session ceiling with their core count via
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS (cores grow with data at 100 TB;
+      // this sandbox holds cores fixed across four decades of SF, which
+      // no single static number serves).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
