@@ -28,7 +28,18 @@ object Bench {
   // runs (sf100: one rep is minutes), where 3 reps keeps a median while
   // staying inside the round budget — SCALE.md marks any row measured
   // with fewer reps.
-  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+  private val Reps: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5")
+    val n =
+      try raw.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_REPS must be a positive integer, got '$raw'")
+      }
+    require(n >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $n " +
+      "(0 reps would feed empty rep sets to the median)")
+    n
+  }
 
   /** Sweep session state a query may have left behind: CacheManager
     * entries and directly-persisted RDDs (localCheckpoint blocks backing a
@@ -49,6 +60,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+
+    // Host-drift canary (round-13 verdict #5): a fixed-shape in-memory
+    // aggregation — 4M generated rows, 4096-key hash agg, one exchange —
+    // measured before anything else, independent of SF and of the query
+    // registry. Rounds 10-13 each spent effort re-adjudicating 1.3-1.9×
+    // cross-round wall drift at unchanged jobs/bytes; dividing two
+    // rounds' walls by their canaries removes the machine from the
+    // comparison. Four runs: the first absorbs codegen/JIT warmup, the
+    // median of the last three is recorded as `host_canary_sec`.
+    val canarySec: Double =
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(0L, 4000000L, 1L, 32)
+            .selectExpr("id % 4096 as k", "id as v")
+            .groupBy("k")
+            .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+              org.apache.spark.sql.functions.avg("v").as("a"))
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val runs = (1 to 4).map(_ => once())
+        runs.drop(1).sorted.apply(1)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] host canary failed: ${e.getMessage}"); -1.0
+      }
+    sweep(spark)
 
     // Matched-scale shape comparison FIRST (full runs only): the
     // reference's literal job structure vs the library's, same fixtures,
@@ -135,6 +173,7 @@ object Bench {
     // per-batch probe against the stored index (round-6 verdict: re-
     // deriving the index every rep made q93's number dishonest).
     val prepared = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (canarySec >= 0) prepared("host_canary_sec") = canarySec
     if (selectedHas("q93")) try {
       import org.apache.spark.sql.functions.col
       val idxPath = new java.io.File("target/bench_idx/q93_corpus_sig").getAbsolutePath
@@ -205,8 +244,10 @@ object Bench {
                    stages: => Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
       // SPARK_GRAFT_SKIP_STAGES=1 skips the diagnostic splits (huge-SF
       // runs where one cumulative stage walk costs more than the repped
-      // query itself); the committed sf0.1 record always carries them
-      val wanted = sys.env.get("SPARK_GRAFT_SKIP_STAGES").isEmpty && (args.isEmpty ||
+      // query itself); the committed sf0.1 record always carries them.
+      // Compared against "1" exactly — SPARK_GRAFT_SKIP_STAGES=0 runs
+      // the splits (r13 ADVICE: presence-testing made =0 skip too).
+      val wanted = !sys.env.get("SPARK_GRAFT_SKIP_STAGES").contains("1") && (args.isEmpty ||
         args.headOption.exists(_.split(',').exists(p => p.nonEmpty && parent.contains(p))))
       if (wanted) try {
         for ((name, df) <- stages) {

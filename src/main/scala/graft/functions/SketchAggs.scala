@@ -112,9 +112,29 @@ object SketchAggs {
         new FreqState(sk, 0L, 0L)
       } catch {
         case e: Exception =>
-          throw new IllegalArgumentException(
-            s"not a graft freq envelope and not raw DataSketches ItemsSketch bytes " +
-              s"(${bytes.length} bytes, first byte ${bytes(0)}): ${e.getMessage}", e)
+          // version-0 envelope (the round-12 headerless form:
+          // [8B totalWeight][8B totalMaxError][library bytes], no magic).
+          // The format is documented as persistable/re-mergeable, so a
+          // store written under it must keep decoding (r13 ADVICE). Its
+          // first byte is the weight MSB — 0 for any realistic weight —
+          // which is never a valid DataSketches preamble, so the raw
+          // attempt above fails and this fallback is unambiguous.
+          val v0 =
+            if (bytes.length > 16) try {
+              val buf = java.nio.ByteBuffer.wrap(bytes, 0, 16)
+              val totalWeight = buf.getLong()
+              val totalError = buf.getLong()
+              val body = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+              val sk = ItemsSketch.getInstance(Memory.wrap(body), new ArrayOfStringsSerDe)
+              if (totalWeight >= sk.getStreamLength && totalError >= sk.getMaximumError)
+                Some(new FreqState(sk,
+                  totalWeight - sk.getStreamLength, totalError - sk.getMaximumError))
+              else None
+            } catch { case _: Exception => None }
+            else None
+          v0.getOrElse(throw new IllegalArgumentException(
+            s"not a graft freq envelope (v0 or v$FreqVersion) and not raw DataSketches " +
+              s"ItemsSketch bytes (${bytes.length} bytes, first byte ${bytes(0)}): ${e.getMessage}", e))
       }
     }
   }

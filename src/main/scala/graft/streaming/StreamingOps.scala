@@ -272,26 +272,32 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Recover the (lgK, kllK) a sketch store was built with from its
+    * self-describing columns ([[sketchIngest]] since round 13); a legacy
+    * store without them falls back to the caller's arguments. A store
+    * holding MIXED parameters (two ingests with different lgK) fails loud
+    * — merging across lgK silently downsamples to the smallest. Rows with
+    * NULL parameter columns (legacy partials union-read alongside
+    * self-describing ones) are treated as legacy: they defer to the
+    * store's single non-null parameter pair, or to the caller's arguments
+    * if the whole store is legacy (r13 ADVICE: getInt on a null lgk threw
+    * an opaque NPE instead of either intended path).
+    */
+  private def storeParams(store: DataFrame, lgK: Int, kllK: Int): (Int, Int) =
+    if (store.columns.contains("lgk") && store.columns.contains("kll_k")) {
+      val ps = store.select(col("lgk"), col("kll_k")).distinct().collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      require(ps.length <= 1,
+        s"sketch store holds mixed parameters ${ps.map(r => (r.getInt(0), r.getInt(1))).mkString(", ")}; " +
+          "compact each parameter generation separately")
+      ps.headOption.map(r => (r.getInt(0), r.getInt(1))).getOrElse((lgK, kllK))
+    } else (lgK, kllK)
+
   /** Read path of [[sketchIngest]]: merge every batch's partial sketches
     * to one profile row per group — distinct estimate, quantiles at
     * `ranks`, exact n/min/max, total rows. Cost ∝ |groups × batches|
     * sketch rows; the ingested corpus is never touched.
     */
-  /** Recover the (lgK, kllK) a sketch store was built with from its
-    * self-describing columns ([[sketchIngest]] since round 13); a legacy
-    * store without them falls back to the caller's arguments. A store
-    * holding MIXED parameters (two ingests with different lgK) fails loud
-    * — merging across lgK silently downsamples to the smallest.
-    */
-  private def storeParams(store: DataFrame, lgK: Int, kllK: Int): (Int, Int) =
-    if (store.columns.contains("lgk") && store.columns.contains("kll_k")) {
-      val ps = store.select(col("lgk"), col("kll_k")).distinct().collect()
-      require(ps.length == 1,
-        s"sketch store holds mixed parameters ${ps.map(r => (r.getInt(0), r.getInt(1))).mkString(", ")}; " +
-          "compact each parameter generation separately")
-      (ps.head.getInt(0), ps.head.getInt(1))
-    } else (lgK, kllK)
-
   def sketchProfile(spark: SparkSession, sketchDir: String,
                     groupCols: Seq[String], ranks: Seq[Double],
                     lgK: Int = 12, kllK: Int = 200): DataFrame = {

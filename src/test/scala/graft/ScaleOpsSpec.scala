@@ -295,4 +295,45 @@ class ScaleOpsSpec extends SparkSpec {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(got == Set(10L, 11L))
   }
+
+  test("withWideShuffle is reference-counted: nested and concurrent scopes restore the ceiling once") {
+    import graft.ops.DedupMinHash.WideShuffle
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val before = spark.conf.getOption(key)
+    val wide = WideShuffle.target(spark).toString
+
+    // deterministic interleaving (the r13 race, replayed single-threaded):
+    // a naive set/restore would restore `before` at the INNER exit and run
+    // the rest of the outer scope un-widened
+    WideShuffle.enter(spark)
+    assert(spark.conf.getOption(key).contains(wide))
+    WideShuffle.enter(spark)
+    WideShuffle.exit(spark)
+    assert(spark.conf.getOption(key).contains(wide),
+      "inner exit must not restore while the outer scope is still active")
+    WideShuffle.exit(spark)
+    assert(spark.conf.getOption(key) == before, "last exit restores the pre-entry value")
+
+    // a session whose ceiling is already above the target is registered
+    // without being modified — exit must not clobber the user's value
+    spark.conf.set(key, (WideShuffle.target(spark) * 4).toString)
+    val userSet = spark.conf.getOption(key)
+    WideShuffle.enter(spark); WideShuffle.exit(spark)
+    assert(spark.conf.getOption(key) == userSet)
+    before match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+
+    // end-to-end: two scoped operators racing on one session produce the
+    // same pairs as a solo run and leave the ceiling exactly as found
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon${i % 6} zeta eta theta"))
+      .toDF("doc_id", "text")
+    val solo = graft.ops.Dedup.minHashNearDup(docs, "doc_id", "text").count()
+    val racing = (1 to 2).map(_ =>
+      Future(graft.ops.Dedup.minHashNearDup(docs, "doc_id", "text").count()))
+    racing.foreach(f => assert(Await.result(f, 180.seconds) == solo))
+    assert(spark.conf.getOption(key) == before)
+  }
 }

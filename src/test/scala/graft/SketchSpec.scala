@@ -267,6 +267,15 @@ class SketchSpec extends SparkSpec {
     val raw = sk.toByteArray(new org.apache.datasketches.common.ArrayOfStringsSerDe)
     val legacy = SketchAggs.freqDecode(raw)
     assert(legacy.totalWeight == sk.getStreamLength && legacy.lostWeight == 0L)
+    // version-0 envelope (the round-12 headerless on-disk form:
+    // [8B weight][8B maxError][library bytes], no magic) keeps decoding —
+    // the format is documented as persistable, so a store written under
+    // it must not be orphaned (r13 ADVICE)
+    val v0 = java.nio.ByteBuffer.allocate(16 + raw.length)
+      .putLong(st.totalWeight).putLong(st.maxError).put(raw).array()
+    val backV0 = SketchAggs.freqDecode(v0)
+    assert(backV0.totalWeight == st.totalWeight && backV0.maxError == st.maxError)
+    assert(backV0.lostWeight == 5L && backV0.lostError == 3L)
     // garbage fails with the clear message, not a BufferUnderflowException
     val e = intercept[IllegalArgumentException] {
       SketchAggs.freqDecode(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9))

@@ -585,6 +585,40 @@ class StreamingSpec extends SparkSpec {
       "default-arg compaction must not downsample a lgK=14 store")
   }
 
+  test("sketchProfile tolerates legacy null-parameter partials mixed into a self-describing store") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sketch_nullp")
+    val (src, skd, ckpt) = (s"$base/src", s"$base/sketches", s"$base/ckpt")
+    def rows(ids: Seq[Int]) = ids.map(i => ("g0", i.toLong, i.toDouble)).toDF("grp", "key", "v")
+    val schema = rows(Seq(0)).schema
+    def ingest(): Unit = StreamingOps.sketchIngest(
+      spark, src, skd, ckpt, schema, Seq("grp"), "key", "v")
+    rows(0 until 40).write.mode("append").parquet(src)
+    ingest()
+    rows(40 until 80).write.mode("append").parquet(src)
+    ingest()
+    val store = spark.read.parquet(skd)
+    def est(df: org.apache.spark.sql.DataFrame, dir: String): Double = {
+      df.write.mode("overwrite").parquet(dir)
+      StreamingOps.sketchProfile(spark, dir, Seq("grp"), Seq(0.5))
+        .collect()(0).getAs[Double]("distinct_est")
+    }
+    val full = est(store, s"$base/asis")
+    // one batch's parameter columns nulled (a legacy partial union-read
+    // next to self-describing ones): r13 ADVICE — getInt on the null row
+    // NPE'd instead of deferring to the store's single non-null pair
+    val mixed = store
+      .withColumn("lgk", when(col("batch") === 0, lit(null)).otherwise(col("lgk")))
+      .withColumn("kll_k", when(col("batch") === 0, lit(null)).otherwise(col("kll_k")))
+    assert(est(mixed, s"$base/mixed") == full)
+    // a fully-legacy store (every parameter row null) defers to the
+    // caller's arguments, same as a store without the columns at all
+    val legacy = store
+      .withColumn("lgk", lit(null).cast("int"))
+      .withColumn("kll_k", lit(null).cast("int"))
+    assert(est(legacy, s"$base/legacy") == full)
+  }
+
   test("sketchIngest partials answer the batch-over-batch ingest delta via thetaDiff") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sketch_delta")
