@@ -85,6 +85,13 @@ object ScaleRamp {
       "x_jaccard_prefix_full" -> (() => graft.ops.Dedup.jaccardJoinPrefix(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
         threshold = 0.9)),
+      // q137's operator over the whole corpus (round-13 verdict #3: the
+      // ExactSubstr postings explode is a banded-family exchange running
+      // at the session default — measure whether the q93 spill class
+      // recurs here a decade later)
+      "x_exactsubstr_full" -> (() => graft.ops.Dedup.exactSubstringSpans(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        k = 8)),
       // q44's operator (banded layout) over the whole embedding corpus —
       // kept at the round-7 settings (LEGACY threshold-only layout,
       // t=0.4) so the superlinear record in SCALE.md stays reproducible

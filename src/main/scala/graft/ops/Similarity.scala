@@ -299,6 +299,76 @@ object Similarity {
         col("rank"))
   }
 
+  /** Build a PERSISTED IVF index at `path` — the q265/thetaStore
+    * build-once-probe-many split applied to ANN serving (round-13 verdict
+    * #6). Two parquet tables:
+    *  - `path/centroids`: (cell, cw) — the coarse model, `nCentroids`
+    *    rows, driver-sized by design (same contract as [[ivfTopK]]'s
+    *    in-memory centroid matrix);
+    *  - `path/assigned`: (neighbor_id, cv) PARTITIONED BY cell — each
+    *    corpus row under its nearest-centroid directory.
+    *
+    * The cell partitioning is the 100 TB point: a probe joins the
+    * broadcast query→cell frame against this table on the PARTITION
+    * column, so dynamic partition pruning limits the scan to the probed
+    * cells' files (~nProbe/nCentroids of the corpus bytes) — the corpus
+    * is scanned once at build time and never again. Reference behavior:
+    * the ANN serving surface of `api/similarity` (see SURVEY.md §2.8);
+    * the persistence discipline mirrors `thetaStoreBuild`.
+    */
+  def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nCentroids: Int = 16,
+                    centroids: Option[Array[Array[Double]]] = None): Unit = {
+    import graft.functions.CentroidCellsExpr
+    val spark = corpus.sparkSession
+    val cents = centroids.getOrElse(fitCentroids(corpus, vecCol, nCentroids))
+    val centRows = cents.zipWithIndex.map { case (cw, i) => (i + 1, cw.toSeq) }
+    spark.createDataFrame(centRows.toIndexedSeq).toDF("cell", "cw")
+      .repartition(1) // nCentroids rows — one file, one read job at probe time
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
+      .withColumn("cell", element_at(CentroidCellsExpr(col("cv"), cents, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** The coarse model of a persisted IVF index, in cell order — an
+    * `nCentroids`-row collect (bounded by construction; the model is
+    * driver-sized exactly as [[ivfTopK]]'s `centroids` argument is).
+    */
+  def ivfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("cell").asc)
+      .select(col("cw")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Probe-only ANN against a persisted [[ivfIndexBuild]] index: same
+    * output shape and (given the same centroids/nProbe) IDENTICAL results
+    * to [[ivfTopK]], but the corpus is never touched — the scan reads only
+    * the probed cells' files out of `path/assigned` (dynamic partition
+    * pruning against the broadcast probe frame). This is the serving
+    * pattern: build once per corpus refresh, probe per request batch.
+    */
+  def ivfTopKAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.CentroidCellsExpr
+    val cents = ivfIndexCentroids(spark, path)
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val probed = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+      .withColumn("__cell", explode(CentroidCellsExpr(col("__qv"), cents, nProbe)))
+      .withColumn("cell", col("__cell").cast("int")).drop("__cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    Projections.pinnedFilter(
+      assigned.join(broadcast(probed), Seq("cell"))
+        .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("cv"))),
+      col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).alias("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: hyperplane sign-sketch buckets restrict scoring to
     * corpus rows sharing ≥1 band with the query — approximate (recall < 1)
     * but turns the n×m cross product into bucket-local joins. Same output

@@ -852,8 +852,81 @@ object SimilarityQueries {
            |FROM approx a FULL JOIN truth t
            |  ON a.query_id = t.query_id AND a.nid = t.nid
            |GROUP BY coalesce(a.query_id, t.query_id)""".stripMargin
-      })
+      }),
+
+    // The PERSISTED-index half of the IVF story (round-13 verdict #6 —
+    // the q265 build/readback split applied to ANN): ivfIndexBuild writes
+    // the coarse model + the cell-PARTITIONED corpus assignment once;
+    // this query is the probe-only read path, which scans just the probed
+    // cells' files (dynamic partition pruning against the broadcast
+    // query→cell frame) and never touches the embeddings corpus. Bench
+    // builds the index untimed (`q266_index_build_sec`, the q93/q265
+    // discipline) so the committed number is the true serving cost;
+    // Verify builds inline (fixture-stated centroids → deterministic
+    // assignment → identical result either way). Same fixture-stated
+    // 8-centroid model as q263, so the DuckDB mirror restates cell
+    // assignment, probe, and rank with no sketch internals involved.
+    QueryDef("q266_ann_ivf_index_probe",
+      (s, d) => {
+        val idxPath = sys.props.get("graft.bench.q266.index").getOrElse {
+          val sfName = new java.io.File(d).getName
+          val p = s"/root/repo/target/graft_part/$sfName/ivf_index"
+          buildIvfIndex(s, d, p)
+          p
+        }
+        Similarity.ivfTopKAgainst(s, idxPath,
+          Tables.embeddings(s, d).filter(col("vec_id") < NQ),
+          "vec_id", "embedding", K, nProbe = 2)
+      },
+      Some(s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+              |            FROM embeddings WHERE vec_id < $NQ),
+              |cs AS (SELECT vec_id AS neighbor_id, embedding AS cv
+              |       FROM embeddings WHERE vec_id >= $NQ),
+              |cents AS MATERIALIZED (
+              |  SELECT vec_id - $NQ + 1 AS cell,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+              |      sqrt(${VectorFunctions.dotSql("embedding", "embedding")})) AS cw
+              |  FROM embeddings WHERE vec_id >= $NQ AND vec_id < ${NQ + 8}),
+              |ca AS MATERIALIZED (
+              |  SELECT neighbor_id, cv, cell FROM (
+              |    SELECT c.neighbor_id, c.cv, ce.cell,
+              |      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+              |        ORDER BY ${VectorFunctions.dotSql("c.cv", "ce.cw")} DESC,
+              |          ce.cell ASC) AS rn
+              |    FROM cs c CROSS JOIN cents ce)
+              |  WHERE rn = 1),
+              |pq AS MATERIALIZED (
+              |  SELECT query_id, qv, cell FROM (
+              |    SELECT q.query_id, q.qv, ce.cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${VectorFunctions.dotSql("q.qv", "ce.cw")} DESC,
+              |          ce.cell ASC) AS rn
+              |    FROM qs q CROSS JOIN cents ce)
+              |  WHERE rn <= 2),
+              |sc0 AS (SELECT p.query_id, a.neighbor_id,
+              |    ${VectorFunctions.cosineSql("p.qv", "a.cv")} AS cos_raw
+              |  FROM ca a JOIN pq p ON a.cell = p.cell)
+              |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM (SELECT query_id, neighbor_id, cos_raw,
+              |        ROW_NUMBER() OVER (PARTITION BY query_id
+              |          ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+              |      FROM sc0 WHERE cos_raw IS NOT NULL)
+              |WHERE rnk <= $K""".stripMargin))
   )
+
+  /** Build q266's persisted IVF index at `path` over the corpus half of
+    * the embeddings fixture, with the same fixture-stated 8-centroid
+    * model q263 uses (so the DuckDB mirror can restate assignment).
+    * Shared by the q266 registry entry (inline build under Verify) and
+    * Bench's untimed prepare step.
+    */
+  private[graft] def buildIvfIndex(s: org.apache.spark.sql.SparkSession,
+                                   d: String, path: String): Unit =
+    Similarity.ivfIndexBuild(
+      Tables.embeddings(s, d).filter(col("vec_id") >= NQ),
+      "vec_id", "embedding", path, nCentroids = 8,
+      centroids = Some(ivfFixtureCentroids(s, d)))
 
   /** The q263 IVF index's coarse centroids, stated FROM the fixture so the
     * DuckDB mirror can restate them: corpus vectors `vec_id ∈ [NQ, NQ+8)`,

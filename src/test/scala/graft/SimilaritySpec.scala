@@ -470,4 +470,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(9L).getAs[Long]("n_hits") == 0L)
     assert(out(9L).getAs[Double]("recall_at_k") == 0.0)
   }
+
+  test("ivfTopKAgainst (persisted index) equals ivfTopK given the same model") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val cents = Similarity.fitCentroids(c, "embedding", 8)
+    val dir = new java.io.File("target/test_idx/ivf_spec").getAbsolutePath
+    Similarity.ivfIndexBuild(c, "vec_id", "embedding", dir, centroids = Some(cents))
+    // the coarse model round-trips bit-exactly through the parquet store
+    val back = Similarity.ivfIndexCentroids(spark, dir)
+    assert(back.length == cents.length)
+    back.zip(cents).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val inline = Similarity.ivfTopK(q, c, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 2, centroids = Some(cents))
+      .collect().map(_.toSeq).toSet
+    val probed = Similarity.ivfTopKAgainst(spark, dir, q, "vec_id", "embedding",
+      5, nProbe = 2)
+    val got = probed.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == inline)
+  }
 }
