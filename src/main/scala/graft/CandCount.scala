@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, posexplode}
+
+/** Diagnostic main: COUNT q93's band-join candidate pairs at a given SF —
+  * the workload-growth denominator for the SCALE.md ratio gates (wall
+  * ratios are only meaningful against the counted candidate growth, and
+  * the generated fixtures are re-derived each round, so the count is
+  * re-taken with them).
+  */
+object CandCount {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sfgen/sf1")
+    val spark = GraftSession.local()
+    def sig(filter: org.apache.spark.sql.Column) =
+      graft.ops.Dedup.minHashSignatures(
+        graft.sources.Tables.documents(spark, sfDir).filter(filter),
+        "doc_id", "text", shingleK = 1, numHashes = 48)
+    def banded(s: org.apache.spark.sql.DataFrame) = s.select(col("__id"),
+      posexplode(graft.functions.TextFunctions.bandKeys(col("__sig"), 16, 3))
+        .as(Seq("__band", "__key")))
+    val corpus = banded(sig(col("doc_id") % 25 =!= 0))
+    val batch = banded(sig(col("doc_id") % 25 === 0))
+    val n = batch.alias("a").join(corpus.alias("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
+      .distinct().count()
+    println(s"CANDIDATES=$n sf=$sfDir")
+    spark.stop()
+  }
+}

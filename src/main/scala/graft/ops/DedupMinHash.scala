@@ -95,17 +95,29 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     //     the bulk of the sub-threshold bucket collisions this self-similar
     //     corpus creates. Widen the margin when the layout targets
     //     exactness (every extra 0.05 of margin buys ~0.7σ at 48 hashes).
-    val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"),
-      col("__n").alias("__na"))
-    val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"),
-      col("__n").alias("__nb"))
+    //
+    // ORDER matters for shuffle bytes (round-14: q93's sf10 wall was
+    // write-IO-bound, 88% iowait — the candidate frame was carrying a
+    // ~200 B signature array per side through its join sort spills): the
+    // size-ratio filter attaches only the 8 B shingle COUNTS first, so
+    // the numHashes-int signatures are ever joined onto size-survivors,
+    // not the full banded candidate set. Same predicate conjunction,
+    // same output — candidate-frame bytes drop ~10× through the heaviest
+    // exchanges.
+    val na = sig.select(col("__id").alias("id_a"), col("__n").alias("__na"))
+    val nb = sig.select(col("__id").alias("id_b"), col("__n").alias("__nb"))
+    val sized = candidates
+      .join(na, "id_a").join(nb, "id_b")
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"))
+    val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"))
     val estMatches = aggregate(
       zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    val prefiltered = candidates
+    val prefiltered = sized
       .join(sa, "id_a").join(sb, "id_b")
-      .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= threshold)
       .filter(estMatches >= (threshold - estMargin) * numHashes)
       .select(col("id_a"), col("id_b"))
 
@@ -177,17 +189,25 @@ trait DedupMinHash { self: DedupJaccardJoin =>
           col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
       .distinct()
-    val sa = newSig.select(col("__id").alias("new_id"),
-      col("__sig").alias("__siga"), col("__n").alias("__na"))
-    val sb = corpusSig.select(col("__id").alias("corpus_id"),
-      col("__sig").alias("__sigb"), col("__n").alias("__nb"))
+    // narrow-first prefilter order (round-14): the size-ratio cut runs
+    // with only the 8 B shingle counts attached, so the wide signature
+    // arrays are joined onto size-SURVIVORS — q93's sf10 candidate frame
+    // was spilling ~200 B/side/row through its join sorts (88% iowait);
+    // same predicate conjunction, same output, ~10× fewer spilled bytes.
+    val na = newSig.select(col("__id").alias("new_id"), col("__n").alias("__na"))
+    val nb = corpusSig.select(col("__id").alias("corpus_id"), col("__n").alias("__nb"))
+    val sized = candidates
+      .join(na, "new_id").join(nb, "corpus_id")
+      .filter(least(col("__na"), col("__nb")).cast("double") /
+        greatest(col("__na"), col("__nb")) >= threshold)
+      .select(col("new_id"), col("corpus_id"))
+    val sa = newSig.select(col("__id").alias("new_id"), col("__sig").alias("__siga"))
+    val sb = corpusSig.select(col("__id").alias("corpus_id"), col("__sig").alias("__sigb"))
     val estMatches = aggregate(
       zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    val prefiltered = candidates
+    val prefiltered = sized
       .join(sa, "new_id").join(sb, "corpus_id")
-      .filter(least(col("__na"), col("__nb")).cast("double") /
-        greatest(col("__na"), col("__nb")) >= threshold)
       .filter(estMatches >= (threshold - estMargin) * numHashes)
       .select(col("new_id"), col("corpus_id"))
     import graft.functions.JaccardSortedExpr

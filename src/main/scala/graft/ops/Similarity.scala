@@ -331,6 +331,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Append a new corpus batch to a persisted [[ivfIndexBuild]] index —
+    * the incremental discipline of [[graft.ops.DedupMinHash]]'s
+    * minHashNearDupAgainst and Profiling.thetaStoreAppend applied to ANN:
+    * the batch is assigned with the STORED centroids (the model is not
+    * refit; a refit would re-cluster the indexed corpus) and appended
+    * under the same cell partitioning, so a new month of embeddings
+    * costs one batch-sized job and the existing index files are never
+    * rewritten. Probes ([[ivfTopKAgainst]]) see the union immediately.
+    */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    import graft.functions.CentroidCellsExpr
+    val cents = ivfIndexCentroids(spark, path)
+    batch.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("cv"))
+      .withColumn("cell", element_at(CentroidCellsExpr(col("cv"), cents, 1), 1))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** The coarse model of a persisted IVF index, in cell order — an
     * `nCentroids`-row collect (bounded by construction; the model is
     * driver-sized exactly as [[ivfTopK]]'s `centroids` argument is).

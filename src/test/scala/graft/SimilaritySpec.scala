@@ -471,6 +471,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(9L).getAs[Double]("recall_at_k") == 0.0)
   }
 
+  test("ivfIndexAppend: probe over build+append equals ivfTopK over the full corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val cents = Similarity.fitCentroids(c, "embedding", 8)
+    val dir = new java.io.File("target/test_idx/ivf_append_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // build from the even half, append the odd half — the stored model
+    // (not a refit) must assign the appended batch
+    Similarity.ivfIndexBuild(c.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dir, centroids = Some(cents))
+    Similarity.ivfIndexAppend(spark, dir,
+      c.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val probed = Similarity.ivfTopKAgainst(spark, dir, q, "vec_id", "embedding",
+      5, nProbe = 2).collect().map(_.toSeq).toSet
+    val inline = Similarity.ivfTopK(q, c, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 2, centroids = Some(cents))
+      .collect().map(_.toSeq).toSet
+    assert(probed.nonEmpty)
+    assert(probed == inline)
+  }
+
   test("ivfTopKAgainst (persisted index) equals ivfTopK given the same model") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val q = emb.filter(col("vec_id") < 5)
