@@ -42,6 +42,44 @@ object GraftSession {
       // this sandbox holds cores fixed across four decades of SF, which
       // no single static number serves).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffle/spill/broadcast IO codec. zstd over the lz4 default:
+      // the banded-dedup exchanges are the engine's dominant disk
+      // writers (q93's sf100 rep peaked ~65 GB of concurrent shuffle
+      // files on lz4 and overran this sandbox's 62 GB free disk —
+      // round-14 DECISIONS), and zstd's ratio on shuffle data is
+      // typically ~1.5-2× lz4's at a CPU cost an IO-bound stage
+      // absorbs. At 100 TB the shuffle fabric, not the CPU, is the
+      // scarce resource — trading idle cores for smaller shuffle
+      // bytes is the standard posture. SPARK_GRAFT_IO_CODEC overrides
+      // for measurement (per-query walls at sf0.1 are compared in
+      // BENCH records across the change; jobs/scan-bytes are
+      // codec-invariant).
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // Tungsten page size, pinned below the G1 humongous threshold.
+      // On a large local heap (64 g → 32 MB G1 regions) Spark's derived
+      // page size lands at ~16 MB = half a region, so every
+      // sorter/aggregation page is a humongous allocation; a
+      // sort/agg-heavy stage filling the 0.6×heap execution pool then
+      // holds ~38 GB of humongous long[] churn that G1 cannot compact
+      // while the driver (same JVM in local mode) stalls heartbeats to
+      // death (round-14 DECISIONS: the jaccard-prefix sf10 collapse).
+      // 4 MB pages are ordinary G1 objects at any heap ≥ 16 g and the
+      // per-page overhead is noise; real clusters with 4-8 g executors
+      // derive small pages anyway — local[32] on a big heap is the odd
+      // deployment this default repairs.
+      .config("spark.buffer.pageSize", "4m")
+      // Local-mode RPC resilience: driver and executor share one JVM,
+      // so a long GC/compaction stall starves the in-process heartbeat
+      // endpoint and Spark KILLS ITS OWN CONTEXT after 60 missed beats
+      // (observed repeatedly in the round-14 jaccard autopsy — the
+      // failure presents as an RpcTimeout nowhere near the cause).
+      // Local heartbeats carry no liveness information worth dying
+      // for; stretch the intervals so a stressed stage gets minutes,
+      // not seconds, of grace. Cluster deployments override via
+      // spark-defaults as usual.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // fixtures annotate timestamps isAdjustedToUTC=false (parquet NTZ);

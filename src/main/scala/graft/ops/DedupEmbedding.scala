@@ -87,19 +87,25 @@ trait DedupEmbedding {
     // stage 1: hamming over the full wide sketch (8 longs, not 64 floats)
     val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
+    // shuffle_hash on the corpus-sized sketch/vector frames: SMJ would
+    // sort the CANDIDATE-sized intermediate with the wide payload
+    // attached (the verify-family heap/spill bomb, see
+    // DedupJaccardJoin.verifyJaccard); SHJ streams candidates unsorted.
     val prefiltered =
       if (prefilterBits == 0) candidates
       else candidates
-        .join(base.select(col("__id").alias("id_a"), col("__ws").alias("__wsa")), "id_a")
-        .join(base.select(col("__id").alias("id_b"), col("__ws").alias("__wsb")), "id_b")
+        .join(base.select(col("__id").alias("id_a"), col("__ws").alias("__wsa"))
+          .hint("shuffle_hash"), "id_a")
+        .join(base.select(col("__id").alias("id_b"), col("__ws").alias("__wsb"))
+          .hint("shuffle_hash"), "id_b")
         .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
         .select(col("id_a"), col("id_b"))
 
     // stage 2: exact cosine, norms hoisted to per-row columns
     val va = base.select(col("__id").alias("id_a"), col("__v").alias("__va"),
-      col("__nrm").alias("__na"))
+      col("__nrm").alias("__na")).hint("shuffle_hash")
     val vb = base.select(col("__id").alias("id_b"), col("__v").alias("__vb"),
-      col("__nrm").alias("__nb"))
+      col("__nrm").alias("__nb")).hint("shuffle_hash")
     Projections.pinnedFilter(
       prefiltered.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", round(
@@ -196,17 +202,20 @@ trait DedupEmbedding {
       .distinct()
     val f = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val cut = math.floor(nBits * f + 4.0 * math.sqrt(nBits * f * (1.0 - f))).toLong
+    // shuffle_hash on the corpus-sized frames — see the batch path note
     val prefiltered =
       if (prefilterBits == 0) candidates
       else candidates
-        .join(newIdx.select(col("__id").alias("new_id"), col("__ws").alias("__wsa")), "new_id")
-        .join(corpusIdx.select(col("__id").alias("corpus_id"), col("__ws").alias("__wsb")), "corpus_id")
+        .join(newIdx.select(col("__id").alias("new_id"), col("__ws").alias("__wsa"))
+          .hint("shuffle_hash"), "new_id")
+        .join(corpusIdx.select(col("__id").alias("corpus_id"), col("__ws").alias("__wsb"))
+          .hint("shuffle_hash"), "corpus_id")
         .filter(VectorFunctions.hammingWide(col("__wsa"), col("__wsb"), (nBits + 63) / 64) <= cut)
         .select(col("new_id"), col("corpus_id"))
     val va = newIdx.select(col("__id").alias("new_id"), col("__v").alias("__va"),
-      col("__nrm").alias("__na"))
+      col("__nrm").alias("__na")).hint("shuffle_hash")
     val vb = corpusIdx.select(col("__id").alias("corpus_id"), col("__v").alias("__vb"),
-      col("__nrm").alias("__nb"))
+      col("__nrm").alias("__nb")).hint("shuffle_hash")
     val out = Projections.pinnedFilter(
       prefiltered.join(va, "new_id").join(vb, "corpus_id")
         .withColumn("cosine", round(

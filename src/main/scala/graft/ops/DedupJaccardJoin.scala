@@ -21,10 +21,20 @@ trait DedupJaccardJoin {
     // sort once per ROW; each pair is then one allocation-free merge pass
     // (array_intersect/array_union build hash sets per PAIR — the
     // dominant cost at hundreds of thousands of candidates)
+    //
+    // shuffle_hash on the DOC-sized array frames (round-14): a
+    // sort-merge join here SORTS the pair-sized intermediate — after the
+    // first join that intermediate already carries one ~350 B array per
+    // row, and at sf10 the second join's sort held 56M rows × ~850 B =
+    // 48 GB of in-heap sort pages (G1 cannot reclaim humongous Tungsten
+    // pages fast enough; the driver heartbeat-collapsed). A shuffled
+    // hash join builds its per-partition map from the DOC-count-sided
+    // frame (KBs..MBs per partition) and STREAMS the candidate side —
+    // no candidate-sized sort exists at any scale.
     val sa = shingleSets.select(col("__id").alias("id_a"),
-      array_sort(col("__sh")).alias("__sha"))
+      array_sort(col("__sh")).alias("__sha")).hint("shuffle_hash")
     val sb = shingleSets.select(col("__id").alias("id_b"),
-      array_sort(col("__sh")).alias("__shb"))
+      array_sort(col("__sh")).alias("__shb")).hint("shuffle_hash")
     Projections.pinnedFilter(
       pairs.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
@@ -113,8 +123,13 @@ trait DedupJaccardJoin {
       .filter(least(col("__na"), col("__nb")).cast("double") /
         greatest(col("__na"), col("__nb")) >= tEff)
       .select(col("id_a"), col("id_b")).distinct()
+    // shuffle_hash on the doc-sized token frames: never SMJ-sort the
+    // candidate-sized intermediate with arrays attached (see
+    // [[verifyJaccard]] — the sf10 heap collapse lived exactly here)
     val ta = t.select(col("__id").alias("id_a"), col("__toks").alias("__ta"))
+      .hint("shuffle_hash")
     val tb = t.select(col("__id").alias("id_b"), col("__toks").alias("__tb"))
+      .hint("shuffle_hash")
     Projections.pinnedFilter(
       cand.join(ta, "id_a").join(tb, "id_b")
         .withColumn("jaccard", round(JaccardSortedExpr(col("__ta"), col("__tb")), 6)),

@@ -75,7 +75,28 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // element_at reuse — see TextFunctions.shingleHashesFromTokenHashes).
     val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = nearDupPairsPlan(sig, threshold, bands, rowsPerBand, estMargin)
+    // Materialize the (small) verified pair set eagerly so the wide
+    // signature cache can be released before returning — otherwise every
+    // invocation leaks cached blocks for the session lifetime. The
+    // localCheckpoint blocks holding the result are weak-reference-cleaned
+    // by the ContextCleaner once the returned frame is unreferenced.
+    val out = verified.localCheckpoint(true)
+    sig.unpersist(false)
+    out
+  }
 
+  /** The self-join near-dup chain on a prepared signature frame — the
+    * UN-checkpointed plan behind [[minHashNearDup]], extracted so
+    * PlanSpec can pin the narrow-first prefilter order on the exact
+    * production path (the public operator checkpoints eagerly, so its
+    * returned plan is an opaque RDDScan and the chain would otherwise be
+    * un-auditable).
+    */
+  private[graft] def nearDupPairsPlan(sig: DataFrame, threshold: Double,
+                                      bands: Int, rowsPerBand: Int,
+                                      estMargin: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val banded = sig.select(col("__id"),
         posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
           .as(Seq("__band", "__key")))
@@ -104,15 +125,25 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // not the full banded candidate set. Same predicate conjunction,
     // same output — candidate-frame bytes drop ~10× through the heaviest
     // exchanges.
+    // shuffle_hash on every doc-sized frame joined onto the candidate
+    // set: SMJ would sort the CANDIDATE-sized intermediate (with the
+    // signature arrays attached after sa/sb, that sort is the verify
+    // family's heap/spill bomb — see DedupJaccardJoin.verifyJaccard);
+    // SHJ builds per-partition maps from the doc frames and streams
+    // candidates unsorted.
     val na = sig.select(col("__id").alias("id_a"), col("__n").alias("__na"))
+      .hint("shuffle_hash")
     val nb = sig.select(col("__id").alias("id_b"), col("__n").alias("__nb"))
+      .hint("shuffle_hash")
     val sized = candidates
       .join(na, "id_a").join(nb, "id_b")
       .filter(least(col("__na"), col("__nb")).cast("double") /
         greatest(col("__na"), col("__nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val sa = sig.select(col("__id").alias("id_a"), col("__sig").alias("__siga"))
+      .hint("shuffle_hash")
     val sb = sig.select(col("__id").alias("id_b"), col("__sig").alias("__sigb"))
+      .hint("shuffle_hash")
     val estMatches = aggregate(
       zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -121,15 +152,7 @@ trait DedupMinHash { self: DedupJaccardJoin =>
       .filter(estMatches >= (threshold - estMargin) * numHashes)
       .select(col("id_a"), col("id_b"))
 
-    val verified = verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
-    // Materialize the (small) verified pair set eagerly so the wide
-    // signature cache can be released before returning — otherwise every
-    // invocation leaks cached blocks for the session lifetime. The
-    // localCheckpoint blocks holding the result are weak-reference-cleaned
-    // by the ContextCleaner once the returned frame is unreferenced.
-    val out = verified.localCheckpoint(true)
-    sig.unpersist(false)
-    out
+    verifyJaccard(prefiltered, sig.select(col("__id"), col("__sh")), threshold)
   }
 
   /** MinHash signature frame (`__id`, `__sh`, `__sig`, `__n`) — the
@@ -180,6 +203,23 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     }
     val newSig = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = incrementalPairsPlan(corpusSig, newSig, threshold,
+      bands, rowsPerBand, estMargin)
+    val out = verified.localCheckpoint(true)
+    newSig.unpersist(false)
+    out
+  }
+
+  /** The batch×corpus near-dup chain on prepared signature frames — the
+    * UN-checkpointed plan behind [[minHashNearDupAgainst]], extracted so
+    * PlanSpec can pin the narrow-first prefilter order on the exact
+    * production path (see [[nearDupPairsPlan]]).
+    */
+  private[graft] def incrementalPairsPlan(corpusSig: DataFrame, newSig: DataFrame,
+                                          threshold: Double, bands: Int,
+                                          rowsPerBand: Int,
+                                          estMargin: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
     def banded(sig: DataFrame) = sig.select(col("__id"),
       posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
         .as(Seq("__band", "__key")))
@@ -195,14 +235,18 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // was spilling ~200 B/side/row through its join sorts (88% iowait);
     // same predicate conjunction, same output, ~10× fewer spilled bytes.
     val na = newSig.select(col("__id").alias("new_id"), col("__n").alias("__na"))
+      .hint("shuffle_hash")
     val nb = corpusSig.select(col("__id").alias("corpus_id"), col("__n").alias("__nb"))
+      .hint("shuffle_hash")
     val sized = candidates
       .join(na, "new_id").join(nb, "corpus_id")
       .filter(least(col("__na"), col("__nb")).cast("double") /
         greatest(col("__na"), col("__nb")) >= threshold)
       .select(col("new_id"), col("corpus_id"))
     val sa = newSig.select(col("__id").alias("new_id"), col("__sig").alias("__siga"))
+      .hint("shuffle_hash")
     val sb = corpusSig.select(col("__id").alias("corpus_id"), col("__sig").alias("__sigb"))
+      .hint("shuffle_hash")
     val estMatches = aggregate(
       zip_with(col("__siga"), col("__sigb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
@@ -212,19 +256,16 @@ trait DedupMinHash { self: DedupJaccardJoin =>
       .select(col("new_id"), col("corpus_id"))
     import graft.functions.JaccardSortedExpr
     val shA = newSig.select(col("__id").alias("new_id"),
-      array_sort(col("__sh")).alias("__sha"))
+      array_sort(col("__sh")).alias("__sha")).hint("shuffle_hash")
     val shB = corpusSig.select(col("__id").alias("corpus_id"),
-      array_sort(col("__sh")).alias("__shb"))
+      array_sort(col("__sh")).alias("__shb")).hint("shuffle_hash")
     // pinnedFilter: substitution would run the merge-pass Jaccard twice
     // per candidate (predicate + projection) — see Projections.pinnedFilter
-    val verified = Projections.pinnedFilter(
+    Projections.pinnedFilter(
       prefiltered.join(shA, "new_id").join(shB, "corpus_id")
         .withColumn("jaccard", round(JaccardSortedExpr(col("__sha"), col("__shb")), 6)),
       col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
-    val out = verified.localCheckpoint(true)
-    newSig.unpersist(false)
-    out
   }
 
   /** [[minHashNearDup]] with the band layout chosen by [[LshParams]] for

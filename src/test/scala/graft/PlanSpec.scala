@@ -550,4 +550,43 @@ class PlanSpec extends SparkSpec {
     assert(pf.matches(""".*PartitionFilters: \[[^\]]*month[^\]]*\].*"""),
       s"month not in PartitionFilters:\n$p")
   }
+
+  test("minhash prefilters stay narrow-first: size-ratio cut below the signature joins") {
+    // Round-14 invariant (DECISIONS.md): q93's sf10 wall was 88% iowait
+    // because the banded candidate frame carried the ~200 B signature
+    // arrays through its join-sort spills; the fix joins signatures onto
+    // size-ratio SURVIVORS only. The public operators checkpoint eagerly
+    // (their returned plan is an opaque RDDScan), so this pins the
+    // extracted pre-checkpoint builders on the OPTIMIZED logical plan —
+    // if a Spark upgrade or optimizer change ever pulls the signature
+    // joins below the size-ratio cut, the bytes discipline silently
+    // breaks and this fails with the offending subtree.
+    import org.apache.spark.sql.catalyst.expressions.{Greatest, Least}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val docs = graft.sources.Tables.documents(spark, sf001).limit(200)
+    val sig = graft.ops.Dedup.minHashSignatures(docs, "doc_id", "text", 1, 32)
+    def audit(frame: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = frame.queryExecution.optimizedPlan
+      // the size-ratio predicate is the only Least/Greatest in the chain;
+      // the optimizer may leave it as a Filter or fold it into a join
+      // condition — match the predicate, not the node class
+      def hasRatio(n: LogicalPlan): Boolean = n.expressions.exists(e =>
+        e.exists(_.isInstanceOf[Least]) && e.exists(_.isInstanceOf[Greatest]))
+      val ratioNodes = plan.collect { case n if hasRatio(n) => n }
+      assert(ratioNodes.nonEmpty, s"size-ratio prefilter not found:\n$plan")
+      ratioNodes.foreach { n =>
+        val below = n.collect { case m => m.output }.flatten.map(_.name).toSet
+        assert(!below.contains("__siga") && !below.contains("__sigb"),
+          s"signature arrays joined BELOW the size-ratio cut — wide payload " +
+            s"rides the full candidate set again:\n$n")
+      }
+      val everywhere = plan.collect { case m => m.output }.flatten.map(_.name).toSet
+      assert(everywhere.contains("__siga") && everywhere.contains("__sigb"),
+        s"signature estimate stage missing above the ratio cut (renamed?):\n$plan")
+    }
+    audit(graft.ops.Dedup.nearDupPairsPlan(sig, 0.5, 8, 4, 0.2))
+    audit(graft.ops.Dedup.incrementalPairsPlan(
+      sig, sig.filter(org.apache.spark.sql.functions.col("__id") % 2 === 0),
+      0.5, 8, 4, 0.2))
+  }
 }
