@@ -1,8 +1,6 @@
 #!/bin/bash
-# Direct-JVM ScaleRamp runner (bench_direct.sh pattern): bypasses the sbt
-# project lock so generated-SF operator ramps can run while sbt
-# compiles/tests in parallel.
-# Usage: SPARK_GRAFT_SF_DIR=target/sfgen/sf1 scripts/ramp_direct.sh x_q93
+# Direct-JVM CandCount runner (bench_direct.sh pattern).
+# Usage: scripts/candcount_direct.sh target/sfgen/sf1 [jaccard]
 CLS="${CLS:-/root/repo/target/scala-2.13/classes}"
 exec java $GRAFT_JAVA_EXTRA \
   --add-opens java.base/java.lang=ALL-UNNAMED \
@@ -20,4 +18,4 @@ exec java $GRAFT_JAVA_EXTRA \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-64g}" \
-  -cp "$CLS:/opt/spark/jars/*" graft.ScaleRamp "$@"
+  -cp "$CLS:/opt/spark/jars/*" graft.CandCount "$@"

@@ -12,6 +12,21 @@ object CandCount {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/sfgen/sf1")
     val spark = GraftSession.local()
+    // `jaccard` mode: count the prefix-join candidate set of
+    // x_jaccard_prefix_full (post size-ratio, pre-verify — the frame the
+    // verify joins actually consume), the denominator for ITS sf gate.
+    if (args.drop(1).headOption.contains("jaccard")) {
+      import org.apache.spark.sql.functions.{array_distinct, array_sort, size => asize}
+      val t = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id").alias("__id"),
+          array_sort(array_distinct(graft.functions.TextFunctions.tokenHashes(
+            graft.functions.TextFunctions.tokens(col("text"))))).alias("__toks"))
+        .withColumn("__n", asize(col("__toks")))
+      val n = graft.ops.Dedup.jaccardPrefixCandidates(t, 0.9).count()
+      println(s"CANDIDATES=$n mode=jaccard sf=$sfDir")
+      spark.stop()
+      return
+    }
     def sig(filter: org.apache.spark.sql.Column) =
       graft.ops.Dedup.minHashSignatures(
         graft.sources.Tables.documents(spark, sfDir).filter(filter),

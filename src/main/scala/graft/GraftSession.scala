@@ -69,17 +69,25 @@ object GraftSession {
       // derive small pages anyway — local[32] on a big heap is the odd
       // deployment this default repairs.
       .config("spark.buffer.pageSize", "4m")
-      // Local-mode RPC resilience: driver and executor share one JVM,
-      // so a long GC/compaction stall starves the in-process heartbeat
-      // endpoint and Spark KILLS ITS OWN CONTEXT after 60 missed beats
-      // (observed repeatedly in the round-14 jaccard autopsy — the
-      // failure presents as an RpcTimeout nowhere near the cause).
-      // Local heartbeats carry no liveness information worth dying
-      // for; stretch the intervals so a stressed stage gets minutes,
-      // not seconds, of grace. Cluster deployments override via
-      // spark-defaults as usual.
-      .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
+      // Local-mode liveness posture: driver and executor share one JVM
+      // and one fate — heartbeat-based executor expiry detects nothing
+      // here that an external monitor would miss, but it DOES convert
+      // slowness into suicide. The round-15 autopsy (DECISIONS.md)
+      // measured guest-wide stall windows of 608 s (r14) and 742 s
+      // (r15) — time-to-safepoint pile-ups under the heavy dedup
+      // stages' allocation/writeback storms, during which NO parked
+      // timer can fire, so every in-process heartbeat goes silent at
+      // once and a 600 s timeout sits INSIDE the measured stall range.
+      // 1800 s covers the observed windows 2.4x; a genuinely wedged
+      // local run still fails, just in 30 min instead of killing
+      // healthy corpus-scale stages. Builder config OUTRANKS
+      // spark-defaults, so these are env-escaped like the codec (a
+      // cluster deployment that needs different values sets the env
+      // vars; measurement harnesses use them to shorten repro loops).
+      .config("spark.executor.heartbeatInterval",
+        sys.env.getOrElse("SPARK_GRAFT_HEARTBEAT_INTERVAL", "60s"))
+      .config("spark.network.timeout",
+        sys.env.getOrElse("SPARK_GRAFT_NETWORK_TIMEOUT", "1800s"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // fixtures annotate timestamps isAdjustedToUTC=false (parquet NTZ);

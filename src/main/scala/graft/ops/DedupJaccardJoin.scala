@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -80,7 +81,46 @@ trait DedupJaccardJoin {
   def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    import graft.functions.JaccardSortedExpr
+    // Corpus-scale posture (round 15, closing the r14 sf10 context kill):
+    //  - the postings/prefix exchanges are the fastest-growing frames in
+    //    the operator (500M exploded rows at sf10) and were running at
+    //    the 32-partition session default — the exact fixed-partition
+    //    spill class q93 had before its scoped ceiling. The reentrant
+    //    WideShuffle scope raises the AQE initial partition count around
+    //    this operator only, so each partition's sort-fallback aggregate
+    //    (the collect_list prefix build) stays in-memory-sized.
+    //  - the token frame is read three times (df-ranking, prefix explode,
+    //    verify) — persist it once instead of re-tokenizing the corpus.
+    //  - the narrow (ids-only) candidate set is eagerly checkpointed:
+    //    splits the one-query DAG so the heavy postings shuffle files are
+    //    released before the verify joins run (the r14 sf100 disk-ceiling
+    //    lesson: a monolithic DAG retains every exchange's files to the
+    //    end), and shortens the shuffle-status RPC traffic the local-mode
+    //    driver carries per job.
+    val spark = df.sparkSession
+    DedupMinHash.WideShuffle.enter(spark)
+    try {
+      val t = df.select(col(idCol).alias("__id"),
+          array_sort(array_distinct(TextFunctions.tokenHashes(
+            TextFunctions.tokens(col(textCol))))).alias("__toks"))
+        .withColumn("__n", size(col("__toks")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = jaccardPrefixCandidates(t, threshold).localCheckpoint(true)
+      val out = jaccardVerifyOnTokens(cand, t, threshold).localCheckpoint(true)
+      t.unpersist(false)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(cand)
+      out
+    } finally DedupMinHash.WideShuffle.exit(spark)
+  }
+
+  /** Candidate (id_a, id_b) pairs of [[jaccardJoinPrefix]] — the
+    * UN-checkpointed prefix-filter chain, extracted so PlanSpec/PlanAudit
+    * can pin the narrow shape on the exact production path (the public
+    * operator checkpoints eagerly, so its returned plan is an opaque
+    * RDDScan and the chain would otherwise be un-auditable).
+    */
+  private[graft] def jaccardPrefixCandidates(t: DataFrame,
+                                             threshold: Double): DataFrame = {
     // The verify stage (and the brute-force twin it must EQUAL) admits
     // round(J, 6) >= t, i.e. true J >= t - 5e-7 — so every PRUNE below
     // uses tEff, keeping candidate generation a strict superset of what
@@ -89,10 +129,6 @@ trait DedupJaccardJoin {
     // (0.07 * 100 == 7.000000000000001 → ceil 8 would shorten the
     // prefix by one and silently drop qualifying pairs).
     val tEff = threshold - 5e-7
-    val t = df.select(col(idCol).alias("__id"),
-        array_sort(array_distinct(TextFunctions.tokenHashes(
-          TextFunctions.tokens(col(textCol))))).alias("__toks"))
-      .withColumn("__n", size(col("__toks")))
     // The global prefix order is ASCENDING DOCUMENT FREQUENCY (ties by
     // hash): any consistent total order is CORRECT, but frequency order
     // puts the rarest tokens in every prefix, so a hot token (a stopword
@@ -103,26 +139,45 @@ trait DedupJaccardJoin {
     // merge-pass Jaccard.
     val freq = t.select(explode(col("__toks")).alias("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).alias("__df"))
-    val ranked = t.select(col("__id"), col("__n"), explode(col("__toks")).alias("__tok"))
+    // Prefix selection is a WINDOW row_number over (doc ordered by df,
+    // tok) — Tungsten sort machinery (binary rows, radix prefix,
+    // disciplined spill) — NOT a per-doc collect_list + array slice. The
+    // round-15 autopsy (DECISIONS.md) traced the sf10 context kills to
+    // minute-scale time-to-safepoint while this stage ran as an
+    // ObjectHashAggregate: 500M collected struct rows per sf10 pass live
+    // as JVM objects on the agg's object path (15M+ groups per partition
+    // is always past the 128-key sort fallback), and the resulting
+    // allocation storm is exactly the safepoint traffic that froze the
+    // in-process heartbeat timers. The window shape computes the same
+    // prefix membership with zero object-tier aggregation and feeds the
+    // self-join directly — no array build, no second explode.
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))
+    val pref = t.select(col("__id"), col("__n"), explode(col("__toks")).alias("__tok"))
       .join(freq, "__tok")
-      .groupBy(col("__id"), col("__n"))
-      .agg(array_sort(collect_list(struct(col("__df"), col("__tok")))).alias("__byfreq"))
-      .withColumn("__pref",
-        transform(slice(col("__byfreq"), lit(1),
-          (col("__n") - ceil(col("__n") * tEff - lit(1e-9)) + 1).cast("int")),
-          s => s.getField("__tok")))
-    val a = ranked.select(col("__id").alias("id_a"), col("__n").alias("__na"),
-      explode(col("__pref")).alias("__tok"))
-    val b = ranked.select(col("__id").alias("id_b"), col("__n").alias("__nb"),
-      explode(col("__pref")).alias("__tok"))
+      .withColumn("__pos", row_number().over(byDoc))
+      .filter(col("__pos") <=
+        (col("__n") - ceil(col("__n") * tEff - lit(1e-9)) + 1).cast("int"))
+      .select(col("__id"), col("__n"), col("__tok"))
+    val a = pref.select(col("__id").alias("id_a"), col("__n").alias("__na"),
+      col("__tok"))
+    val b = pref.select(col("__id").alias("id_b"), col("__n").alias("__nb"),
+      col("__tok"))
     // prefix-token equi-join + size-ratio prune, then ids only through
     // the distinct (arrays re-attach by key afterwards — never shuffled
     // through the candidate dedup)
-    val cand = a.join(b, Seq("__tok"))
+    a.join(b, Seq("__tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") /
         greatest(col("__na"), col("__nb")) >= tEff)
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact verification of [[jaccardPrefixCandidates]] survivors against
+    * the token frame (`__id`, `__toks`).
+    */
+  private[graft] def jaccardVerifyOnTokens(cand: DataFrame, t: DataFrame,
+                                           threshold: Double): DataFrame = {
+    import graft.functions.JaccardSortedExpr
     // shuffle_hash on the doc-sized token frames: never SMJ-sort the
     // candidate-sized intermediate with arrays attached (see
     // [[verifyJaccard]] — the sf10 heap collapse lived exactly here)

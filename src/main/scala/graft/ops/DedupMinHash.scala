@@ -131,6 +131,20 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // family's heap/spill bomb — see DedupJaccardJoin.verifyJaccard);
     // SHJ builds per-partition maps from the doc frames and streams
     // candidates unsorted.
+    //
+    // Known tradeoffs of the unconditional hint (round-14 ADVICE,
+    // measured and accepted): (1) at toy scale it demotes joins AQE
+    // would have broadcast (q44/q76/q118 fingerprints flipped BHJ→SHJ),
+    // adding two small shuffles per verify join — the sf0.1 tax is
+    // quantified in DECISIONS.md round-15 A/B against the ~3× sf10 win;
+    // (2) SHJ's build-side hash map does NOT spill, so the hint trades
+    // the old sort-spill failure mode for a build-side OOM risk if a
+    // partition of the DOC frame is huge. The build side here is always
+    // the doc-sized frame partitioned by id (near-uniform — ids are
+    // synthetic/hashed keys, not skewed foreign keys), and the scoped
+    // withWideShuffle partition floor keeps per-partition build maps
+    // bounded as the corpus grows; a skewed-id corpus would need the
+    // floor raised, not the hint removed.
     val na = sig.select(col("__id").alias("id_a"), col("__n").alias("__na"))
       .hint("shuffle_hash")
     val nb = sig.select(col("__id").alias("id_b"), col("__n").alias("__nb"))

@@ -1,6 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, IsNotNull, LessThan}
+import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.types.ArrayType
 
 /** Scale audit over a query's PHYSICAL plan — the library-level form of
   * the checks PlanSpec applies to the registered queries, exposed so a
@@ -78,7 +83,120 @@ object PlanAudit {
         "no WholeStageCodegen span: the hot path is interpreted — check for " +
           "non-codegen expressions or object-typed operators")
 
-    errors.result() ++ warns.result()
+    errors.result() ++ candidatePayloadFindings(df.queryExecution.sparkPlan) ++
+      warns.result()
+  }
+
+  // ---- candidate-payload discipline (round-14 invariant, promoted from
+  // per-query PlanSpec pins to a registry-wide audit in round 15) ----
+  //
+  // The invariant, measured at sf10 (DECISIONS.md round-14): banded dedup
+  // candidates are the fastest-growing frame in the engine (11.9x at 10x
+  // data); attaching wide array payload to them before any prefilter, or
+  // sort-merge-joining them while arrays ride along, turns the hot
+  // exchanges into tens of GB of sort/spill (the q93 write-IO wall and
+  // the jaccard heap collapse both lived here). Detection is structural:
+  //
+  //  - a CANDIDATE-GENERATING join is an equi-join whose keys on BOTH
+  //    sides trace to Generate (explode) outputs not hidden behind an
+  //    aggregate — the band-key / prefix-token self-join shape. (The
+  //    doc-frequency join in the prefix path does NOT match: its
+  //    aggregated side's explode sits below a HashAggregate.)
+  //  - PROTECTION between an array-attach join and the gen join below it
+  //    is any non-trivial Filter or join residual (size-ratio / estimate
+  //    cuts survive as residual conditions on inner equi-joins — the
+  //    optimizer absorbs post-join predicates); the bare `id_a < id_b`
+  //    pair-ordering predicate and null checks do not count.
+
+  /** Join-key exprIds produced by a Generate in `p`'s subtree without an
+    * intervening aggregate (raw exploded keys — the candidate-join shape).
+    */
+  private def rawExplodedKeyIds(p: SparkPlan): Set[Long] = {
+    val out = Set.newBuilder[Long]
+    def walk(n: SparkPlan): Unit = n match {
+      case _: BaseAggregateExec => ()
+      case g: GenerateExec =>
+        g.generatorOutput.foreach(a => out += a.exprId.id)
+        g.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(p)
+    out.result()
+  }
+
+  private def isCandidateGen(j: BaseJoinExec): Boolean = {
+    def keysHitGen(keys: Seq[Expression], side: SparkPlan): Boolean = {
+      val gen = rawExplodedKeyIds(side)
+      gen.nonEmpty && keys.exists(_.references.exists(a => gen(a.exprId.id)))
+    }
+    j.leftKeys.nonEmpty &&
+      keysHitGen(j.leftKeys, j.left) && keysHitGen(j.rightKeys, j.right)
+  }
+
+  private def containsCandGen(p: SparkPlan): Boolean =
+    p.exists { case j: BaseJoinExec => isCandidateGen(j); case _ => false }
+
+  /** A predicate that actually SELECTS (prefilters) — null checks and the
+    * canonical `idA < idB` pair-ordering comparison between two bare
+    * attributes are structural, not selective.
+    */
+  private def nontrivialCond(e: Expression): Boolean = e match {
+    case And(l, r) => nontrivialCond(l) || nontrivialCond(r)
+    case _: IsNotNull => false
+    case LessThan(_: AttributeReference, _: AttributeReference) => false
+    case _ => true
+  }
+
+  /** True when a path from `p` down to a candidate-generating join
+    * crosses NO selective filter/residual — i.e. whatever is attached at
+    * the consumer above rides the raw candidate set.
+    */
+  private def unprotectedPathToGen(p: SparkPlan): Boolean = p match {
+    case f: FilterExec =>
+      if (nontrivialCond(f.condition)) false else unprotectedPathToGen(f.child)
+    case j: BaseJoinExec if isCandidateGen(j) =>
+      !j.condition.exists(nontrivialCond)
+    case j: BaseJoinExec if j.condition.exists(nontrivialCond) => false
+    case other => other.children.exists(unprotectedPathToGen)
+  }
+
+  private def hasArrayOutput(p: SparkPlan): Boolean =
+    p.output.exists(_.dataType.isInstanceOf[ArrayType])
+
+  /** The round-14 dedup-scale rules, WARN-graded (structural heuristics —
+    * a hit is a frame that explodes at corpus scale, not a toy-scale bug).
+    */
+  private[graft] def candidatePayloadFindings(plan: SparkPlan): Seq[Finding] = {
+    val warns = Seq.newBuilder[Finding]
+    plan.foreach { node =>
+      // the two rules are independent — one join can trip both
+      node match {
+        case j: SortMergeJoinExec
+          if hasArrayOutput(j) &&
+            (containsCandGen(j.left) || containsCandGen(j.right)) =>
+          warns += Finding("WARN",
+            "candidate-SMJ: a sort-merge join sorts a candidate-sized " +
+              "intermediate while array payload rides along — hint " +
+              "shuffle_hash on the doc-sized side so candidates stream " +
+              "unsorted (round-14 invariant, DECISIONS.md)")
+        case _ => ()
+      }
+      node match {
+        case j: BaseJoinExec =>
+          val sides = Seq(j.left -> j.right, j.right -> j.left)
+          if (sides.exists { case (doc, cand) =>
+            hasArrayOutput(doc) && containsCandGen(cand) &&
+              unprotectedPathToGen(cand) && !j.condition.exists(nontrivialCond)
+          })
+            warns += Finding("WARN",
+              "unfiltered-candidate-payload: array columns join onto a raw " +
+                "candidate set with no prefilter in between — attach narrow " +
+                "counts first, cut, then join wide payload onto survivors " +
+                "(round-14 invariant, DECISIONS.md)")
+        case _ => ()
+      }
+    }
+    warns.result().distinct
   }
 
   /** Throw if the plan carries any ERROR finding (product joins). */
