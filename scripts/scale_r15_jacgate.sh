@@ -4,7 +4,7 @@
 # wide shuffle + persisted token frame + checkpointed narrow candidates),
 # 3 reps, zero env knobs, one JVM per (query, sf). The candidate counts
 # at both SFs give the workload-growth denominator for the SCALE.md ratio.
-set -e
+set -eo pipefail
 cd /root/repo
 mkdir -p target/scale_r15
 for sf in sf1 sf10; do

@@ -17,13 +17,24 @@ object CandCount {
     // verify joins actually consume), the denominator for ITS sf gate.
     if (args.drop(1).headOption.contains("jaccard")) {
       import org.apache.spark.sql.functions.{array_distinct, array_sort, size => asize}
-      val t = graft.sources.Tables.documents(spark, sfDir)
-        .select(col("doc_id").alias("__id"),
-          array_sort(array_distinct(graft.functions.TextFunctions.tokenHashes(
-            graft.functions.TextFunctions.tokens(col("text"))))).alias("__toks"))
-        .withColumn("__n", asize(col("__toks")))
-      val n = graft.ops.Dedup.jaccardPrefixCandidates(t, 0.9).count()
-      println(s"CANDIDATES=$n mode=jaccard sf=$sfDir")
+      // Measure the denominator under the PRODUCTION shuffle posture
+      // (round-15 ADVICE): the shipped operator runs its prefix chain
+      // inside the WideShuffle scope with the token frame persisted —
+      // counting at the 32-partition session default would re-create the
+      // exact fixed-partition spill class the round-15 fix removed and
+      // re-tokenize the corpus per pass.
+      graft.ops.DedupMinHash.WideShuffle.enter(spark)
+      try {
+        val t = graft.sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id").alias("__id"),
+            array_sort(array_distinct(graft.functions.TextFunctions.tokenHashes(
+              graft.functions.TextFunctions.tokens(col("text"))))).alias("__toks"))
+          .withColumn("__n", asize(col("__toks")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = graft.ops.Dedup.jaccardPrefixCandidates(t, 0.9).count()
+        t.unpersist(false)
+        println(s"CANDIDATES=$n mode=jaccard sf=$sfDir")
+      } finally graft.ops.DedupMinHash.WideShuffle.exit(spark)
       spark.stop()
       return
     }

@@ -167,18 +167,21 @@ object ScaleRamp {
           catch { case e: Throwable => System.err.println(s"[ramp] $name: ${e.getMessage}"); false }
         val sec = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
-        val r = (sec, meter.jobs.get, meter.bytes.get, ok)
+        val r = (sec, meter.jobs.get, meter.bytes.get, meter.spillDisk.get, ok)
         sweep()
         r
       }
       val med = reps.sortBy(_._1).apply(Reps / 2)
-      val ok = reps.forall(_._4)
+      val ok = reps.forall(_._5)
       name -> (med, reps.map(_._1).min, ok)
     }
+    // record: [median_sec (negative = a rep failed), min_sec, jobs,
+    // scan_mb, spill_disk_mb] — spill added round 16 so tier claims in
+    // SCALE.md are recorded measurements, not log inferences
     val qs = results.map { case (name, (med, minSec, ok)) =>
-      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d]""",
+      String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d,%d]""",
         name, Double.box(if (ok) med._1 else -med._1), Double.box(minSec),
-        Long.box(med._2), Long.box(med._3 / 1048576))
+        Long.box(med._2), Long.box(med._3 / 1048576), Long.box(med._4 / 1048576))
     }.mkString("{", ",", "}")
     println(String.format(java.util.Locale.ROOT,
       """{"metric":"scale_ramp","unit":"sec","reps":%d,"queries":%s,"sf":"%s"}""",

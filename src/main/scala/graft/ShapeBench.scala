@@ -25,11 +25,22 @@ import graft.queries.MedallionQueries
 final class JobMeter extends org.apache.spark.scheduler.SparkListener {
   val jobs = new java.util.concurrent.atomic.AtomicLong
   val bytes = new java.util.concurrent.atomic.AtomicLong
+  // Spill volumes decide which MEMORY TIER a run executed on — the
+  // round-15 jaccard gate taught that a wall ratio straddling the
+  // memory→disk boundary overstates the slope, so scale rulings need the
+  // tier RECORDED, not inferred from stray log lines. `spillDisk` is
+  // bytes written to disk by sorters/aggregates; `spillMem` is the
+  // in-memory size of the spilled data (Spark's memoryBytesSpilled).
+  val spillDisk = new java.util.concurrent.atomic.AtomicLong
+  val spillMem = new java.util.concurrent.atomic.AtomicLong
   override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
     jobs.incrementAndGet()
-  override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+  override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
     bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
-  def reset(): Unit = { jobs.set(0); bytes.set(0) }
+    spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+    spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+  }
+  def reset(): Unit = { jobs.set(0); bytes.set(0); spillDisk.set(0); spillMem.set(0) }
 }
 
 /** Matched-scale benchmark: the reference pipeline's LITERAL plan shapes

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.ops.Checkpoints._
 
 /** Byte-pair-encoding tokenizer: REAL pair-merge training (Sennrich et
   * al. 2016) and a stateless per-row encoder, replacing the ceil(len/4)
@@ -118,7 +119,7 @@ object Bpe {
     // flaky): each new eager checkpoint has fully consumed the previous
     // one by the time it returns, and the returned merge table is
     // driver-side, so the final checkpoint releases too.
-    var vocab = vocab0(df, textCol).localCheckpoint(true)
+    var vocab = vocab0(df, textCol).eagerCut()
     var resident = vocab
     val merges = ArrayBuffer.empty[Merge]
     var dry = false
@@ -138,7 +139,7 @@ object Bpe {
         // bound the withColumn lineage: each applyMerge references its
         // input 3+ times, so periodically cut the chain
         if (k % 4 == 0 && k < numMerges) {
-          val next = vocab.localCheckpoint(true)
+          val next = vocab.eagerCut()
           org.apache.spark.sql.GraftBridge.releaseCheckpoint(resident)
           vocab = next
           resident = next

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 
 /** Connected components over near-dup pair graphs and full cluster
   * resolution — the graph concern of [[Dedup]]. Depends on the MinHash
@@ -33,7 +34,7 @@ trait DedupComponents { self: DedupMinHash =>
     var labels = edges.select(col("src").alias("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .eagerCut()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -44,7 +45,7 @@ trait DedupComponents { self: DedupMinHash =>
       val next = labels.select(col("id"), col("component"))
         .union(neighborLabels)
         .groupBy("id").agg(min("component").alias("component"))
-        .localCheckpoint(true)
+        .eagerCut()
       changed = next.alias("n")
         .join(labels.alias("l"), Seq("id"))
         .filter(col("n.component") =!= col("l.component"))
@@ -83,7 +84,7 @@ trait DedupComponents { self: DedupMinHash =>
     var labels = edges.select(col("src").alias("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .eagerCut()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -96,7 +97,7 @@ trait DedupComponents { self: DedupMinHash =>
         .select(col("l1.id").alias("id"), col("l2.component").alias("component"))
       val next = labels.union(viaNeighbors).union(viaDouble)
         .groupBy("id").agg(min("component").alias("component"))
-        .localCheckpoint(true)
+        .eagerCut()
       changed = next.alias("n")
         .join(labels.alias("l"), Seq("id"))
         .filter(col("n.component") =!= col("l.component"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 
   /** Embedding near-dup pairs over a threshold, within random-hyperplane
     * LSH buckets (sign-bit sketch). `planes` deterministic pseudo-random
@@ -224,7 +225,7 @@ trait DedupEmbedding {
             .otherwise(lit(null)), 6)),
       col("cosine") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("cosine"))
-      .localCheckpoint(true)
+      .eagerCut()
     newIdx.unpersist(false)
     out
   }
@@ -325,7 +326,7 @@ trait DedupEmbedding {
       .select(col("__id").alias(idCol), col("cluster"),
         col("__ccos").alias("centroid_cos"),
         col("__drop").isNull.alias("kept"))
-      .localCheckpoint(true)
+      .eagerCut()
     ranked.unpersist()
     out
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.ops.Checkpoints._
 
 /** Exact-Jaccard pair joins and verification — the set-similarity
   * concern of [[Dedup]]: the merge-pass verifier the banded paths share,
@@ -77,6 +78,15 @@ trait DedupJaccardJoin {
     * (t = 0.9 → ~10% of each set). Survivors are exact-verified with the
     * merge-pass Jaccard. Output is provably EQUAL to the brute-force
     * join (q118 carries q49's oracle), with no recall parameter at all.
+    *
+    * EXECUTES EAGERLY: the candidate and verify stages run AT CALL TIME
+    * (the eager cuts below release the heavy postings shuffles before the
+    * verify joins — the corpus-scale memory posture), and the returned
+    * frame is an opaque materialized scan. Consequently caller-side
+    * predicates (e.g. on `id_a`) do NOT push into the join — filter the
+    * INPUT `df` upstream instead of the returned pairs, and don't call
+    * this operator for plan-only inspection (use
+    * [[jaccardPrefixCandidates]], which stays lazy, for that).
     */
   def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
@@ -105,8 +115,8 @@ trait DedupJaccardJoin {
             TextFunctions.tokens(col(textCol))))).alias("__toks"))
         .withColumn("__n", size(col("__toks")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = jaccardPrefixCandidates(t, threshold).localCheckpoint(true)
-      val out = jaccardVerifyOnTokens(cand, t, threshold).localCheckpoint(true)
+      val cand = jaccardPrefixCandidates(t, threshold).eagerCut()
+      val out = jaccardVerifyOnTokens(cand, t, threshold).eagerCut()
       t.unpersist(false)
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(cand)
       out

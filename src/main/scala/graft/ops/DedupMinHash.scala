@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.ops.Checkpoints._
 
 /** Exact, MinHash-LSH, and SimHash text dedup — the hashing/banding
   * concern of [[Dedup]] (one trait per concern file; the public API is
@@ -81,7 +82,7 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // invocation leaks cached blocks for the session lifetime. The
     // localCheckpoint blocks holding the result are weak-reference-cleaned
     // by the ContextCleaner once the returned frame is unreferenced.
-    val out = verified.localCheckpoint(true)
+    val out = verified.eagerCut()
     sig.unpersist(false)
     out
   }
@@ -219,7 +220,7 @@ trait DedupMinHash { self: DedupJaccardJoin =>
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = incrementalPairsPlan(corpusSig, newSig, threshold,
       bands, rowsPerBand, estMargin)
-    val out = verified.localCheckpoint(true)
+    val out = verified.eagerCut()
     newSig.unpersist(false)
     out
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.storage.StorageLevel
+import graft.ops.Checkpoints._
 
 /** Iterative graph analytics beyond connectivity (the [[DedupComponents]]
   * family solves reachability; this solves influence): PageRank over an
@@ -68,7 +69,7 @@ object Graphs {
     def q6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
     var ranks = nodes.select(col("node"), lit(1.0).alias("rank"))
-      .localCheckpoint(true)
+      .eagerCut()
     for (_ <- 1 to iterations) {
       val perSource = ranks
         .join(outDeg, col("node") === col("src"))
@@ -84,7 +85,7 @@ object Graphs {
         .select(col("node"),
           q6(lit(1.0 - damping) + lit(damping) * coalesce(col("__s"), lit(0.0)))
             .alias("rank"))
-        .localCheckpoint(true)
+        .eagerCut()
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(ranks)
       ranks = next
     }
@@ -118,7 +119,7 @@ object Graphs {
       .select(col(seeds.columns.head).cast("long").alias("node"))
       .distinct()
       .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
+      .eagerCut()
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === lit(h - 1L))
         .withColumnRenamed("node", "src")
@@ -126,7 +127,7 @@ object Graphs {
         .select(col("dst").alias("node"), (col("hops") + 1L).alias("hops"))
       val next = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("hops")).alias("hops"))
-        .localCheckpoint(true)
+        .eagerCut()
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(dist)
       dist = next
     }
@@ -197,7 +198,7 @@ object Graphs {
     val counts = tris
       .select(explode(array(col("w0"), col("w1"), col("w2"))).alias("node"))
       .groupBy(col("node")).agg(count(lit(1)).alias("triangles"))
-      .localCheckpoint(true)
+      .eagerCut()
     canon.unpersist(); oriented.unpersist()
     counts
   }
@@ -274,7 +275,7 @@ object Graphs {
     }
     val hub0 = edges.select(col("src").alias("node")).distinct()
       .select(col("node"), lit(1.0).alias("score"))
-      .localCheckpoint(true)
+      .eagerCut()
     var hub = hub0
     var hubCp = hub0           // checkpoint backing the current hub frame
     var auth: DataFrame = null
@@ -285,7 +286,7 @@ object Graphs {
         .groupBy(col("dst").alias("node"))
         .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
           .alias("score"))
-        .localCheckpoint(true)
+        .eagerCut()
       if (authCp != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(authCp)
       authCp = authRaw
       auth = meanNormalize(authRaw)
@@ -294,7 +295,7 @@ object Graphs {
         .groupBy(col("src").alias("node"))
         .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
           .alias("score"))
-        .localCheckpoint(true)
+        .eagerCut()
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(hubCp)
       hubCp = hubRaw
       hub = meanNormalize(hubRaw)

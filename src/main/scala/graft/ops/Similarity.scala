@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.ops.Projections
+import graft.ops.Checkpoints._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (builder brief: brute-force cosine top-k baseline + bucketed scale
@@ -724,7 +725,7 @@ object Similarity {
       .withColumn("__hn", row_number().over(wHard))
       .filter(col("__hn") === 1).drop("__hn")
       .withColumn("is_positive", lit(false))
-    val out = positives.unionByName(hardNegatives).localCheckpoint(true)
+    val out = positives.unionByName(hardNegatives).eagerCut()
     assigned.unpersist()
     out
   }
@@ -829,7 +830,7 @@ object Similarity {
       // previous checkpoint can be released immediately after — no
       // per-round block survives the loop (CacheHygiene's bound)
       val assigned =
-        assignToCentroids(df, idCol, vecCol, cents).localCheckpoint(true)
+        assignToCentroids(df, idCol, vecCol, cents).eagerCut()
       if (prev != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(prev)
       prev = assigned
       // the inertia row is driver-sized (one row per round): collect it

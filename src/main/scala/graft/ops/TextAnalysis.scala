@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.ops.Checkpoints._
 
 /** Text-analysis operators for LLM-training-data pipelines (builder brief):
   * token stats, quality scoring, language ID, fingerprinting. All pure
@@ -373,7 +374,7 @@ object TextAnalysis {
       .select(col("__b"),
         round(((col("__ct") + 1) * (col("__tr") + buckets)).cast("double") /
           ((col("__cr") + 1) * (col("__tt") + buckets)), 6).alias("__ratio"))
-      .localCheckpoint(true)
+      .eagerCut()
   }
 
   def dsirSignals(df: DataFrame, idCol: String, textCol: String,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.sources.Tables
 import graft.ops.Aggregations.{exactSum, exactAvg, exactSumSql, exactAvgSql}
+import graft.ops.Checkpoints._
 
 /** Analytic query shapes beyond the reference's surface (SURVEY §2.4
   * "extension surface"): TPC-H-style multi-way analytics, rollup/cube,
@@ -851,7 +852,7 @@ object AnalyticsQueries {
           .groupBy(col("l_suppkey"))
           .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .alias("total_rev"))
-          .localCheckpoint(true)
+          .eagerCut()
         val maxRev = rev.agg(max(col("total_rev")).alias("max_rev"))
         Tables.supplier(s, d)
           .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -1315,7 +1316,7 @@ object AnalyticsQueries {
           .groupBy(col("l_partkey"))
           .agg(sum((col("l_extendedprice") * col("l_quantity") * lit(0.5))
             .cast(DecimalType(30, 8))).alias("vdec"))
-          .localCheckpoint(true)
+          .eagerCut()
         val total = perPart.agg(sum(col("vdec")).alias("total_dec"))
         perPart.crossJoin(broadcast(total))
           .filter(col("vdec") * lit(1600) > col("total_dec"))
@@ -1969,7 +1970,7 @@ object AnalyticsQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").alias("cust"), col("l_partkey").alias("part"))
       .agg(count(lit(1)).alias("n"))
-      .localCheckpoint(true)
+      .eagerCut()
 
   /** Shared q186/q193 similarity frame: parts as purchase-count vectors
     * over customers, cosine from exact integer sums (see q186 doc).

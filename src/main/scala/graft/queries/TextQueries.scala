@@ -6,6 +6,7 @@ import graft.sources.Tables
 import graft.ops.{Dedup, TextAnalysis}
 import graft.ops.Aggregations.exactAvgSql
 import graft.functions.TextFunctions.{normalizeTextSql, tokensSql}
+import graft.ops.Checkpoints._
 
 /** Text-analysis queries over the `documents` fixture. Oracles reproduce
   * the exact integer token statistics and the deterministic double
@@ -919,10 +920,10 @@ object TextQueries {
         // result materializes (the q234 discipline).
         val emb = graft.ops.Features.hashedEmbedding(
           Tables.documents(s, d), "doc_id", "text", dim = 64)
-          .localCheckpoint(true)
+          .eagerCut()
         val res = graft.ops.Similarity.kmeansStep(
           emb, "doc_id", "emb", seedIds = (0L until 8L).toSeq)
-          .localCheckpoint(true)
+          .eagerCut()
         emb.unpersist()
         res
       },

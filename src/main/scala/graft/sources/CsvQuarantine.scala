@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.ops.Checkpoints._
 
 /** Error-tolerant CSV ingestion (the reference's own bronze ingest path
   * is CSV files — spark/bronze/feeder_csv.py:95-100 — and every real
@@ -40,7 +41,7 @@ object CsvQuarantine {
     * corpus once each.
     */
   def split(parsed: DataFrame): (DataFrame, DataFrame) = {
-    val p = parsed.localCheckpoint(true)
+    val p = parsed.eagerCut()
     (p.filter(col(CorruptCol).isNull).drop(CorruptCol),
       p.filter(col(CorruptCol).isNotNull))
   }
