@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, IsNotNull, LessThan}
 import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.types.ArrayType
 
@@ -163,6 +163,19 @@ object PlanAudit {
   private def hasArrayOutput(p: SparkPlan): Boolean =
     p.output.exists(_.dataType.isInstanceOf[ArrayType])
 
+  /** A Generate (explode) in `p`'s subtree with NO intervening aggregate —
+    * i.e. the rows entering `p`'s parent are still at EXPLODED cardinality
+    * (corpus × per-row fan-out), not reduced group counts.
+    */
+  private def subtreeHasRawGenerate(p: SparkPlan): Boolean = {
+    def walk(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case _: GenerateExec      => true
+      case other                => other.children.exists(walk)
+    }
+    walk(p)
+  }
+
   /** The round-14 dedup-scale rules, WARN-graded (structural heuristics —
     * a hit is a frame that explodes at corpus scale, not a toy-scale bug).
     */
@@ -193,6 +206,31 @@ object PlanAudit {
                 "candidate set with no prefilter in between — attach narrow " +
                 "counts first, cut, then join wide payload onto survivors " +
                 "(round-14 invariant, DECISIONS.md)")
+        case _ => ()
+      }
+      // Round-15 invariant (the jaccard-prefix sf10 autopsy, promoted to
+      // a registry-wide rule in round 16): never OBJECT-tier-aggregate a
+      // frame still at exploded cardinality. An ObjectHashAggregateExec
+      // (collect_list/collect_set/TypedImperative buffers) holds every
+      // group's buffer as JVM OBJECTS; above 128 distinct keys per
+      // partition it sort-falls-back but the buffers stay objects, and at
+      // corpus×fan-out row counts the allocation storm collapses
+      // time-to-safepoint (802 s of safepoint sync in the dying sf10 run
+      // — DECISIONS.md round-15). Per-group reshaping over exploded rows
+      // belongs in a Tungsten WINDOW (row_number + filter — binary rows,
+      // disciplined spill), which is how the shipped prefix build works.
+      // Only the PARTIAL aggregate sits over raw exploded rows (the final
+      // sees the partial's reduced groups and the walk stops there), so
+      // one bad shape yields one finding.
+      node match {
+        case a: ObjectHashAggregateExec if subtreeHasRawGenerate(a.child) =>
+          warns += Finding("WARN",
+            "object-agg-over-explode: an object-tier aggregate " +
+              "(collect_list/collect_set/typed-imperative) consumes rows at " +
+              "exploded cardinality — at corpus scale the per-group object " +
+              "buffers become a safepoint-collapsing allocation storm; use " +
+              "a Tungsten window (row_number) for per-group reshaping " +
+              "(round-15 invariant, DECISIONS.md)")
         case _ => ()
       }
     }

@@ -427,6 +427,28 @@ class PlanSpec extends SparkSpec {
     //    attach joins are shuffle_hash-hinted so candidates stream
     //    unsorted, and the banded layout bounds the candidate count.
     val candidatePayloadByDesign = Set("q44_embedding_neardup", "q51_ann_lsh")
+    // object-agg-over-explode (round-16, generalizing the round-15 sf10
+    // autopsy): the sweep forces every registered query to answer "why is
+    // an object-tier aggregate consuming exploded-cardinality rows?".
+    // Justified answers, per name:
+    //  - q219_line_dedup: the collect_list IS the operator's output —
+    //    CCNet line dedup must REASSEMBLE each doc's kept lines into its
+    //    cleaned text, a per-group variable-length string no window can
+    //    produce (a window filters/ranks rows; it cannot emit one
+    //    array-valued row per group). The buffer is bounded by ONE
+    //    document's kept lines, and the group key is doc_id, so partial
+    //    map-side aggregation reduces before the shuffle. Contrast the
+    //    jaccard prefix build this rule exists for: there the collection
+    //    was a MEANS to a per-row filter, which is exactly what the
+    //    window form expresses without object-tier state.
+    //  - q245_freq_mergeable: a frequency-sketch TypedImperativeAggregate
+    //    (Misra-Gries envelope) whose buffer is O(maxMapSize=256) per
+    //    group REGARDLESS of row count — seeing every exploded token is
+    //    the algorithm, and the bounded monoid buffer is the entire point
+    //    of the mergeable-sketch tier (SketchSpec pins merge
+    //    conservation). Every other sketch query aggregates non-exploded
+    //    corpus rows and never trips the rule.
+    val objectAggReshapeByDesign = Set("q219_line_dedup", "q245_freq_mergeable")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if degenerateByDesign(name) => None
       case (name, fn) =>
@@ -438,7 +460,10 @@ class PlanSpec extends SparkSpec {
           if (candidatePayloadByDesign(name)) Nil
           else all.filter(f => f.message.startsWith("candidate-SMJ") ||
             f.message.startsWith("unfiltered-candidate-payload"))
-        val bad = errors ++ candWarns
+        val objWarns =
+          if (objectAggReshapeByDesign(name)) Nil
+          else all.filter(_.message.startsWith("object-agg-over-explode"))
+        val bad = errors ++ candWarns ++ objWarns
         if (bad.isEmpty) None else Some(s"$name: ${bad.mkString("; ")}")
     }
     assert(failures.isEmpty,
@@ -656,5 +681,57 @@ class PlanSpec extends SparkSpec {
     val candJ = graft.ops.Dedup.jaccardPrefixCandidates(t, 0.9)
     assert(findings(graft.ops.Dedup.jaccardVerifyOnTokens(candJ, t, 0.9)).isEmpty,
       "shipped prefix-jaccard chain tripped the candidate-payload audit")
+  }
+
+  test("object-agg audit: fires on the pre-358db2b prefix build, silent on the window form") {
+    // Round-16 (r15 verdict #4): the round-15 safepoint autopsy proved
+    // "never collect_list at exploded cardinality — use a Tungsten
+    // window"; this is that lesson as a PlanAudit rule. The pre-358db2b
+    // prefix build below is the EXACT shape that killed the sf10 context:
+    // explode tokens → join document frequency → per-doc collect_list of
+    // (df, tok) structs (an ObjectHashAggregate over 500M exploded rows)
+    // → sort + slice to the prefix.
+    import org.apache.spark.sql.functions._
+    import graft.ops.PlanAudit
+    def findings(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      PlanAudit.candidatePayloadFindings(df.queryExecution.sparkPlan)
+        .map(_.message.takeWhile(_ != ':'))
+
+    val docs = graft.sources.Tables.documents(spark, sf001).limit(200)
+    val t = docs.select(col("doc_id").alias("__id"),
+        array_sort(array_distinct(graft.functions.TextFunctions.tokenHashes(
+          graft.functions.TextFunctions.tokens(col("text"))))).alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val freq = t.select(explode(col("__toks")).alias("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).alias("__df"))
+    val preFixPrefix = t
+      .select(col("__id"), col("__n"), explode(col("__toks")).alias("__tok"))
+      .join(freq, "__tok")
+      .groupBy(col("__id"), col("__n"))
+      .agg(slice(
+        transform(array_sort(collect_list(struct(col("__df"), col("__tok")))),
+          s => s("__tok")),
+        1, 8).alias("__pref"))
+    assert(findings(preFixPrefix).contains("object-agg-over-explode"),
+      s"rule missed the collect_list prefix build:\n" +
+        s"${preFixPrefix.queryExecution.sparkPlan}")
+
+    // the freq aggregate itself (HashAggregate over an explode) must NOT
+    // trip it — the rule targets OBJECT-tier aggregation only
+    assert(!findings(freq).contains("object-agg-over-explode"),
+      "rule fired on a Tungsten hash aggregate over an explode")
+    // the shipped window-based prefix build (and the whole candidate
+    // chain) stays silent
+    assert(!findings(graft.ops.Dedup.jaccardPrefixCandidates(t, 0.9))
+        .contains("object-agg-over-explode"),
+      "shipped window prefix build tripped the object-agg audit")
+    // a bounded per-group reshape whose input was ALREADY aggregated
+    // (collect over group-reduced rows) stays silent too: the walk stops
+    // at the intervening aggregate
+    val bucketed = t.select(col("__id"), explode(col("__toks")).alias("__tok"))
+      .groupBy(col("__id")).agg(count(lit(1)).alias("n"))
+      .groupBy(col("__id") % 10).agg(collect_list(col("n")).alias("ns"))
+    assert(!findings(bucketed).contains("object-agg-over-explode"),
+      "rule fired above an intervening aggregate")
   }
 }
