@@ -193,6 +193,33 @@ object Fuzz {
     * Output column names are the LEFT side's (Spark's rule).
     */
   final case class UnionCoerceR(a: Rel, b: Rel) extends Rel
+  /** Correlated [NOT] EXISTS filter: keeps outer rows o for which (NOT)
+    * ∃ inner row i with i.`ik` = o.`ok`, i satisfying `innerPred`, and —
+    * when `ineq` = Some((in, on)) — i.`in` > o.`on` (a NON-equi
+    * correlated predicate). Semantically this overlaps [[SemiR]], which
+    * is the point: the Spark side goes through `Dataset.exists()` +
+    * `Column.outer()` — a SubqueryExpression the analyzer must
+    * DECORRELATE (RewritePredicateSubquery → semi/anti join with the
+    * correlated predicates as join conditions), a seam previously
+    * exercised only by hand-written TPC-H registry shapes (q65-q67, q75,
+    * q78, q107) — while the interpreter evaluates the definition
+    * directly, per outer row. Any disagreement is a decorrelation bug.
+    */
+  final case class ExistsR(outer: Rel, inner: Rel, ok: String, ik: String,
+                           innerPred: Option[Pred],
+                           ineq: Option[(String, String)],
+                           anti: Boolean) extends Rel
+  /** Correlated SCALAR subquery projected as a column: for each outer
+    * row, `fn` over the inner rows with i.`ik` = o.`ok`, as "sc". The
+    * Spark side is `Dataset.scalar()` — RewriteCorrelatedScalarSubquery
+    * turns it into a left-outer join + aggregate, and the empty
+    * correlation group is where engines historically break: COUNT must
+    * yield 0 for unmatched outer rows (the classic decorrelation "count
+    * bug"), every other aggregate NULL. The interpreter states the
+    * definition directly.
+    */
+  final case class ScalarSubqR(outer: Rel, inner: Rel, ok: String, ik: String,
+                               fn: AggFn) extends Rel
 
   // ---- schemas of the three fuzz tables ---------------------------------
 
@@ -263,6 +290,9 @@ object Fuzz {
       schemaOf(a).zip(schemaOf(b)).map { case ((n, ta), (_, tb)) =>
         n -> (if (ta == TDouble || tb == TDouble) TDouble else ta)
       }
+    case ExistsR(outer, _, _, _, _, _, _) => schemaOf(outer)
+    case ScalarSubqR(outer, inner, _, _, fn) =>
+      schemaOf(outer) :+ ("sc" -> aggTyp(fn, schemaOf(inner)))
   }
 
   // ---- Spark evaluation --------------------------------------------------
@@ -401,6 +431,43 @@ object Fuzz {
       // no explicit casts: the coercion under test is Spark's own
       // WidenSetOperationTypes on the union node
       toDF(spark, sfDir, a).union(toDF(spark, sfDir, b))
+    case ExistsR(outer, inner, ok, ik, ip, ineq, anti) =>
+      // col(ok).outer() marks the OUTER reference inside the subquery
+      // plan (names are disjoint across the fuzz tables, so resolution is
+      // unambiguous); everything else resolves against the inner relation
+      val douter = toDF(spark, sfDir, outer)
+      val corrEq = col(ik) === col(ok).outer()
+      val corr = ineq.foldLeft(
+        ip.foldLeft(corrEq)((c, p) => c && toSparkPred(p, schemaOf(inner)))) {
+        case (c, (in, on)) => c && (col(in) > col(on).outer())
+      }
+      val ex = toDF(spark, sfDir, inner).filter(corr).exists()
+      douter.filter(if (anti) !ex else ex)
+    case ScalarSubqR(outer, inner, ok, ik, fn) =>
+      // Dataset-API `.scalar()` cannot resolve a lazy `.outer()` reference
+      // BELOW the subquery's aggregate in Spark 4.1 (probed: the same
+      // reference under `.exists()` resolves; under `.agg(..).scalar()`
+      // it fails analysis), so this node enters through the SQL front
+      // door — the analyzer seam under test
+      // (RewriteCorrelatedScalarSubquery) is identical.
+      val (on, in) = (outer, inner) match {
+        case (Base(a), Base(b)) => (a, b)
+        case other => sys.error(s"ScalarSubqR over non-base relations: $other")
+      }
+      Seq(on, in).foreach { n =>
+        graft.sources.Tables.table(spark, sfDir, n).createOrReplaceTempView(n)
+      }
+      val fnSql = fn match {
+        case CountStar => "count(1)"
+        case SumL(c)   => s"sum(cast($c as bigint))"
+        case AvgL(c)   => s"avg(cast($c as bigint))"
+        case MinC(c)   => s"min($c)"
+        case MaxC(c)   => s"max($c)"
+      }
+      val outerCols = schemas(on).map { case (c, _) => s"o.$c" }.mkString(", ")
+      spark.sql(
+        s"SELECT $outerCols, (SELECT $fnSql FROM $in i WHERE i.$ik = o.$ok) AS sc " +
+          s"FROM $on o")
   }
 
   private def aggCol(name: String, fn: AggFn): Column = fn match {
@@ -763,6 +830,32 @@ object Fuzz {
                  else v)
         }.toMap
       evalRel(tables, a).map(conv(_, sa)) ++ evalRel(tables, b).map(conv(_, sb))
+    case ExistsR(outer, inner, ok, ik, ip, ineq, anti) =>
+      // the DEFINITION, per outer row: ∃ inner row with key equality
+      // (NULL on either side is UNKNOWN → no match), innerPred TRUE, and
+      // the correlated inequality TRUE — no decorrelation on this side
+      val innerRows = evalRel(tables, inner)
+        .filter(r => ip.forall(evalPred(_, r).contains(true)))
+      evalRel(tables, outer).filter { orow =>
+        val k = orow(ok)
+        val matched = k != null && innerRows.exists { irow =>
+          irow(ik) == k && ineq.forall { case (in, on) =>
+            val (vi, vo) = (irow(in), orow(on))
+            vi != null && vo != null && toD(vi) > toD(vo)
+          }
+        }
+        if (anti) !matched else matched
+      }
+    case ScalarSubqR(outer, inner, ok, ik, fn) =>
+      val byKey = evalRel(tables, inner).filter(_(ik) != null).groupBy(_(ik))
+      evalRel(tables, outer).map { orow =>
+        val grp =
+          if (orow(ok) == null) Seq.empty
+          else byKey.getOrElse(orow(ok), Seq.empty)
+        // empty correlation group: COUNT is 0 (the decorrelation "count
+        // bug" seam), every other aggregate NULL — aggValues states both
+        orow + ("sc" -> aggValues(Seq("sc" -> fn), grp)("sc"))
+      }
   }
 
   private def minMax(vs: Seq[Any], isMin: Boolean): Any =
@@ -1005,7 +1098,7 @@ object Fuzz {
     def gen(): Rel = {
       // bottom: a base, a natural-key join (all four types — outer-join
       // padding is fuzz-worthy territory), a set op, or a window
-      val bottom: Rel = rnd.nextInt(14) match {
+      val bottom: Rel = rnd.nextInt(16) match {
         case 0 => Base(pick(Seq("customer", "orders", "nation")))
         case 1 => JoinR(Base("orders"), Base("customer"),
           "o_custkey", "c_custkey", joinType())
@@ -1087,6 +1180,44 @@ object Fuzz {
               "v" -> (ColRef("c_acctbal"): Expr)))
           if (rnd.nextBoolean()) UnionCoerceR(longSide, dblSide)
           else UnionCoerceR(dblSide, longSide)
+        case 14 =>
+          // correlated [NOT] EXISTS through Dataset.exists() — the
+          // RewritePredicateSubquery decorrelation seam. Optional
+          // inner-only predicate, optional NON-equi correlated
+          // inequality (inner.num > outer.num), both directions of the
+          // customer/orders correlation plus customer→nation
+          val (o, i, ok2, ik2, ineqPair) = pick(Seq(
+            ("customer", "orders", "c_custkey", "o_custkey",
+              Some(("o_totalprice", "c_acctbal"))),
+            ("orders", "customer", "o_custkey", "c_custkey",
+              Some(("c_acctbal", "o_totalprice"))),
+            ("customer", "nation", "c_nationkey", "n_nationkey",
+              Some(("n_regionkey", "c_nationkey")))))
+          ExistsR(Base(o), Base(i), ok2, ik2,
+            innerPred =
+              if (rnd.nextBoolean()) Some(genPred(schemas(i), 1)) else None,
+            ineq = if (rnd.nextInt(3) == 0) ineqPair else None,
+            anti = rnd.nextBoolean())
+        case 15 =>
+          // correlated scalar subquery through Dataset.scalar() — the
+          // left-outer decorrelation rewrite; CountStar deliberately
+          // included (COUNT over the empty correlation group must be 0,
+          // not NULL — the classic count bug)
+          val (o, i, ok2, ik2, longCols, anyCols) = pick(Seq(
+            ("customer", "orders", "c_custkey", "o_custkey",
+              Seq("o_orderkey", "o_custkey"),
+              Seq("o_orderkey", "o_totalprice", "o_orderstatus")),
+            ("orders", "customer", "o_custkey", "c_custkey",
+              Seq("c_custkey", "c_nationkey"),
+              Seq("c_nationkey", "c_acctbal", "c_mktsegment"))))
+          val fn: AggFn = rnd.nextInt(5) match {
+            case 0 => CountStar
+            case 1 => SumL(pick(longCols))
+            case 2 => AvgL(pick(longCols))
+            case 3 => MinC(pick(anyCols))
+            case 4 => MaxC(pick(anyCols))
+          }
+          ScalarSubqR(Base(o), Base(i), ok2, ik2, fn)
       }
       val mid = stack(bottom, rnd.nextInt(3))
       // optionally aggregate (and optionally filter the aggregate = HAVING)
