@@ -71,6 +71,16 @@ core = load("bench_sf100_core.json")
 q97r = load("bench_sf100_q97.json")
 solo10 = {**queries(load("q93solo_sf10.json")), **queries(load("q97solo_sf10.json"))}
 sf100_raw = {**queries(core), **queries(q97r)}
+# A dedicated q93 sf100 re-run supersedes the core-run q93 when present
+# (round 16: the core run's q93 rep died on a disk ceiling created by
+# ~12 GB of ORPHANED blockmgr scratch from earlier unrelated JVMs; the
+# re-run executes on a cleaned disk — an environment fix, not cherry-
+# picking, and the superseded core numbers stay in the core capture).
+q93re = load("bench_sf100_q93re.json")
+if q93re is not None:
+    for k, v in queries(q93re).items():
+        if k.startswith("q93") or k == "host_canary_sec":
+            sf100_raw[k] = v
 sf100, partial = split_partials(sf100_raw)
 
 if core is not None:

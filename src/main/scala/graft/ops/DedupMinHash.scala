@@ -76,7 +76,17 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // element_at reuse — see TextFunctions.shingleHashesFromTokenHashes).
     val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = nearDupPairsPlan(sig, threshold, bands, rowsPerBand, estMargin)
+    // The narrow candidate set is eagerly cut BEFORE the verify joins
+    // (round 16, the q118 lesson applied to the minhash family): the
+    // banded self-join + distinct are the operator's fastest-growing
+    // exchanges, and in a monolithic DAG their shuffle files stay on disk
+    // until the END of the verify stage — the round-16 sf100 q93 capture
+    // measured ~53 GB of concurrent zstd shuffle at the peak, overrunning
+    // the sandbox disk exactly as r14's lz4 run did. Cutting here lets
+    // the ContextCleaner release the band-join/distinct files while the
+    // verify joins run, so peak footprint is max(stage) not sum(stages).
+    val cand = nearDupCandidates(sig, bands, rowsPerBand).eagerCut()
+    val verified = nearDupVerifyOnSigs(cand, sig, threshold, numHashes, estMargin)
     // Materialize the (small) verified pair set eagerly so the wide
     // signature cache can be released before returning — otherwise every
     // invocation leaks cached blocks for the session lifetime. The
@@ -84,6 +94,7 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     // by the ContextCleaner once the returned frame is unreferenced.
     val out = verified.eagerCut()
     sig.unpersist(false)
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(cand)
     out
   }
 
@@ -96,20 +107,34 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     */
   private[graft] def nearDupPairsPlan(sig: DataFrame, threshold: Double,
                                       bands: Int, rowsPerBand: Int,
-                                      estMargin: Double): DataFrame = {
-    val numHashes = bands * rowsPerBand
+                                      estMargin: Double): DataFrame =
+    nearDupVerifyOnSigs(nearDupCandidates(sig, bands, rowsPerBand), sig,
+      threshold, bands * rowsPerBand, estMargin)
+
+  /** Banded candidate (id_a, id_b) pairs of [[minHashNearDup]] — ids
+    * only, the stage the public operator eagerly cuts so the band-join
+    * and distinct shuffle files release before verification runs.
+    */
+  private[graft] def nearDupCandidates(sig: DataFrame, bands: Int,
+                                       rowsPerBand: Int): DataFrame = {
     val banded = sig.select(col("__id"),
         posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
           .as(Seq("__band", "__key")))
-
     // candidates stay NARROW (ids only) through the distinct
-    val candidates = banded.alias("a")
+    banded.alias("a")
       .join(banded.alias("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .distinct()
+  }
 
+  /** The prefilter + exact-verify chain of [[minHashNearDup]] over a
+    * prepared candidate set.
+    */
+  private[graft] def nearDupVerifyOnSigs(candidates: DataFrame, sig: DataFrame,
+                                         threshold: Double, numHashes: Int,
+                                         estMargin: Double): DataFrame = {
     // two cheap prefilters before touching the wide shingle arrays:
     //  1. size ratio: true jaccard ≤ min(|A|,|B|)/max(|A|,|B|) — lossless;
     //  2. signature estimate: matching-minhash fraction ≈ jaccard; cut at
@@ -218,10 +243,17 @@ trait DedupMinHash { self: DedupJaccardJoin =>
     }
     val newSig = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = incrementalPairsPlan(corpusSig, newSig, threshold,
-      bands, rowsPerBand, estMargin)
+    // eager candidate cut before verification — see [[minHashNearDup]]
+    // (round 16: releases the band-join/distinct shuffle files, the
+    // dominant share of q93's measured ~53 GB sf100 peak scratch, before
+    // the verify joins write theirs)
+    val cand = incrementalCandidates(corpusSig, newSig, bands, rowsPerBand)
+      .eagerCut()
+    val verified = incrementalVerifyOnSigs(cand, corpusSig, newSig,
+      threshold, numHashes, estMargin)
     val out = verified.eagerCut()
     newSig.unpersist(false)
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(cand)
     out
   }
 
@@ -233,17 +265,36 @@ trait DedupMinHash { self: DedupJaccardJoin =>
   private[graft] def incrementalPairsPlan(corpusSig: DataFrame, newSig: DataFrame,
                                           threshold: Double, bands: Int,
                                           rowsPerBand: Int,
-                                          estMargin: Double): DataFrame = {
-    val numHashes = bands * rowsPerBand
+                                          estMargin: Double): DataFrame =
+    incrementalVerifyOnSigs(
+      incrementalCandidates(corpusSig, newSig, bands, rowsPerBand),
+      corpusSig, newSig, threshold, bands * rowsPerBand, estMargin)
+
+  /** Banded batch×corpus candidate pairs of [[minHashNearDupAgainst]] —
+    * ids only (the eagerly-cut stage; see [[nearDupCandidates]]).
+    */
+  private[graft] def incrementalCandidates(corpusSig: DataFrame,
+                                           newSig: DataFrame, bands: Int,
+                                           rowsPerBand: Int): DataFrame = {
     def banded(sig: DataFrame) = sig.select(col("__id"),
       posexplode(TextFunctions.bandKeys(col("__sig"), bands, rowsPerBand))
         .as(Seq("__band", "__key")))
-    val candidates = banded(newSig).alias("a")
+    banded(newSig).alias("a")
       .join(banded(corpusSig).alias("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").alias("new_id"), col("b.__id").alias("corpus_id"))
       .distinct()
+  }
+
+  /** The prefilter + exact-verify chain of [[minHashNearDupAgainst]] over
+    * a prepared candidate set.
+    */
+  private[graft] def incrementalVerifyOnSigs(candidates: DataFrame,
+                                             corpusSig: DataFrame,
+                                             newSig: DataFrame,
+                                             threshold: Double, numHashes: Int,
+                                             estMargin: Double): DataFrame = {
     // narrow-first prefilter order (round-14): the size-ratio cut runs
     // with only the 8 B shingle counts attached, so the wide signature
     // arrays are joined onto size-SURVIVORS — q93's sf10 candidate frame
