@@ -26,35 +26,50 @@ trait DedupComponents { self: DedupMinHash =>
     * iterative-algorithm trap on Spark).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions, cached ALREADY HASH-
+    // PARTITIONED on the probe key (round 16): every round's neighbor
+    // join probes edges on `src`, and an unpartitioned cache re-exchanged
+    // the corpus-sized edge frame once PER ROUND (the pageRank cache
+    // discipline, Graphs.scala)
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").alias("id"))
       .distinct()
       .withColumn("component", col("id"))
       .eagerCut()
+    var resident = labels // checkpoint backing the current labels frame
+    val compType = labels.schema("component").dataType
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min of own label and neighbors' labels
+      // candidate label per node: min of own label and neighbors' labels.
+      // The own-label branch tags its previous label as `__old`, so the
+      // convergence test ("did any min label change?") falls out of the
+      // SAME aggregate — the old shape re-joined next⋈labels (two more
+      // node-sized exchanges + a join per round) just to count changes.
+      // Every id has exactly one own row (dst ids are src ids on the
+      // mirrored edge list), so max(__old) recovers its previous label.
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").alias("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(col("dst").alias("id"), col("component"),
+          lit(null).cast(compType).alias("__old"))
+      val next = labels
+        .select(col("id"), col("component"), col("component").alias("__old"))
         .union(neighborLabels)
-        .groupBy("id").agg(min("component").alias("component"))
+        .groupBy("id").agg(min("component").alias("component"),
+          max("__old").alias("__old"))
         .eagerCut()
-      changed = next.alias("n")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .count()
+      // one scan of the fresh checkpoint blocks — no join, no shuffle
+      changed = next.filter(col("component") =!= col("__old")).count()
       // the superseded round's checkpoint blocks are dead the moment the
-      // changed-count consumed them — release eagerly, don't let them
+      // new aggregate consumed them — release eagerly, don't let them
       // accumulate one-per-round on the ContextCleaner's queue
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels)
-      labels = next
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(resident)
+      resident = next
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     edges.unpersist()
@@ -77,33 +92,41 @@ trait DedupComponents { self: DedupMinHash =>
     * Throws on non-convergence like the one-hop variant.
     */
   def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+    // probe-key-partitioned edge cache + tagged-union convergence test —
+    // see [[connectedComponents]] (round 16)
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").alias("id"))
       .distinct()
       .withColumn("component", col("id"))
       .eagerCut()
+    var resident = labels
+    val compType = labels.schema("component").dataType
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").alias("id"), col("component"))
+        .select(col("dst").alias("id"), col("component"),
+          lit(null).cast(compType).alias("__old"))
       // comp(comp(id)): follow the label pointer one more hop
       val viaDouble = labels.alias("l1")
         .join(labels.alias("l2"), col("l1.component") === col("l2.id"))
-        .select(col("l1.id").alias("id"), col("l2.component").alias("component"))
-      val next = labels.union(viaNeighbors).union(viaDouble)
-        .groupBy("id").agg(min("component").alias("component"))
+        .select(col("l1.id").alias("id"), col("l2.component").alias("component"),
+          lit(null).cast(compType).alias("__old"))
+      val next = labels
+        .select(col("id"), col("component"), col("component").alias("__old"))
+        .union(viaNeighbors).union(viaDouble)
+        .groupBy("id").agg(min("component").alias("component"),
+          max("__old").alias("__old"))
         .eagerCut()
-      changed = next.alias("n")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .count()
-      org.apache.spark.sql.GraftBridge.releaseCheckpoint(labels) // see connectedComponents
-      labels = next
+      changed = next.filter(col("component") =!= col("__old")).count()
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(resident) // see connectedComponents
+      resident = next
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     edges.unpersist()

@@ -50,16 +50,23 @@ object Graphs {
     // InMemoryTableScan preserves outputPartitioning, so every
     // iteration's rank⋈edges join shuffles only the node-sized rank
     // frame — the corpus-sized edge side never re-exchanges (measured:
-    // the un-partitioned cache re-shuffled 1.2M edges × 5 iterations)
-    val edges = edges0
+    // the un-partitioned cache re-shuffled 1.2M edges × 5 iterations).
+    // The source OUT-DEGREE is joined into the cache ONCE (round 16):
+    // the old shape joined ranks⋈outDeg per iteration — one node-sized
+    // shuffle + join on the critical path of every round — to compute
+    // the per-source contribution; q6(rank/outdeg) is a deterministic
+    // per-(rank, outdeg) value, so computing it per edge row off the
+    // cached outdeg column yields bit-identical sums at the cost of one
+    // extra long per cached edge.
+    val dedupEdges = edges0
       .select(col(srcCol).cast("long").alias("src"),
         col(dstCol).cast("long").alias("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = edges.groupBy(col("src"))
+    val outDeg = dedupEdges.groupBy(col("src"))
       .agg(count(lit(1)).alias("outdeg"))
+    val edges = dedupEdges.join(outDeg, "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").alias("node"))
       .union(edges.select(col("dst").alias("node")))
@@ -71,15 +78,16 @@ object Graphs {
     var ranks = nodes.select(col("node"), lit(1.0).alias("rank"))
       .eagerCut()
     for (_ <- 1 to iterations) {
-      val perSource = ranks
-        .join(outDeg, col("node") === col("src"))
-        .select(col("node").alias("__u"),
-          q6(col("rank") / col("outdeg")).alias("__c"))
+      // join strategy stays AQE's choice: at small node counts the rank
+      // frame broadcast-joins (zero edge movement); at scale AQE plans a
+      // shuffle join against the already-partitioned cache (a forced
+      // shuffle_hash hint here measured +5% at sf0.1 by blocking the
+      // runtime broadcast)
       val msgs = edges
-        .join(perSource, col("src") === col("__u"))
+        .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").alias("node"))
-        .agg(sum(col("__c").cast(DecimalType(30, 8))).cast(DoubleType)
-          .alias("__s"))
+        .agg(sum(q6(col("rank") / col("outdeg")).cast(DecimalType(30, 8)))
+          .cast(DoubleType).alias("__s"))
       val next = nodes
         .join(msgs, Seq("node"), "left")
         .select(col("node"),
@@ -89,7 +97,7 @@ object Graphs {
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(ranks)
       ranks = next
     }
-    edges.unpersist(); outDeg.unpersist(); nodes.unpersist()
+    edges.unpersist(); nodes.unpersist()
     ranks
   }
 
@@ -179,6 +187,10 @@ object Graphs {
       .join(deg.select(col("node").alias("a"), col("deg").alias("__da")), "a")
       .join(deg.select(col("node").alias("b"), col("deg").alias("__db")), "b")
     // orient toward the (deg, id)-larger endpoint
+    // cached pre-partitioned on the wedge key (round 16): the wedge
+    // enumeration self-joins this frame on u, and an unpartitioned cache
+    // re-exchanged BOTH join sides — partitioned, the self-join reads the
+    // cache's own partitioning twice with no exchange at all
     val oriented = withDeg.select(
       when(col("__da") < col("__db") ||
         (col("__da") === col("__db") && col("a") < col("b")), col("a"))
@@ -186,6 +198,7 @@ object Graphs {
       when(col("__da") < col("__db") ||
         (col("__da") === col("__db") && col("a") < col("b")), col("b"))
         .otherwise(col("a")).alias("v"))
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.alias("e1")
       .join(oriented.alias("e2"),
@@ -252,10 +265,22 @@ object Graphs {
     require(iterations >= 1, "hits needs at least one iteration")
     def q6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
-    val edges = edges0
+    // TWO cached copies of the edge frame, one hash-partitioned per probe
+    // key (round 16): the auth half-step joins on src, the hub half-step
+    // on dst, and a single unpartitioned cache re-exchanged the
+    // corpus-sized edge frame on EVERY half-step (2 × iterations edge
+    // shuffles). Doubling the cached edge bytes to delete all of them is
+    // the standard iterate-over-edges trade (the pageRank discipline,
+    // applied per probe key); the dst copy derives FROM the src cache, so
+    // the distinct computes once.
+    val edgesBySrc = edges0
       .select(col(srcCol).cast("long").alias("src"),
         col(dstCol).cast("long").alias("dst"))
       .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesByDst = edgesBySrc
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Each half-step CHECKPOINTS THE RAW AGGREGATE (the heavy edges-join
     // + groupBy runs exactly once) and leaves normalization LAZY: the
@@ -273,7 +298,7 @@ object Graphs {
       raw.crossJoin(broadcast(m))
         .select(col("node"), q6(col("score") / col("__mean")).alias("score"))
     }
-    val hub0 = edges.select(col("src").alias("node")).distinct()
+    val hub0 = edgesBySrc.select(col("src").alias("node")).distinct()
       .select(col("node"), lit(1.0).alias("score"))
       .eagerCut()
     var hub = hub0
@@ -281,7 +306,7 @@ object Graphs {
     var auth: DataFrame = null
     var authCp: DataFrame = null
     for (_ <- 1 to iterations) {
-      val authRaw = edges
+      val authRaw = edgesBySrc
         .join(hub.select(col("node").alias("src"), col("score")), "src")
         .groupBy(col("dst").alias("node"))
         .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
@@ -290,7 +315,7 @@ object Graphs {
       if (authCp != null) org.apache.spark.sql.GraftBridge.releaseCheckpoint(authCp)
       authCp = authRaw
       auth = meanNormalize(authRaw)
-      val hubRaw = edges
+      val hubRaw = edgesByDst
         .join(auth.select(col("node").alias("dst"), col("score")), "dst")
         .groupBy(col("src").alias("node"))
         .agg(sum(col("score").cast(DecimalType(30, 8))).cast(DoubleType)
@@ -303,7 +328,7 @@ object Graphs {
     val out = hub.select(lit("hub").alias("role"), col("node"), col("score"))
       .unionByName(auth.select(lit("authority").alias("role"), col("node"),
         col("score")))
-    edges.unpersist()
+    edgesBySrc.unpersist(); edgesByDst.unpersist()
     out
   }
 

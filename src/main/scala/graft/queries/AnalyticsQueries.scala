@@ -1499,14 +1499,9 @@ object AnalyticsQueries {
           .agg(count(lit(1)).alias("__n"))
         val itemCnt = items.groupBy(col("l_partkey"))
           .agg(count(lit(1)).alias("__c"))
-        val pairs = items.alias("a")
-          .join(items.alias("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").alias("part_a"),
-            col("b.l_partkey").alias("part_b"))
-          .agg(count(lit(1)).alias("pair_cnt"))
-          .filter(col("pair_cnt") >= 3)
+        val pairs = orderPartPairs(items)
+          .select(col("pa").alias("part_a"), col("pb").alias("part_b"),
+            col("pair_cnt"))
         pairs
           .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "part_a")
             .withColumnRenamed("__c", "__ca")), Seq("part_a"))
@@ -1842,13 +1837,7 @@ object AnalyticsQueries {
           .agg(count(lit(1)).alias("__n"))
         val itemCnt = items.groupBy(col("l_partkey"))
           .agg(count(lit(1)).alias("__c"))
-        val pairs = items.alias("a")
-          .join(items.alias("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").alias("pa"), col("b.l_partkey").alias("pb"))
-          .agg(count(lit(1)).alias("pair_cnt"))
-          .filter(col("pair_cnt") >= 3)
+        val pairs = orderPartPairs(items)
         val rules = pairs
           .select(col("pa").alias("antecedent"), col("pb").alias("consequent"),
             col("pair_cnt"))
@@ -1901,7 +1890,11 @@ object AnalyticsQueries {
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val vec = purchaseVectors(s, d)
-        val sims = itemCosineFrom(vec)
+        // materialized ONCE (round 16): both directions of the union below
+        // re-derived the whole pair-join + cosine chain — the bench scan
+        // meter showed lineitem+orders read twice (256 vs q186's 128 MB);
+        // the similarity frame is the model artifact, pair-count-sized
+        val sims = itemCosineFrom(vec).eagerCut()
         val simsBoth = sims
           .select(col("part_a").alias("item"), col("part_b").alias("other"),
             col("cosine"))
@@ -1958,6 +1951,24 @@ object AnalyticsQueries {
               |  FROM unseen) WHERE rn <= 3""".stripMargin))
   )
 
+  /** Within-order part pairs (pa < pb) with corpus-wide co-occurrence
+    * counts ≥ 3 — the shared q167/q197 candidate stage. The self-join
+    * form is DELIBERATE (round 16, measured): the collect_list + exploded
+    * i<j array-fold alternative saves one exchange but ran slower at
+    * sf0.1 for the same reason as the q186 vector pair join (nested array
+    * transforms copy a tail array + struct per pair; the SMJ streams
+    * Tungsten rows) — see itemCosineFrom.
+    */
+  private def orderPartPairs(items: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    items.alias("a")
+      .join(items.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").alias("pa"), col("b.l_partkey").alias("pb"))
+      .agg(count(lit(1)).alias("pair_cnt"))
+      .filter(col("pair_cnt") >= 3)
+
   /** Shared q186/q193 purchase-count vectors, materialized ONCE
     * (localCheckpoint): the frame feeds the norm aggregate, both sides
     * of the pair join, and (q193) the owned-item set — un-checkpointed
@@ -1981,8 +1992,23 @@ object AnalyticsQueries {
 
   private def itemCosineFrom(
       vec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // norms feed both broadcast sides below as two separate aggregate
+    // subtrees over the same checkpoint scan; left UN-cut deliberately
+    // (round 16): a third eagerCut per query breaks the ≤2-resident-block
+    // cache-hygiene contract, and the duplicate aggregation is one extra
+    // narrow pass over the checkpointed vector frame feeding a
+    // dimension-sized broadcast — cheaper than another materialization
     val norms = vec.groupBy(col("part"))
       .agg(sum(col("n") * col("n")).alias("__n2"))
+    // The within-customer pair generation stays a self-join, DELIBERATELY
+    // (round 16, measured): rewriting it as a per-customer
+    // collect_list + exploded i<j array fold — one exchange instead of
+    // two — ran 2.3× SLOWER at sf0.1 (5.6 s → 12.8 s, faster host): the
+    // nested array transforms copy the tail array + a struct per pair in
+    // codegen, while the SMJ streams Tungsten rows; the saved exchange is
+    // node-vector-sized, the quadratic pair work is identical in both
+    // shapes. The join form also inherits AQE skew-splitting on a hot
+    // customer, which the single collect_list buffer would not.
     val dots = vec.alias("a")
       .join(vec.alias("b"),
         col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
