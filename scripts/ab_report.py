@@ -1,0 +1,19 @@
+#!/usr/bin/env python3
+"""Summarize an ab_r16 run: per query, median of the 3 per-JVM medians
+for A and B, plus jobs. Usage: ab_report.py <name>"""
+import json, sys, glob, statistics as st
+name = sys.argv[1]
+def load(side):
+    out = {}
+    for f in sorted(glob.glob(f"target/ab_r16/{name}_{side}[0-9].json")):
+        d = json.loads(open(f).read().splitlines()[0])
+        for q, v in d["queries"].items():
+            out.setdefault(q, []).append((v[0], v[2]))
+    return out
+A, B = load("A"), load("B")
+print(f"{'query':45s} {'A_med':>7s} {'B_med':>7s} {'B/A':>6s} {'jobsA':>6s} {'jobsB':>6s}")
+for q in sorted(set(A) | set(B)):
+    am = st.median([x[0] for x in A.get(q, [(float('nan'),0)])])
+    bm = st.median([x[0] for x in B.get(q, [(float('nan'),0)])])
+    ja = A.get(q,[(0,0)])[0][1]; jb = B.get(q,[(0,0)])[0][1]
+    print(f"{q:45s} {am:7.2f} {bm:7.2f} {bm/am:6.2f} {ja:6d} {jb:6d}")

@@ -97,21 +97,39 @@ trait DedupSubstring {
                               maxGramDocFreq: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be positive")
     val posts = postings(df, idCol, textCol, k)
-    val byGram = posts.groupBy(col("__gram"))
-      .agg(min(col("__doc")).alias("__dmin"), max(col("__doc")).alias("__dmax"),
-        // count_distinct only materializes when the cap needs it
-        (maxGramDocFreq match {
-          case Some(_) => countDistinct(col("__doc"))
-          case None    => lit(0L)
-        }).alias("__df"))
-    val shared = byGram
-      .filter(col("__dmin") =!= col("__dmax") &&
-        maxGramDocFreq.map(cap => col("__df") <= cap).getOrElse(lit(true)))
-      .select(col("__gram"), col("__dmin"))
-    // keep-first joins on the gram AND compares the doc against the
-    // gram's earliest holder — an inner join (not semi) because __dmin
-    // rides along; hit multiplicity is unchanged (one gram row each)
-    val marked = posts.join(shared, Seq("__gram"))
+    // Shared-gram detection (round 16): the UNCAPPED path computes
+    // min/max(doc) per gram as a WINDOW over ONE postings pass — the old
+    // aggregate→probe pair derived the corpus-sized postings TWICE (one
+    // tokenize+hash+explode pass each for the gram aggregate and the
+    // probe) and shuffled twice (gram-aggregate exchange + probe
+    // exchange + the SMJ's probe-side sort). The window shuffles the
+    // same narrow postings once and sorts by the same key the SMJ
+    // sorted by; per-gram groups buffer in a spillable row array (the
+    // r15 Tungsten-window discipline). Same rows, same __dmin.
+    // The CAPPED path keeps the aggregate→probe shape: the df cap needs
+    // countDistinct(doc), which a window cannot express without an
+    // object-tier collect_set buffer per gram — exactly the r15
+    // allocation-storm anti-pattern on stopword-like grams.
+    val marked = maxGramDocFreq match {
+      case None =>
+        val byGram = Window.partitionBy(col("__gram"))
+        posts
+          .withColumn("__dmin", min(col("__doc")).over(byGram))
+          .withColumn("__dmax", max(col("__doc")).over(byGram))
+          .filter(col("__dmin") =!= col("__dmax"))
+          .drop("__dmax")
+      case Some(cap) =>
+        val byGram = posts.groupBy(col("__gram"))
+          .agg(min(col("__doc")).alias("__dmin"), max(col("__doc")).alias("__dmax"),
+            countDistinct(col("__doc")).alias("__df"))
+        val shared = byGram
+          .filter(col("__dmin") =!= col("__dmax") && col("__df") <= cap)
+          .select(col("__gram"), col("__dmin"))
+        // keep-first joins on the gram AND compares the doc against the
+        // gram's earliest holder — an inner join (not semi) because __dmin
+        // rides along; hit multiplicity is unchanged (one gram row each)
+        posts.join(shared, Seq("__gram"))
+    }
     val hits = (if (keepFirst) marked.filter(col("__doc") =!= col("__dmin")) else marked)
       .select(col("__doc"), col("__pos"),
         (col("__pos") + lit(k - 1)).alias("__end"))
@@ -193,9 +211,10 @@ trait DedupSubstring {
       struct(i.cast("long").alias("pos"),
         concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens)))
           .alias("line")))
-    val l = df
-      .select(col(idCol).cast("long").alias("doc_id"),
-        explode(lineArr).alias("f"))
+    val base = df.select(col(idCol).cast("long").alias("doc_id"),
+      lineArr.alias("__la"))
+    val l = base
+      .select(col("doc_id"), explode(col("__la")).alias("f"))
       .select(col("doc_id"), col("f.pos").alias("pos"),
         col("f.line").alias("line"))
       // The keep-first rank packs (doc_id, pos) into one long: doc_id*2^20
@@ -211,9 +230,24 @@ trait DedupSubstring {
               "doc_id=%d (need [0, 2^43)) pos=%d (need < 2^20)",
             col("doc_id"), col("pos"))))
           .otherwise(col("doc_id") * lit(1L << 20) + col("pos")))
-    val w = l.groupBy(col("line")).agg(min(col("__rank")).alias("__keep"))
-    val kept = l.join(w, Seq("line")).filter(col("__rank") === col("__keep"))
-    val tot = l.groupBy(col("doc_id")).agg(count(lit(1)).alias("__n_lines"))
+    // Keep-first as a WINDOW over ONE line pass (round 16): the old
+    // aggregate→probe pair derived the corpus-sized exploded line frame
+    // TWICE and shuffled it twice (min-rank aggregate + probe join);
+    // min(__rank) over the line partition is the same integer min off
+    // one shuffle, sorted by the same key the SMJ probe sorted by.
+    val kept = l
+      .withColumn("__keep",
+        min(col("__rank")).over(Window.partitionBy(col("line"))))
+      .filter(col("__rank") === col("__keep"))
+    // Per-doc line totals from the UN-exploded array (round 16): the old
+    // shape re-derived and re-exploded the corpus a third time only to
+    // count rows per doc; the explode count per row IS the array size,
+    // and a doc appears exactly when it contributed ≥1 exploded row.
+    val tot = base
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__la").isNotNull, size(col("__la")))
+        .otherwise(0)).alias("__n_lines"))
+      .filter(col("__n_lines") > 0)
     val agg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).alias("n_lines_kept"),
         concat_ws(" ",

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
+import graft.ops.Checkpoints._
 
 /** Training-sequence preparation: chunking documents to a context window
   * and packing them into token-budget bins (the last hop of an LLM data
@@ -127,7 +128,15 @@ object Packing {
   def packConcatSplit(df: DataFrame, idCol: String, textCol: String,
                       budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    // materialized ONCE (round 16): the frame feeds BOTH the per-bucket
+    // offset aggregate and the join's probe side, and un-cut each branch
+    // re-ran the full upstream chain — for q138 that meant tokenizing the
+    // curated+mixed corpus once per branch per consumer (4× total: the
+    // bins/shard split above doubles it again). The cut is 24 B/doc
+    // (id, n_tokens, __b — text never enters), cheap to hold even at
+    // 100 TB doc counts against re-tokenizing the corpus.
     val bucketed = sizedWithBuckets(df, idCol, textCol, buckets)
+      .eagerCut()
     val perRow = Window.partitionBy(col("__b")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perBucket = Window.orderBy(col("__b"))

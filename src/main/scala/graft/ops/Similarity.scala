@@ -769,12 +769,19 @@ object Similarity {
     val scored = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
       .crossJoin(broadcast(cents))
       .withColumn("__cos", VectorFunctions.cosine(col("__v"), col("__cv")))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__cos").desc, col("cluster").asc)
+    // argmax as a max_by AGGREGATE, not a row_number window (round 16):
+    // each input row's k scored copies are born in one task, so the
+    // partial (map-side) max_by collapses k→1 BEFORE the exchange — the
+    // window form shuffled and sorted all corpus×k scored rows. The
+    // ordering key (cos desc, cluster asc) is struct(cos, -cluster)
+    // lexicographic max — identical row, including ties (cluster is
+    // unique within a row's k copies).
     Projections.pinnedFilter(scored, col("__cos").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("cluster"), col("__cos"), col("__v"))
+      .groupBy(col("__id"))
+      .agg(max_by(struct(col("cluster"), col("__cos"), col("__v")),
+        struct(col("__cos"), (-col("cluster")).alias("__negc"))).alias("__best"))
+      .select(col("__id"), col("__best.cluster").alias("cluster"),
+        col("__best.__cos").alias("__cos"), col("__best.__v").alias("__v"))
   }
 
   /** FIXED-ITERATION Lloyd k-means (q254) — [[kmeansStep]] iterated: each

@@ -1011,8 +1011,13 @@ object AnalyticsQueries {
         val cost = Tables.lineitem(s, d)
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(round(exactAvg(col("l_extendedprice") / col("l_quantity")), 6).alias("cost"))
-        val minCost = cost.groupBy(col("l_partkey")).agg(min(col("cost")).alias("min_cost"))
-        cost.join(minCost, Seq("l_partkey"))
+        // per-part minimum as a window over ONE cost derivation (round
+        // 16): the aggregate→probe join re-ran the corpus aggregation for
+        // each side — two full lineitem passes to compare a frame with
+        // itself. Same min, same equality filter, half the corpus work.
+        cost
+          .withColumn("min_cost",
+            min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
           .filter(col("cost") === col("min_cost"))
           .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))

@@ -303,17 +303,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q137 substring dedup: postings explode is the only corpus-wide op, bounded shuffles") {
+  test("q137 substring dedup: postings derive once, bounded shuffles") {
     val p = plan("q137_substring_dedup_spans")
-    // shape contract (DedupSubstring doc): postings → ONE gram shuffle
-    // for the shared-gram aggregate (map-side partial min/max — ">1
-    // distinct doc" stated without a count-distinct expansion) → probe →
-    // ONE doc shuffle for the interval-merge window; the final span
-    // aggregate rides the window's doc partitioning with no new exchange
+    // shape contract (DedupSubstring doc, round 16): ONE postings
+    // derivation → ONE gram shuffle for the shared-gram window (min/max
+    // over the gram partition — the old aggregate→probe pair derived and
+    // shuffled the corpus-sized postings twice) → ONE doc shuffle for the
+    // interval-merge window; the final span aggregate rides the window's
+    // doc partitioning with no new exchange
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles <= 3, s"expected ≤3 hash exchanges (gram agg, probe, doc window), got $shuffles:\n$p")
-    assert(p.contains("partial_min(__doc") && p.contains("partial_max(__doc"),
-      s"shared-gram aggregate lost its map-side partials:\n$p")
+    assert(shuffles <= 2, s"expected ≤2 hash exchanges (gram window, doc window), got $shuffles:\n$p")
+    assert(p.contains("windowspecdefinition(__gram"),
+      s"shared-gram detection lost its one-pass window form:\n$p")
+    // exactly one Generate: the postings explode happens ONCE (the old
+    // two-branch shape exploded the corpus once per branch)
+    val generates = "Generate explode".r.findAllIn(p).length +
+      "Generate posexplode".r.findAllIn(p).length
+    assert(generates <= 1, s"postings exploded more than once ($generates):\n$p")
     // interval merge is per-doc, never a corpus-wide window
     assert(p.contains("windowspecdefinition(__doc"),
       s"span-merge window not partitioned by doc:\n$p")
