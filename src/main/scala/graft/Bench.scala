@@ -385,9 +385,12 @@ object Bench {
     //  - compact qnum-keyed [med_s,min_s,jobs,scan_mb] -> BENCH_COMPACT
     //    .json (committed; small, diff-friendly, supports snapshot-free
     //    regression adjudication)
-    //  - the FINAL stdout line is a bounded-size summary (headline shape
-    //    comparison + totals + failure names, capped) that ALWAYS parses
-    //    inside the tail window.
+    //  - the FINAL stdout line carries the summary keys PLUS the compact
+    //    qnum-keyed map (round-17: the driver's per-query comparator reads
+    //    only this line — see the note at summaryLine); headline keys sit
+    //    at the very end so even a tail-truncated capture shows them, and
+    //    the committed BENCH_COMPACT.json holds the identical map for any
+    //    consumer that needs a guaranteed-complete parse.
     val detailCompact = results.map { case (k, (r, minSec)) =>
       String.format(java.util.Locale.ROOT, """"%s":[%.2f,%.2f,%d,%d]""",
         k.stripPrefix("q").takeWhile(_ != '_'),
@@ -405,10 +408,19 @@ object Bench {
     val nFail = results.count { case (_, (r, _)) => !r.ok }
     val failNames = results.collect { case (k, (r, _)) if !r.ok => "\"" + k + "\"" }
       .take(10).mkString("[", ",", "]")
+    // Round-17 measurement fix (r16 verdict #2): the driver's per-query
+    // round-over-round comparator reads ONLY the final "metric":"total"
+    // line, and for two rounds its per_query came out empty because the
+    // qnum-keyed timing map lived on the earlier BENCH_COMPACT line. The
+    // final line now CARRIES the map (additions-only: every prior key —
+    // value, n_queries, failures, canary, fixture fields — is kept, and
+    // the headline keys stay at the very end so a tail-truncated capture
+    // still shows them). The old bounded-size summary keys are unchanged;
+    // BENCH_DETAIL/COMPACT files still hold the same record.
     val summaryLine = String.format(java.util.Locale.ROOT,
-      """{"metric":"total","unit":"sec","reps":%d,"n_queries":%d,"n_failures":%d,"failures":%s%s%s,"detail":"BENCH_DETAIL.json","compact":"BENCH_COMPACT.json","value":%.3f,"sf":"%s"}""",
+      """{"metric":"total","unit":"sec","reps":%d,"n_queries":%d,"n_failures":%d,"failures":%s,"fmt":"qnum:[med_s,min_s,jobs,scan_mb]","queries":%s%s%s,"detail":"BENCH_DETAIL.json","compact":"BENCH_COMPACT.json","value":%.3f,"sf":"%s"}""",
       Int.box(Reps), Int.box(results.size), Int.box(nFail), failNames,
-      shape, preparedJson, Double.box(total), sfDir)
+      detailCompact, shape, preparedJson, Double.box(total), sfDir)
     println(summaryLine)
     spark.stop()
   }

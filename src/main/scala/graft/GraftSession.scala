@@ -88,6 +88,30 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_HEARTBEAT_INTERVAL", "60s"))
       .config("spark.network.timeout",
         sys.env.getOrElse("SPARK_GRAFT_NETWORK_TIMEOUT", "1800s"))
+      // InferFiltersFromGenerate excluded (round 17). The rule inserts
+      // `size(g) > 0 AND isnotnull(g)` under every non-outer Generate;
+      // when the generator input is a DERIVED array (tokenize → hash →
+      // shingle chains — this engine's dominant explode pattern),
+      // predicate pushdown then substitutes the alias through the
+      // projections and the scan-level Filter re-materializes the WHOLE
+      // chain — the postings side of q137/q139/q140 evaluated its
+      // tokenize+shingle chain 2-3× per row (plans/r17/*_before.txt:
+      // the Filter condition carries two full copies of the chain that
+      // the Project recomputes again; whole-stage codegen does NOT
+      // eliminate the duplicates across operator boundaries — the r16
+      // 1.35× column-binding measurement already proved that). The
+      // filter buys nothing here: a non-outer Generate drops empty/null
+      // arrays itself at ~zero cost, there is no exchange between the
+      // inferred filter and the Generate to shrink, and derived-array
+      // predicates never reach parquet as PushedFilters. Excluding the
+      // rule deletes redundant per-row compute in EVERY explode-of-
+      // derived-array operator (postings, line dedup, BPE vocab, TF-IDF
+      // grams) and is scale-independent — per-row CPU, not a local[32]
+      // partition-count artifact. Results are unchanged by construction
+      // (the filter only pre-drops rows the Generate drops anyway);
+      // oracle re-verified hash-exact over the full surface at sf0.01.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // fixtures annotate timestamps isAdjustedToUTC=false (parquet NTZ);

@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions.{col, posexplode}
 object ScaleRamp {
   private val Reps = 3
 
+  /** Skew-gate corpus (round 17): one shared 8-token prefix + 4 unique
+    * tokens per doc — the hot-gram / hot-line pathological case, derived
+    * from the fixture's doc ids so it scales with the SF dir.
+    */
+  private def skewDocs(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, format_string, lit}
+    graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(lit("zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7 "),
+        format_string("u%da u%db u%dc u%dd",
+          col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id")))
+        .alias("text"))
+  }
+
+  /** No-skew control at identical doc count and token count. */
+  private def uniformDocs(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.format_string
+    graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"),
+      format_string(
+        "u%da u%db u%dc u%dd u%de u%df u%dg u%dh u%di u%dj u%dk u%dl",
+        Seq.fill(12)(col("doc_id")): _*).alias("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sfgen/sf1")
     val spark = GraftSession.local()
@@ -155,7 +179,35 @@ object ScaleRamp {
       "x_leakage_split_full" -> (() => graft.ops.Dedup.leakageSafeSplit(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
         splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        threshold = 0.9))
+        threshold = 0.9)),
+      // Round-17 hot-key skew gate for the r16 window rewrites (r16
+      // verdict #3). Synthetic corpora sized off the fixture's doc ids:
+      //  - skew: every doc = one SHARED 8-token prefix + 4 unique tokens,
+      //    so the prefix 8-gram holds 1/5 of ALL postings (a task's fair
+      //    share is 1/32) and, at lineTokens=8, line 0 is the same hot
+      //    line in every doc — the "boilerplate repeated 10⁹×" case the
+      //    verdict warns about, constructed to BIND;
+      //  - uniform: same doc count/shape, all 12 tokens unique per doc —
+      //    the no-skew control at identical scale.
+      // window = the r16 one-pass window shape (default); join = the
+      // skewRobust aggregate→probe shape (two postings derivations,
+      // map-side partial min/max, AQE-splittable probe). Both produce
+      // identical rows; the ratio adjudicates the default per corpus.
+      "x_substr_skew_window" -> (() => graft.ops.Dedup.exactSubstringSpansKeep(
+        skewDocs(spark, sfDir), "doc_id", "text", k = 8, keepFirst = false)),
+      "x_substr_skew_join" -> (() => graft.ops.Dedup.exactSubstringSpansKeep(
+        skewDocs(spark, sfDir), "doc_id", "text", k = 8, keepFirst = false,
+        skewRobust = true)),
+      "x_substr_uniform_window" -> (() => graft.ops.Dedup.exactSubstringSpansKeep(
+        uniformDocs(spark, sfDir), "doc_id", "text", k = 8, keepFirst = false)),
+      "x_substr_uniform_join" -> (() => graft.ops.Dedup.exactSubstringSpansKeep(
+        uniformDocs(spark, sfDir), "doc_id", "text", k = 8, keepFirst = false,
+        skewRobust = true)),
+      "x_linededup_skew_window" -> (() => graft.ops.Dedup.dedupLinesKeepFirst(
+        skewDocs(spark, sfDir), "doc_id", "text", lineTokens = 8)),
+      "x_linededup_skew_join" -> (() => graft.ops.Dedup.dedupLinesKeepFirst(
+        skewDocs(spark, sfDir), "doc_id", "text", lineTokens = 8,
+        skewRobust = true))
     ).filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
 
     val results = runs.map { case (name, mk) =>

@@ -62,8 +62,16 @@ trait DedupComponents { self: DedupMinHash =>
         .groupBy("id").agg(min("component").alias("component"),
           max("__old").alias("__old"))
         .eagerCut()
-      // one scan of the fresh checkpoint blocks — no join, no shuffle
-      changed = next.filter(col("component") =!= col("__old")).count()
+      // one scan of the fresh checkpoint blocks — no join, no shuffle.
+      // __old is null-guarded (round-17 hardening): correctness of the
+      // fused test rests on the every-id-has-one-own-label-row invariant
+      // above; if edge construction ever broke it, max(__old) would be
+      // null and a bare =!= would DROP the row from the changed count —
+      // converging early with wrong components. A null __old now counts
+      // as changed, so a broken invariant keeps iterating and trips the
+      // maxIter guard loudly instead of mis-clustering.
+      changed = next.filter(col("__old").isNull ||
+        col("component") =!= col("__old")).count()
       // the superseded round's checkpoint blocks are dead the moment the
       // new aggregate consumed them — release eagerly, don't let them
       // accumulate one-per-round on the ContextCleaner's queue
@@ -123,7 +131,10 @@ trait DedupComponents { self: DedupMinHash =>
         .groupBy("id").agg(min("component").alias("component"),
           max("__old").alias("__old"))
         .eagerCut()
-      changed = next.filter(col("component") =!= col("__old")).count()
+      // null-guarded like connectedComponents — a broken own-label
+      // invariant must fail loudly, not converge early
+      changed = next.filter(col("__old").isNull ||
+        col("component") =!= col("__old")).count()
       org.apache.spark.sql.GraftBridge.releaseCheckpoint(resident) // see connectedComponents
       resident = next
       labels = next.select(col("id"), col("component"))

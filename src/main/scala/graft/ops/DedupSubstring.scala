@@ -94,7 +94,8 @@ trait DedupSubstring {
     */
   def exactSubstringSpansKeep(df: DataFrame, idCol: String, textCol: String,
                               k: Int, keepFirst: Boolean,
-                              maxGramDocFreq: Option[Int] = None): DataFrame = {
+                              maxGramDocFreq: Option[Int] = None,
+                              skewRobust: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
     val posts = postings(df, idCol, textCol, k)
     // Shared-gram detection (round 16): the UNCAPPED path computes
@@ -110,14 +111,36 @@ trait DedupSubstring {
     // countDistinct(doc), which a window cannot express without an
     // object-tier collect_set buffer per gram — exactly the r15
     // allocation-storm anti-pattern on stopword-like grams.
+    //
+    // `skewRobust` (round 17, the r16 verdict's hot-gram item): the
+    // window concentrates ALL postings of a gram in one task and AQE
+    // cannot split a window partition, so a single gram holding more
+    // than a task's fair share of postings (a boilerplate prefix in
+    // every doc — possible at 100 TB, constructible at sf10) turns into
+    // a straggler. The skew-robust shape is the two-level algebraic
+    // min/max: a partial-aggregable groupBy (map-side combine collapses
+    // the hot gram to one row per map task — the "salted two-level
+    // min/max" with Spark's own partial aggregation as the first level)
+    // probed back with an AQE-skew-splittable join. Price: postings are
+    // derived twice. Identical output rows either way (oracle-proven);
+    // the sf10 skew measurement lives in SCALE.md (round 17) and
+    // ScaleRamp (`x_substr_skew_*`). Default stays the window — real
+    // corpora put a gram's df far below a task's fair share, and the
+    // window form measured 0.55-0.60× at sf0.1 (r16 A/B).
     val marked = maxGramDocFreq match {
-      case None =>
+      case None if !skewRobust =>
         val byGram = Window.partitionBy(col("__gram"))
         posts
           .withColumn("__dmin", min(col("__doc")).over(byGram))
           .withColumn("__dmax", max(col("__doc")).over(byGram))
           .filter(col("__dmin") =!= col("__dmax"))
           .drop("__dmax")
+      case None =>
+        val shared = posts.groupBy(col("__gram"))
+          .agg(min(col("__doc")).alias("__dmin"), max(col("__doc")).alias("__dmax"))
+          .filter(col("__dmin") =!= col("__dmax"))
+          .select(col("__gram"), col("__dmin"))
+        posts.join(shared, Seq("__gram"))
       case Some(cap) =>
         val byGram = posts.groupBy(col("__gram"))
           .agg(min(col("__doc")).alias("__dmin"), max(col("__doc")).alias("__dmax"),
@@ -203,7 +226,8 @@ trait DedupSubstring {
     * pos < 2^20 lines per doc (the rank is doc_id·2^20 + pos).
     */
   def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String,
-                          lineTokens: Int = 8): DataFrame = {
+                          lineTokens: Int = 8,
+                          skewRobust: Boolean = false): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
     val toks = TextFunctions.tokens(col(textCol))
     val nLines = ceil(size(toks).cast("double") / lineTokens).cast("int")
@@ -235,10 +259,22 @@ trait DedupSubstring {
     // TWICE and shuffled it twice (min-rank aggregate + probe join);
     // min(__rank) over the line partition is the same integer min off
     // one shuffle, sorted by the same key the SMJ probe sorted by.
-    val kept = l
-      .withColumn("__keep",
-        min(col("__rank")).over(Window.partitionBy(col("line"))))
-      .filter(col("__rank") === col("__keep"))
+    // `skewRobust` (round 17): same trade as exactSubstringSpansKeep's
+    // shared-gram shape — a boilerplate LINE repeated across a large
+    // fraction of the corpus concentrates in one window task; the
+    // aggregate→probe shape pays a second line-frame derivation for
+    // map-side partial min + AQE-splittable probe. Identical rows.
+    val kept =
+      if (!skewRobust)
+        l.withColumn("__keep",
+            min(col("__rank")).over(Window.partitionBy(col("line"))))
+          .filter(col("__rank") === col("__keep"))
+      else {
+        val firsts = l.groupBy(col("line"))
+          .agg(min(col("__rank")).alias("__keep"))
+        l.join(firsts, Seq("line"))
+          .filter(col("__rank") === col("__keep"))
+      }
     // Per-doc line totals from the UN-exploded array (round 16): the old
     // shape re-derived and re-exploded the corpus a third time only to
     // count rows per doc; the explode count per row IS the array size,

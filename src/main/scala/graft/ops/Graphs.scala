@@ -63,10 +63,20 @@ object Graphs {
         col(dstCol).cast("long").alias("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val outDeg = dedupEdges.groupBy(col("src"))
-      .agg(count(lit(1)).alias("outdeg"))
-    val edges = dedupEdges.join(outDeg, "src")
-      .repartition(col("src"))
+    // Out-degree as a COUNT WINDOW over src (round 17): the r16 shape
+    // aggregated outdeg separately and joined it back, which derived the
+    // edge frame TWICE before the cache ever existed — for q185's
+    // co-purchase graph that is two full lineitem self-joins (the scan
+    // meter charged 223 MB to one sf0.1 run). The window computes the
+    // identical count off ONE derivation, and its required partitioning
+    // IS the probe-key partitioning the cache wants (hashpartitioning on
+    // src), so the explicit repartition goes too: one derivation, one
+    // exchange, no join. Hot-source buffering is bounded by the window's
+    // spillable row array and is the same hot key the per-iteration probe
+    // join already carries.
+    val edges = dedupEdges
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").alias("node"))
       .union(edges.select(col("dst").alias("node")))

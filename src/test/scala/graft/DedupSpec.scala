@@ -644,6 +644,35 @@ class DedupSpec extends SparkSpec {
     assert(all == Set(5L, 7L, 9L))
   }
 
+  test("skewRobust aggregate-probe shapes return exactly the window shapes' rows") {
+    // round 17: the hot-gram/hot-line fallback (aggregate→probe, AQE-skew-
+    // splittable) must be row-identical to the default one-pass window
+    // shape — same spans, same kept lines, for both keep policies.
+    val df = docs(
+      5L -> s"a1 a2 $sharedRun a3",
+      7L -> s"b1 $sharedRun b2 b3",
+      9L -> s"$sharedRun c1 c2 c3")
+    for (keep <- Seq(true, false)) {
+      val win = Dedup.exactSubstringSpansKeep(df, "doc_id", "text", k = 8,
+          keepFirst = keep)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val agg = Dedup.exactSubstringSpansKeep(df, "doc_id", "text", k = 8,
+          keepFirst = keep, skewRobust = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(agg == win, s"keepFirst=$keep: skewRobust diverged from window")
+    }
+    val lines = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d c d"), (4L, "p q r"))
+      .toDF("doc_id", "text")
+    def rows(skew: Boolean) =
+      Dedup.dedupLinesKeepFirst(lines, "doc_id", "text", lineTokens = 2,
+          skewRobust = skew)
+        .select("doc_id", "clean_text", "n_lines_kept", "n_lines_dropped")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(skew = true) == rows(skew = false))
+  }
+
   test("exactSubstringDedup removes exactly the span tokens and accounts for them") {
     val df = docs(
       1L -> s"A1 a2 a3 $sharedRun a4 a5",  // mixed case: tokens() lowercases
